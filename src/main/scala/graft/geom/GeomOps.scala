@@ -1,0 +1,185 @@
+package graft.geom
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+
+/**
+ * Pure-JVM geometry kernels over JTS (jts-core 1.20, shipped with Spark).
+ * The engine's column convention is BinaryType WKB (SURVEY.md §7.4.6:
+ * avoid semi-private UDT registration in Spark 4); these statics are the
+ * shared implementation behind the st_* UDF surface and the join
+ * refinement operators.
+ *
+ * Readers/writers are ThreadLocal: JTS parsers are not thread-safe and
+ * executor threads are long-lived, so per-thread reuse removes per-row
+ * allocation from the hot path.
+ */
+object GeomOps {
+
+  val factory = new GeometryFactory(new PrecisionModel(PrecisionModel.FLOATING), 4326)
+
+  private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
+  private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
+
+  def fromWkb(b: Array[Byte]): Geometry = if (b == null) null else wkbReader.get.read(b)
+  def toWkb(g: Geometry): Array[Byte] = if (g == null) null else wkbWriter.get.write(g)
+  def fromWkt(s: String): Geometry = if (s == null) null else wktReader.get.read(s)
+  def toWkt(g: Geometry): String = if (g == null) null else wktWriter.get.write(g)
+
+  def point(x: Double, y: Double): Geometry = factory.createPoint(new Coordinate(x, y))
+
+  def bbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Geometry =
+    factory.toGeometry(new Envelope(xmin, xmax, ymin, ymax))
+
+  /** Earth mean radius in meters (same constant family as the reference's
+    * spatial4j haversine distance, SpatialRelationFunctions.scala:129-133). */
+  val EarthRadiusM: Double = 6371008.7714
+
+  /** Haversine great-circle distance in meters between two lon/lat points. */
+  def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * math.pow(math.sin(dLon / 2), 2)
+    2 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Great-circle distance between the closest representative points of two
+    * geometries (centroid-free: uses JTS nearestPoints in degree space,
+    * then haversine on that pair — exact for points, good approximation
+    * for small extents). */
+  def distanceSphereMeters(a: Geometry, b: Geometry): Double = {
+    val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(a, b)
+    haversineMeters(pts(0).x, pts(0).y, pts(1).x, pts(1).y)
+  }
+
+  /** Geodesic length of a line in meters (sum of haversine segment lengths). */
+  def lengthSphereMeters(g: Geometry): Double = {
+    val cs = g.getCoordinates
+    var i = 1
+    var acc = 0.0
+    while (i < cs.length) {
+      acc += haversineMeters(cs(i - 1).x, cs(i - 1).y, cs(i).x, cs(i).y)
+      i += 1
+    }
+    acc
+  }
+
+  /** Approximate geodesic point buffer: meters -> a polygon circle around a
+    * point (n-point ring; degree radii scaled by latitude for the east-west
+    * axis). Mirrors the semantics of the reference's fast st_bufferPoint
+    * (GeometricProcessingFunctions.scala: meters -> degrees circle). */
+  def bufferPointMeters(p: Geometry, meters: Double, nPoints: Int = 100): Geometry = {
+    val c = p.getCoordinate
+    val latR = meters / 111320.0 // meters per degree latitude
+    val lonR = meters / (111320.0 * math.max(0.01, math.cos(math.toRadians(c.y))))
+    val coords = new Array[Coordinate](nPoints + 1)
+    var i = 0
+    while (i < nPoints) {
+      val t = 2 * math.Pi * i / nPoints
+      coords(i) = new Coordinate(c.x + lonR * math.cos(t), c.y + latR * math.sin(t))
+      i += 1
+    }
+    coords(nPoints) = coords(0)
+    factory.createPolygon(coords)
+  }
+
+  /** Splits geometries crossing the antimeridian into a multi-geometry with
+    * both hemispheres in [-180,180] (st_antimeridianSafeGeom semantics). */
+  def antimeridianSafe(g: Geometry): Geometry = {
+    val env = g.getEnvelopeInternal
+    if (env.getMinX >= -180 && env.getMaxX <= 180) g
+    else {
+      val world = bbox(-180, -90, 180, 90)
+      val shiftedRight = translate(g, -360, 0)
+      val shiftedLeft = translate(g, 360, 0)
+      val parts = Seq(g, shiftedRight, shiftedLeft)
+        .map(_.intersection(world)).filterNot(_.isEmpty)
+      if (parts.size == 1) parts.head else factory.buildGeometry(java.util.Arrays.asList(parts: _*))
+    }
+  }
+
+  def translate(g: Geometry, dx: Double, dy: Double): Geometry = {
+    val out = g.copy()
+    out.apply(new CoordinateFilter {
+      override def filter(c: Coordinate): Unit = { c.x += dx; c.y += dy }
+    })
+    out.geometryChanged()
+    out
+  }
+
+  // ---- Geohash (public base-32 geohash algorithm, from the Wikipedia spec) ----
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def geohash(lon: Double, lat: Double, precisionBits: Int): String = {
+    var latMin = -90.0; var latMax = 90.0
+    var lonMin = -180.0; var lonMax = 180.0
+    val sb = new StringBuilder
+    var bit = 0
+    var ch = 0
+    var even = true
+    val nChars = math.max(1, precisionBits / 5)
+    while (sb.length < nChars) {
+      if (even) {
+        val mid = (lonMin + lonMax) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonMin = mid } else { ch = ch << 1; lonMax = mid }
+      } else {
+        val mid = (latMin + latMax) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latMin = mid } else { ch = ch << 1; latMax = mid }
+      }
+      even = !even
+      bit += 1
+      if (bit == 5) { sb.append(Base32.charAt(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Decode a geohash to its bbox (lonMin, latMin, lonMax, latMax). */
+  def geohashBBox(hash: String): (Double, Double, Double, Double) = {
+    var latMin = -90.0; var latMax = 90.0
+    var lonMin = -180.0; var lonMax = 180.0
+    var even = true
+    hash.foreach { c =>
+      val cd = Base32.indexOf(c.toLower)
+      require(cd >= 0, s"invalid geohash char: $c")
+      var mask = 16
+      while (mask > 0) {
+        if (even) {
+          val mid = (lonMin + lonMax) / 2
+          if ((cd & mask) != 0) lonMin = mid else lonMax = mid
+        } else {
+          val mid = (latMin + latMax) / 2
+          if ((cd & mask) != 0) latMin = mid else latMax = mid
+        }
+        even = !even
+        mask >>= 1
+      }
+    }
+    (lonMin, latMin, lonMax, latMax)
+  }
+
+  def geohashCentroid(hash: String): Geometry = {
+    val (x0, y0, x1, y1) = geohashBBox(hash)
+    point((x0 + x1) / 2, (y0 + y1) / 2)
+  }
+
+  def geohashGeom(hash: String): Geometry = {
+    val (x0, y0, x1, y1) = geohashBBox(hash)
+    bbox(x0, y0, x1, y1)
+  }
+
+  /** Degrees-minutes-seconds rendering (st_asLatLonText semantics). */
+  def asLatLonText(lon: Double, lat: Double): String = {
+    def dms(v: Double, pos: Char, neg: Char): String = {
+      val h = if (v >= 0) pos else neg
+      val a = math.abs(v)
+      val d = a.toInt
+      val m = ((a - d) * 60).toInt
+      val s = ((a - d) * 60 - m) * 60
+      f"$d%d°$m%d'$s%06.3f\"$h"
+    }
+    s"${dms(lat, 'N', 'S')} ${dms(lon, 'E', 'W')}"
+  }
+}
