@@ -1,13 +1,357 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.StFunctions
+
+/**
+ * Driver contract (see SURVEY.md §7 + builder prompt): one entry per
+ * implemented operator, each with a DuckDB-runnable oracle where the
+ * semantics are ANSI-SQL-expressible.
+ *
+ * Float-parity rules used throughout (so Spark and DuckDB hash-match):
+ *  - per-row scalar arithmetic uses the SAME expression shape on both
+ *    sides (identical IEEE op order => bitwise-identical doubles);
+ *  - multi-row SUMs go through DECIMAL (exact, order-independent), then
+ *    cast back to double; MIN/MAX/COUNT are order-independent already;
+ *  - no libm-divergent functions (trig) in oracle-checked queries —
+ *    planar sqrt distances only (haversine is covered by ScalaTest).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic lon/lat derivation from event ids — same SQL fragment
+    * evaluated by Spark and DuckDB (keeps the oracle self-contained). */
+  private val LonExpr = "((event_id * 7919) % 36000) / 100.0 - 180.0"
+  private val LatExpr = "((event_id * 104729) % 18000) / 100.0 - 90.0"
+  private val PtsSql =
+    s"SELECT event_id, $LonExpr AS lon, $LatExpr AS lat, value FROM events"
+  private val ZonesSql =
+    "SELECT n_nationkey AS zone_key, (n_nationkey % 5) * 72.0 - 180.0 AS lon0, " +
+      "floor(n_nationkey / 5) * 36.0 - 90.0 AS lat0 FROM nation"
+
+  private def pts(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(PtsSql)
+  }
+  private def zones(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(ZonesSql)
+  }
+
+  /** DuckDB-side Morton interleave of `res`-bit tx/ty (bit-op SQL) —
+    * independently recomputes our cell packing for tile-id parity. */
+  private def mortonSql(tx: String, ty: String, res: Int): String = {
+    val terms = (0 until res).flatMap { i =>
+      Seq(s"((($tx >> $i) & 1) << ${2 * i})", s"((($ty >> $i) & 1) << ${2 * i + 1})")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Flagship: spatial point-in-polygon join on sf=0.001 via cell equi-join. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_pip_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (built-in operators; GeoMesa delegates these
+    // to Spark, SURVEY.md §2.4 note) ------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+          COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+    }),
+
+    "q3_join" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT o.o_orderkey,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey""")
+    }),
+
+    "q_enum" -> ((s, dir) => {
+      // EnumerationStat analog (exact value->count, stats/EnumerationStat.scala)
+      t(s, dir, "lineitem").groupBy("l_returnflag").count()
+        .withColumnRenamed("count", "n")
+    }),
+
+    "q_hist" -> ((s, dir) => {
+      // Histogram stat analog: fixed-width bins (stats/Histogram.scala)
+      t(s, dir, "lineitem")
+        .selectExpr("CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket")
+        .groupBy("bucket").count().withColumnRenamed("count", "n")
+    }),
+
+    "q_minmax" -> ((s, dir) => {
+      // MinMax stat analog (stats/MinMax.scala; HLL part is non-oracle)
+      t(s, dir, "lineitem").agg(
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        min("l_shipdate").cast("date").cast("string").as("min_ship"),
+        max("l_shipdate").cast("date").cast("string").as("max_ship"),
+        countDistinct("l_partkey").as("n_parts"))
+    }),
+
+    "q_sample" -> ((s, dir) => {
+      // per-key every-nth sampling (SamplingIterator/FeatureSampler analog)
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id FROM (
+          SELECT event_id, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn % 10 = 1""")
+    }),
+
+    "q_window_track" -> ((s, dir) => {
+      // Point2PointProcess analog: consecutive positions per user (lag),
+      // planar hop distances, exact decimal sum
+      pts(s, dir).createOrReplaceTempView("pts")
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT user_id, COUNT(px) AS hops,
+          CAST(SUM(CAST(round(sqrt((lon - px)*(lon - px) + (lat - py)*(lat - py)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_dist
+        FROM (
+          SELECT e.user_id, p.lon, p.lat,
+            LAG(p.lon) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS px,
+            LAG(p.lat) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS py
+          FROM events e JOIN pts p ON e.event_id = p.event_id)
+        GROUP BY user_id""")
+    }),
+
+    // ---- spatial operators over the cell index ------------------------
+    "q_pip_join" -> ((s, dir) => {
+      // point-in-polygon join: zone extents explode to covering cells
+      // (gridIdMapper analog), points hash to their single cell, equi-join
+      // + exact JTS refine (GeoMesaJoinRelation semantics, Spark-native)
+      StFunctions.register(s)
+      val p = pts(s, dir).withColumn("cell", expr("st_cellOfXY(lon, lat, 4)"))
+      val z = zones(s, dir)
+        .withColumn("zgeom", expr("st_makeBBOX(lon0, lat0, lon0 + 72.0, lat0 + 36.0)"))
+        .withColumn("zcell", explode(expr("st_cellCover(zgeom, 4, 256)")))
+      p.join(broadcast(z), p("cell") === z("zcell"))
+        .where(expr("st_intersects(st_makePoint(lon, lat), zgeom)"))
+        .select("event_id", "zone_key")
+    }),
+
+    "q_tile_assign" -> ((s, dir) => {
+      // raster->vector tile assignment at res 9; oracle recomputes the
+      // packed cell id via independent bit-arithmetic SQL
+      StFunctions.register(s)
+      pts(s, dir)
+        .withColumn("cell", expr("st_cellOfXY(lon, lat, 9)"))
+        .selectExpr("event_id", "cell", "st_cellX(cell) AS tx", "st_cellY(cell) AS ty")
+    }),
+
+    "q_knn" -> ((s, dir) => {
+      // kNN: 3 query points, k=5, planar distance, deterministic tiebreak
+      import s.implicits._
+      StFunctions.register(s)
+      val queries = Seq((0, 0.0, 0.0), (1, 100.05, 30.05), (2, -74.0, 40.7))
+        .toDF("qid", "qx", "qy")
+      val joined = pts(s, dir).crossJoin(broadcast(queries))
+        .withColumn("dist", expr("sqrt((lon - qx)*(lon - qx) + (lat - qy)*(lat - qy))"))
+      joined
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("event_id"))))
+        .where(col("rn") <= 5)
+        .selectExpr("qid", "event_id", "round(dist, 6) AS dist")
+    }),
+
+    "q_dwithin_zone" -> ((s, dir) => {
+      // proximity search (ProximitySearchProcess analog): per zone center,
+      // points within 10 degrees; count + exact min distance
+      pts(s, dir).createOrReplaceTempView("pts")
+      zones(s, dir).createOrReplaceTempView("zones")
+      s.sql("""
+        SELECT z.zone_key,
+          COUNT(CASE WHEN sqrt((p.lon - (z.lon0 + 36.0))*(p.lon - (z.lon0 + 36.0)) + (p.lat - (z.lat0 + 18.0))*(p.lat - (z.lat0 + 18.0))) < 10.0 THEN 1 END) AS n_within,
+          MIN(round(sqrt((p.lon - (z.lon0 + 36.0))*(p.lon - (z.lon0 + 36.0)) + (p.lat - (z.lat0 + 18.0))*(p.lat - (z.lat0 + 18.0))), 6)) AS min_dist
+        FROM zones z CROSS JOIN pts p
+        GROUP BY z.zone_key""")
+    }),
+
+    "q_density" -> ((s, dir) => {
+      // DensityScan analog: snap points to the res-6 grid, count + weight
+      StFunctions.register(s)
+      pts(s, dir)
+        .withColumn("cell", expr("st_cellOfXY(lon, lat, 6)"))
+        .selectExpr("st_cellX(cell) AS tx", "st_cellY(cell) AS ty", "value")
+        .groupBy("tx", "ty")
+        .agg(count("*").as("n"),
+          expr("CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)").as("weight"))
+    }),
+
+    // ---- training-data ops: dedup / text / similarity ------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      // exact dedup by content (hash-groupBy)
+      t(s, dir, "documents").groupBy("text")
+        .agg(min("doc_id").as("canonical_id"), count("*").as("n_dups"))
+        .select("canonical_id", "n_dups")
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens", "CAST(length(text) AS BIGINT) AS n_chars_calc")
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      // text quality scoring: word count, mean word length
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+        "round((CAST(length(text) AS DOUBLE) - size(split(text, ' ')) + 1) / size(split(text, ' ')), 6) AS avg_word_len")
+    }),
+
+    "q_ann_cosine" -> ((s, dir) => {
+      // brute-force cosine top-k (ANN baseline): queries = vec_ids 0..2,
+      // left-fold dot/norm (deterministic order => bitwise parity)
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      val q = e.where("vec_id < 3").selectExpr("vec_id AS qid", "emb AS qemb")
+      e.crossJoin(broadcast(q))
+        .withColumn("dot", expr("aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .withColumn("na", expr("aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .withColumn("nb", expr("aggregate(zip_with(qemb, qemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .withColumn("cos", expr("dot / (sqrt(na) * sqrt(nb))"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))))
+        .where(col("rn") <= 10)
+        .selectExpr("qid", "vec_id", "round(cos, 6) AS cos_sim")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = {
+    val ptsCte = s"pts AS ($PtsSql)"
+    val zonesCte = s"zones AS ($ZonesSql)"
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+          |  COUNT(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q3_join" ->
+        """SELECT o.o_orderkey,
+          |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_items
+          |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+          |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |GROUP BY o.o_orderkey""".stripMargin,
+
+      "q_enum" -> "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+
+      "q_hist" ->
+        "SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket, COUNT(*) AS n FROM lineitem GROUP BY 1",
+
+      "q_minmax" ->
+        """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+          |  CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS min_ship,
+          |  CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_ship,
+          |  COUNT(DISTINCT l_partkey) AS n_parts
+          |FROM lineitem""".stripMargin,
+
+      "q_sample" ->
+        """SELECT event_id FROM (
+          |  SELECT event_id, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+          |  FROM events) t WHERE rn % 10 = 1""".stripMargin,
+
+      "q_window_track" ->
+        s"""WITH $ptsCte
+           |SELECT user_id, COUNT(px) AS hops,
+           |  CAST(SUM(CAST(round(sqrt((lon - px)*(lon - px) + (lat - py)*(lat - py)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_dist
+           |FROM (
+           |  SELECT e.user_id, p.lon, p.lat,
+           |    LAG(p.lon) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS px,
+           |    LAG(p.lat) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS py
+           |  FROM events e JOIN pts p ON e.event_id = p.event_id) t
+           |GROUP BY user_id""".stripMargin,
+
+      "q_pip_join" ->
+        s"""WITH $ptsCte, $zonesCte
+           |SELECT p.event_id, z.zone_key
+           |FROM pts p JOIN zones z
+           |  ON p.lon BETWEEN z.lon0 AND z.lon0 + 72.0
+           | AND p.lat BETWEEN z.lat0 AND z.lat0 + 36.0""".stripMargin,
+
+      "q_tile_assign" -> {
+        val tx = "CAST(floor((lon + 180.0) / 360.0 * 512.0) AS BIGINT)"
+        val ty = "CAST(floor((lat + 90.0) / 180.0 * 512.0) AS BIGINT)"
+        s"""WITH $ptsCte,
+           |tiles AS (SELECT event_id,
+           |  LEAST(511, GREATEST(0, $tx)) AS tx,
+           |  LEAST(511, GREATEST(0, $ty)) AS ty FROM pts)
+           |SELECT event_id,
+           |  (CAST(9 AS BIGINT) << 58) | ${mortonSql("tx", "ty", 9)} AS cell,
+           |  tx, ty FROM tiles""".stripMargin
+      },
+
+      "q_knn" ->
+        s"""WITH $ptsCte,
+           |qs AS (SELECT * FROM (VALUES (0, 0.0, 0.0), (1, 100.05, 30.05), (2, -74.0, 40.7)) AS v(qid, qx, qy)),
+           |d AS (SELECT q.qid, p.event_id,
+           |    sqrt((p.lon - q.qx)*(p.lon - q.qx) + (p.lat - q.qy)*(p.lat - q.qy)) AS dist
+           |  FROM pts p CROSS JOIN qs q)
+           |SELECT qid, event_id, round(dist, 6) AS dist FROM (
+           |  SELECT qid, event_id, dist, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, event_id) AS rn
+           |  FROM d) t WHERE rn <= 5""".stripMargin,
+
+      "q_dwithin_zone" ->
+        s"""WITH $ptsCte, $zonesCte
+           |SELECT z.zone_key,
+           |  COUNT(CASE WHEN sqrt((p.lon - (z.lon0 + 36.0))*(p.lon - (z.lon0 + 36.0)) + (p.lat - (z.lat0 + 18.0))*(p.lat - (z.lat0 + 18.0))) < 10.0 THEN 1 END) AS n_within,
+           |  MIN(round(sqrt((p.lon - (z.lon0 + 36.0))*(p.lon - (z.lon0 + 36.0)) + (p.lat - (z.lat0 + 18.0))*(p.lat - (z.lat0 + 18.0))), 6)) AS min_dist
+           |FROM zones z CROSS JOIN pts p
+           |GROUP BY z.zone_key""".stripMargin,
+
+      "q_density" -> {
+        val tx = "LEAST(63, GREATEST(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT)))"
+        val ty = "LEAST(63, GREATEST(0, CAST(floor((lat + 90.0) / 180.0 * 64.0) AS BIGINT)))"
+        s"""WITH $ptsCte
+           |SELECT $tx AS tx, $ty AS ty, COUNT(*) AS n,
+           |  CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight
+           |FROM pts GROUP BY 1, 2""".stripMargin
+      },
+
+      "q_dedup_exact" ->
+        "SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+
+      "q_token_count" ->
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars_calc FROM documents",
+
+      "q_quality" ->
+        """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+          |  round((CAST(length(text) AS DOUBLE) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')), 6) AS avg_word_len
+          |FROM documents""".stripMargin,
+
+      "q_ann_cosine" -> {
+        def fold(a: String, b: String) =
+          (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+            .mkString("(", " + ", ")")
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 3),
+           |d AS (SELECT q.qid, e.vec_id,
+           |    ${fold("e.embedding", "q.qemb")} /
+           |    (sqrt(${fold("e.embedding", "e.embedding")}) * sqrt(${fold("q.qemb", "q.qemb")})) AS cos
+           |  FROM embeddings e CROSS JOIN q)
+           |SELECT qid, vec_id, round(cos, 6) AS cos_sim FROM (
+           |  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+           |  FROM d) t WHERE rn <= 10""".stripMargin
+      },
+    )
+  }
 }

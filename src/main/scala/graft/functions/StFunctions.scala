@@ -186,6 +186,8 @@ object StFunctions {
   val stCellParent: UserDefinedFunction = udf((cell: Long, res: Int) => Cells.parentAt(cell, res))
   val stCellChildren: UserDefinedFunction = udf((cell: Long) => Cells.children(cell))
   val stCellRes: UserDefinedFunction = udf((cell: Long) => Cells.res(cell))
+  val stCellX: UserDefinedFunction = udf((cell: Long) => Cells.ix(cell))
+  val stCellY: UserDefinedFunction = udf((cell: Long) => Cells.iy(cell))
   val stCellCentroid: UserDefinedFunction = udf((cell: Long) => {
     val (x, y) = Cells.centroid(cell); w(G.point(x, y))
   })
@@ -249,7 +251,8 @@ object StFunctions {
     "st_cell" -> stCell, "st_cellOfXY" -> stCellOfXY, "st_cellCover" -> stCellCover,
     "st_cellRing" -> stCellRing, "st_cellDisk" -> stCellDisk,
     "st_cellParent" -> stCellParent, "st_cellChildren" -> stCellChildren,
-    "st_cellRes" -> stCellRes, "st_cellCentroid" -> stCellCentroid,
+    "st_cellRes" -> stCellRes, "st_cellX" -> stCellX, "st_cellY" -> stCellY,
+    "st_cellCentroid" -> stCellCentroid,
     "st_cellEnvelope" -> stCellEnvelope,
     "st_z2" -> stZ2, "st_xz2" -> stXZ2, "st_z3" -> stZ3, "st_z3bin" -> stZ3Bin,
   )
