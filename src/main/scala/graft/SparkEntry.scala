@@ -215,6 +215,66 @@ object SparkEntry {
         "round((CAST(length(text) AS DOUBLE) - size(split(text, ' ')) + 1) / size(split(text, ' ')), 6) AS avg_word_len")
     }),
 
+    "q_dedup_minhash" -> ((s, dir) => {
+      // MinHash+LSH near-dup candidate pairs (non-SQL-expressible:
+      // rows-only driver check; semantics tested in OperatorsSpec)
+      operators.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .selectExpr("id1", "id2", "round(est_jaccard, 6) AS est_jaccard")
+    }),
+
+    "q_simhash_pairs" -> ((s, dir) => {
+      operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 6)
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      operators.TextAnalysis.withLangId(t(s, dir, "documents"), "text")
+        .select("doc_id", "lang_pred")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      operators.TextAnalysis.withFingerprint(t(s, dir, "documents"), "text")
+        .select("doc_id", "fingerprint")
+    }),
+
+    "q_bpe_tokens" -> ((s, dir) => {
+      operators.TextAnalysis.withTokenCounts(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      operators.TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+        .selectExpr("doc_id", "q_words", "round(q_score, 6) AS q_score")
+    }),
+
+    "q_knn_ring" -> ((s, dir) => {
+      // the scalable kNN operator (cell-ring expansion, haversine —
+      // no DuckDB oracle because of libm trig; OperatorsSpec proves it
+      // equal to brute force)
+      import s.implicits._
+      StFunctions.register(s)
+      val queries = Seq((0, 0.0, 0.0), (1, 100.05, 30.05), (2, -74.0, 40.7))
+        .toDF("qid", "qx", "qy")
+      operators.KnnJoin(s, pts(s, dir), "lon", "lat", queries, "qid", "qx", "qy",
+          k = 5, res = 6)
+        .selectExpr("qid", "event_id", "round(dist, 3) AS dist_m")
+    }),
+
+    "q_tile_adaptive" -> ((s, dir) => {
+      // resolution-adaptive tile assignment of zone extents (XZ rule)
+      StFunctions.register(s)
+      val z = zones(s, dir)
+        .withColumn("zgeom", expr("st_makeBBOX(lon0, lat0, lon0 + 72.0, lat0 + 36.0)"))
+      operators.TileAssign.adaptive(z, "zgeom", minRes = 2, maxRes = 10)
+        .selectExpr("zone_key", "tile", "st_cellRes(tile) AS tile_res")
+    }),
+
+    "q_emb_pairs" -> ((s, dir) => {
+      operators.Ann.cosinePairs(
+          t(s, dir, "embeddings").limit(2000), "vec_id", "embedding",
+          minCosine = 0.35)
+        .selectExpr("id1", "id2", "round(cosine, 6) AS cosine")
+    }),
+
     "q_ann_cosine" -> ((s, dir) => {
       // brute-force cosine top-k (ANN baseline): queries = vec_ids 0..2,
       // left-fold dot/norm (deterministic order => bitwise parity)
@@ -327,6 +387,11 @@ object SparkEntry {
            |  CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight
            |FROM pts GROUP BY 1, 2""".stripMargin
       },
+
+      "q_bpe_tokens" ->
+        """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+          |  CAST(list_sum(list_transform(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]'), t -> greatest(1, (length(t)+3)//4))) AS BIGINT) AS n_bpe_tokens
+          |FROM documents""".stripMargin,
 
       "q_dedup_exact" ->
         "SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_dups FROM documents GROUP BY text",

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.images.SyntheticImages.mix
+
+/**
+ * Approximate nearest-neighbor search over an embedding column
+ * (Array[Float]). Two paths:
+ *
+ *  - bruteForceTopK: exact cosine top-k against a (small) query set —
+ *    the correctness baseline; scales as |data| x |queries| with the
+ *    queries broadcast, fine when queries fit an executor.
+ *  - LSH (random hyperplane / sign hashing): deterministic seeded
+ *    hyperplanes -> sign-bit signature -> banded buckets -> candidates
+ *    share a band -> exact cosine refine. The scale path: shuffles on
+ *    bucket keys only, never the cross product.
+ */
+object Ann {
+
+  /** Deterministic pseudo-Gaussian hyperplane component (seeded; the
+    * sum of 4 uniforms approximates a normal well enough for sign LSH). */
+  private def gauss(seed: Long): Double = {
+    var s = 0.0
+    var i = 0L
+    while (i < 4) {
+      s += ((mix(seed * 4 + i) >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      i += 1
+    }
+    s
+  }
+
+  /** bits-wide sign signature of a vector under seeded hyperplanes. */
+  private def signature(v: Seq[Float], bits: Int): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        dot += v(i) * gauss(b.toLong * 100003 + i)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Exact top-k by cosine for each query vector (queries broadcast). */
+  def bruteForceTopK(data: DataFrame, idCol: String, embCol: String,
+                     queries: DataFrame, qidCol: String, qEmbCol: String,
+                     k: Int): DataFrame = {
+    data.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosineUdf(col(embCol), col(qEmbCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(qidCol).orderBy(desc("cosine"), col(idCol))))
+      .where(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"))
+  }
+
+  /** LSH-bucketed top-k: recall < 1 by construction; `bands` bands of
+    * `bits/bands` sign bits each — candidates share at least one band. */
+  def lshTopK(data: DataFrame, idCol: String, embCol: String,
+              queries: DataFrame, qidCol: String, qEmbCol: String,
+              k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val width = bits / bands
+    val sigU = udf((v: Seq[Float]) => signature(v, bits))
+    val bandKey = udf((sig: Long, b: Int) => (sig >>> (b * width)) & ((1L << width) - 1))
+    def banded(df: DataFrame, id: String, emb: String) =
+      df.withColumn("__sig", sigU(col(emb)))
+        .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+        .withColumn("key", bandKey(col("__sig"), col("band")))
+    val d = banded(data, idCol, embCol).select(col("band"), col("key"), col(idCol), col(embCol))
+    val q = banded(queries, qidCol, qEmbCol).select(col("band"), col("key"), col(qidCol), col(qEmbCol))
+    d.join(broadcast(q), Seq("band", "key"))
+      .groupBy(qidCol, idCol).agg(first(col(embCol)).as(embCol), first(col(qEmbCol)).as(qEmbCol))
+      .withColumn("cosine", cosineUdf(col(embCol), col(qEmbCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(qidCol).orderBy(desc("cosine"), col(idCol))))
+      .where(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"))
+  }
+
+  /** All pairs with cosine >= minCosine via banded sign-LSH + verify —
+    * used for embedding-level near-dup detection. */
+  def cosinePairs(df: DataFrame, idCol: String, embCol: String,
+                  minCosine: Double, bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val width = bits / bands
+    val sigU = udf((v: Seq[Float]) => signature(v, bits))
+    val bandKey = udf((sig: Long, b: Int) => (sig >>> (b * width)) & ((1L << width) - 1))
+    val banded = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("__sig", sigU(col("emb")))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("key", bandKey(col("__sig"), col("band")))
+    val l = banded.select(col("band"), col("key"), col("id").as("id1"), col("emb").as("emb1"))
+    val r = banded.select(col("band"), col("key"), col("id").as("id2"), col("emb").as("emb2"))
+    l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(first("emb1").as("emb1"), first("emb2").as("emb2"))
+      .withColumn("cosine", cosineUdf(col("emb1"), col("emb2")))
+      .where(col("cosine") >= minCosine)
+      .select("id1", "id2", "cosine")
+  }
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.images.SyntheticImages.mix
+
+/**
+ * Deduplication operators for large-scale training-data curation.
+ * All of them follow the same scale pattern: signature -> band/bucket ->
+ * equi-join candidates inside buckets only -> exact verify. The full
+ * cross product never materializes; every stage is a hash shuffle on a
+ * bucket key, so AQE/skew handling applies as usual.
+ */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------
+
+  /** Exact dedup: canonical row per distinct content (hash-groupBy). */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(contentCol)
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact-dedup filter: keep only each content's canonical row. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val canon = exact(df, idCol, contentCol).select(col("canonical_id").as(idCol))
+    df.join(canon, idCol)
+  }
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  /** Word w-shingles hashed to 64-bit via splitmix64. */
+  private def shingles(text: String, w: Int): Array[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < w) Array(mix(toks.mkString(" ").hashCode.toLong))
+    else toks.sliding(w).map(s => mix(s.mkString(" ").hashCode.toLong * 31 + s.length)).toArray
+  }
+
+  /** numHashes-wide MinHash signature: h_i(s) = mix(s ^ seed_i). */
+  private def minhashSig(text: String, w: Int, numHashes: Int): Array[Long] = {
+    val sh = shingles(text, w)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < numHashes) {
+        val h = mix(sh(i) ^ mix(j.toLong * 0x9e3779b97f4a7c15L))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private def sigUdf(w: Int, numHashes: Int) =
+    udf((text: String) => if (text == null) null else minhashSig(text, w, numHashes))
+
+  /** Estimated Jaccard from two signatures = fraction of equal slots. */
+  private val estJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs: shingle -> minhash -> band ->
+   * bucket-join -> signature-level Jaccard estimate filter.
+   * Pairs are emitted once (id1 < id2) and deduped across bands with the
+   * cheap `min(band)` ownership trick (a pair colliding in several bands
+   * is kept only for its first band — no global distinct over pairs).
+   */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7, w: Int = 3,
+                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("id"), sigUdf(w, numHashes)(col(textCol)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
+      .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .select("id", "sig", "band", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
+    val cand = l.join(r, Seq("band", "bucket")).where(col("id1") < col("id2"))
+    cand
+      .groupBy("id1", "id2").agg(first("sig1").as("sig1"), first("sig2").as("sig2"))
+      .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2")))
+      .where(col("est_jaccard") >= threshold)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  // ---- n-gram Jaccard (exact verify) ----------------------------------
+
+  private def jaccardExactUdf(w: Int) = udf { (a: String, b: String) =>
+    val sa = shingles(a, w).toSet
+    val sb = shingles(b, w).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  /** LSH candidates verified with exact n-gram Jaccard (two-stage dedup). */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, w: Int = 3): DataFrame = {
+    val cand = minhashPairs(df, idCol, textCol, threshold * 0.75, w)
+    val t = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    cand
+      .join(t.withColumnRenamed("__id", "id1").withColumnRenamed("__text", "text1"), "id1")
+      .join(t.withColumnRenamed("__id", "id2").withColumnRenamed("__text", "text2"), "id2")
+      .withColumn("jaccard", jaccardExactUdf(w)(col("text1"), col("text2")))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes (Charikar): per-bit weighted vote. */
+  private val simhashUdf = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val votes = new Array[Int](64)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val h = mix(tok.hashCode.toLong)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+  }
+
+  def withSimhash(df: DataFrame, textCol: String, outCol: String = "simhash"): DataFrame =
+    df.withColumn(outCol, simhashUdf(col(textCol)))
+
+  /**
+   * SimHash near-dup pairs with Hamming distance <= maxDist, using the
+   * pigeonhole block trick: split 64 bits into (maxDist+1) blocks; any
+   * pair within maxDist shares at least one exact block -> equi-join per
+   * block, verify Hamming. Same banding idea the reference applies to
+   * Z-ranges: coarse exact-match buckets + precise refine.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val blocks = maxDist + 1
+    val width = 64 / blocks
+    val sh = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol)
+      .select("id", "simhash")
+    val blockKey = udf { (h: Long, b: Int) =>
+      val shift = b * width
+      val w = if (b == blocks - 1) 64 - shift else width
+      (h >>> shift) & ((1L << w) - 1)
+    }
+    val banded = sh.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("block"))
+      .withColumn("key", blockKey(col("simhash"), col("block")))
+    val l = banded.select(col("block"), col("key"), col("id").as("id1"), col("simhash").as("h1"))
+    val r = banded.select(col("block"), col("key"), col("id").as("id2"), col("simhash").as("h2"))
+    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    l.join(r, Seq("block", "key")).where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(first("h1").as("h1"), first("h2").as("h2"))
+      .withColumn("hamming", hamming(col("h1"), col("h2")))
+      .where(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+  }
+
+  // ---- embedding near-dup ---------------------------------------------
+
+  /** Cosine near-duplicate pairs over an embedding column, via
+    * random-hyperplane LSH bucketing + exact cosine verify (the ANN
+    * machinery, reused as a dedup operator). */
+  def embeddingPairs(df: DataFrame, idCol: String, embCol: String,
+                     minCosine: Double = 0.95, bits: Int = 16, bands: Int = 4): DataFrame =
+    Ann.cosinePairs(df, idCol, embCol, minCosine, bits, bands)
+}

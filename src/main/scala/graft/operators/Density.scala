@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.StFunctions
+
+/**
+ * Density (heatmap) aggregation — the Spark-native reformulation of the
+ * reference's DensityScan (geomesa-index-api/.../iterators/
+ * DensityScan.scala:30-393): geometries snap to grid cells, weights
+ * accumulate per cell, partial aggregation happens map-side for free
+ * (Catalyst partial/final agg == the reference's server-side
+ * AggregatingScan + client reduce).
+ *
+ * Points contribute to one cell; extents rasterize to their covering
+ * cells via the same cellCover generator the joins use (the reference
+ * rasterizes lines with Bresenham and polygons with AWT fill — our grid
+ * cover over JTS-intersecting cells computes the same cell set
+ * declaratively).
+ */
+object Density {
+
+  /** Point density: one cell per row. */
+  def points(df: DataFrame, lonCol: String, latCol: String, res: Int,
+             weight: Option[Column] = None): DataFrame = {
+    val cells = df.withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
+    agg(cells, weight)
+  }
+
+  /** Extent density: explode covering cells, then the same aggregation. */
+  def extents(df: DataFrame, geomCol: String, res: Int,
+              weight: Option[Column] = None, maxCells: Int = 256): DataFrame = {
+    val cells = df.withColumn("cell",
+      explode(StFunctions.stCellCover(col(geomCol), lit(res), lit(maxCells))))
+    agg(cells, weight)
+  }
+
+  private def agg(cells: DataFrame, weight: Option[Column]): DataFrame = {
+    val w = weight.getOrElse(lit(1.0))
+    cells.groupBy("cell").agg(
+        count(lit(1)).as("n"),
+        sum(w).as("weight"))
+      .withColumn("tx", StFunctions.stCellX(col("cell")))
+      .withColumn("ty", StFunctions.stCellY(col("cell")))
+  }
+}

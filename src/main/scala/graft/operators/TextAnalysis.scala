@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.images.SyntheticImages.mix
+
+/**
+ * Text analysis operators for training-data curation: language id,
+ * quality scoring, tokenization, and document fingerprinting. All are
+ * per-row scalar transforms (embarrassingly parallel, codegen-adjacent
+ * UDFs) — no shuffles.
+ */
+object TextAnalysis {
+
+  // ---- language id (character n-gram + stopword heuristic) ------------
+
+  private val profiles: Map[String, (Set[String], Set[String])] = Map(
+    // (very common words, frequent trigrams) per language — tiny
+    // profiles; a production system would ship larger tables, the
+    // operator shape is identical
+    "en" -> (Set("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+             Set("the", "ing", "and", "ion", "ent")),
+    "es" -> (Set("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+             Set("que", "ent", "con", "ado", "cio")),
+    "de" -> (Set("der", "die", "und", "das", "ist", "den", "von", "mit", "sich", "auf"),
+             Set("der", "ein", "ich", "sch", "und")),
+    "fr" -> (Set("le", "la", "de", "et", "les", "des", "est", "une", "dans", "que"),
+             Set("les", "ent", "que", "ion", "ait")))
+
+  private val langIdUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val tris = text.toLowerCase.filter(c => c.isLetter || c == ' ')
+        .sliding(3).filterNot(_.contains(' ')).toSeq
+      val scored = profiles.toSeq.map { case (lang, (words, grams)) =>
+        val ws = toks.count(words.contains).toDouble / math.max(1, toks.length)
+        val gs = tris.count(grams.contains).toDouble / math.max(1, tris.size)
+        lang -> (2 * ws + gs)
+      }
+      val (best, score) = scored.maxBy { case (l, s) => (s, l) }
+      if (score <= 0) "und" else best
+    }
+  }
+
+  def withLangId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame =
+    df.withColumn(outCol, langIdUdf(col(textCol)))
+
+  // ---- quality scoring ------------------------------------------------
+
+  /** Length / punctuation / digit / stopword / repetition signals plus a
+    * composite score in [0,1] — the usual pre-training quality filters. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val q = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val len = text.length
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val n = math.max(1, toks.length)
+        val punct = text.count(c => !c.isLetterOrDigit && !c.isWhitespace).toDouble / math.max(1, len)
+        val digits = text.count(_.isDigit).toDouble / math.max(1, len)
+        val stop = toks.count(profiles("en")._1.contains).toDouble / n
+        val uniq = toks.distinct.length.toDouble / n
+        val meanWord = toks.map(_.length).sum.toDouble / n
+        val lenScore = math.min(1.0, len / 200.0) * (if (len > 20000) 0.5 else 1.0)
+        val composite = math.max(0.0, math.min(1.0,
+          0.3 * lenScore + 0.25 * uniq + 0.2 * (1 - punct * 4) +
+            0.15 * math.min(1.0, meanWord / 6.0) + 0.1 * (1 - digits * 2)))
+        (len, n, punct, digits, stop, uniq, meanWord, composite)
+      }
+    }
+    df.withColumn("__q", q(col(textCol)))
+      .withColumn("q_chars", col("__q._1"))
+      .withColumn("q_words", col("__q._2"))
+      .withColumn("q_punct_ratio", col("__q._3"))
+      .withColumn("q_digit_ratio", col("__q._4"))
+      .withColumn("q_stopword_ratio", col("__q._5"))
+      .withColumn("q_uniq_ratio", col("__q._6"))
+      .withColumn("q_mean_word_len", col("__q._7"))
+      .withColumn("q_score", col("__q._8"))
+      .drop("__q")
+  }
+
+  // ---- tokenization ---------------------------------------------------
+
+  /** Whitespace token count (cheap) and BPE-ish subword count: letters
+    * runs, digit runs, and single punctuation as separate tokens, long
+    * words split every 4 chars (the usual ~chars/4 BPE approximation). */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val bpeish = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val m = java.util.regex.Pattern
+          .compile("[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]").matcher(text)
+        var n = 0L
+        while (m.find()) {
+          val len = m.group().length
+          n += math.max(1, (len + 3) / 4)
+        }
+        java.lang.Long.valueOf(n)
+      }
+    }
+    df.withColumn("n_ws_tokens", size(split(col(textCol), "\\s+")).cast("long"))
+      .withColumn("n_bpe_tokens", bpeish(col(textCol)))
+  }
+
+  // ---- fingerprinting -------------------------------------------------
+
+  /** 64-bit polynomial rolling hash of the case/whitespace-normalized
+    * text — an order-sensitive exact-content fingerprint (cheap first
+    * stage before MinHash). */
+  def withFingerprint(df: DataFrame, textCol: String, outCol: String = "fingerprint"): DataFrame = {
+    val fp = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        var h = 0xcbf29ce484222325L // FNV offset basis
+        var i = 0
+        while (i < norm.length) {
+          h = (h ^ norm.charAt(i)) * 0x100000001b3L // FNV-1a 64
+          i += 1
+        }
+        java.lang.Long.valueOf(mix(h))
+      }
+    }
+    df.withColumn(outCol, fp(col(textCol)))
+  }
+}

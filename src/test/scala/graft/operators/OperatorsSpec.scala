@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTest
+import graft.functions.StFunctions
+import graft.cells.Cells
+
+/** Operator semantics vs brute-force oracles (FIXTURES.md §4, §6). */
+class OperatorsSpec extends AnyFunSuite with SparkTest {
+
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val ready: Unit = StFunctions.register(spark)
+
+  private def boxes(n: Int, seed: Int, name: String): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val cx = rnd.nextDouble() * 40 - 20
+      val cy = rnd.nextDouble() * 40 - 20
+      val w = 0.5 + rnd.nextDouble() * 2
+      (s"$name$i", cx - w, cy - w, cx + w, cy + w)
+    }.toDF(s"${name}_id", "xmin", "ymin", "xmax", "ymax")
+      .withColumn(s"${name}_geom", expr("st_makeBBOX(xmin, ymin, xmax, ymax)"))
+      .drop("xmin", "ymin", "xmax", "ymax")
+  }
+
+  test("extent-extent spatial join matches brute force, no duplicate pairs") {
+    ready
+    val a = boxes(60, 1, "a")
+    val b = boxes(60, 2, "b")
+    val fast = SpatialJoin.intersects(a, "a_geom", b, "b_geom", res = 6)
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+    val brute = a.crossJoin(b).where(expr("st_intersects(a_geom, b_geom)"))
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fast.length == fast.distinct.length, "duplicate pairs emitted")
+    assert(fast.toSet == brute.toSet)
+    assert(brute.nonEmpty)
+  }
+
+  test("point-extent spatial join (leftPoint) matches brute force") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 300).map { i =>
+      (s"p$i", rnd.nextDouble() * 50 - 25, rnd.nextDouble() * 50 - 25)
+    }.toDF("p_id", "lon", "lat")
+      .withColumn("p_geom", expr("st_makePoint(lon, lat)"))
+    val zs = boxes(20, 3, "z")
+    val fast = SpatialJoin.intersects(pts, "p_geom", zs, "z_geom", res = 6,
+      leftPoint = true, broadcastRight = true)
+      .select("p_id", "z_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = pts.crossJoin(zs).where(expr("st_intersects(p_geom, z_geom)"))
+      .select("p_id", "z_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == brute && brute.nonEmpty)
+  }
+
+  test("spatial join plan has no cartesian product") {
+    ready
+    val a = boxes(10, 4, "a")
+    val b = boxes(10, 5, "b")
+    val plan = SpatialJoin.intersects(a, "a_geom", b, "b_geom", res = 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
+  test("dwithin join matches brute force haversine") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val a = (0 until 150).map(i => (s"a$i", rnd.nextDouble() * 4 - 2, rnd.nextDouble() * 4 + 40)).toDF("a_id", "alon", "alat")
+      .withColumn("a_geom", expr("st_makePoint(alon, alat)"))
+    val b = (0 until 150).map(i => (s"b$i", rnd.nextDouble() * 4 - 2, rnd.nextDouble() * 4 + 40)).toDF("b_id", "blon", "blat")
+      .withColumn("b_geom", expr("st_makePoint(blon, blat)"))
+    val meters = 30000.0
+    val fast = SpatialJoin.dwithin(a, "a_geom", b, "b_geom", meters, res = 8, maxAbsLat = 45)
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = a.crossJoin(b).where(expr(s"st_dwithin(a_geom, b_geom, $meters)"))
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == brute && brute.nonEmpty)
+  }
+
+  test("kNN ring expansion matches brute force (clusters + outliers, FIXTURES §6)") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 3 gaussian blobs + isolated outliers
+    val centers = Seq((0.0, 0.0), (10.0, 10.0), (-15.0, 5.0))
+    val blob = centers.zipWithIndex.flatMap { case ((cx, cy), ci) =>
+      (0 until 80).map(i => (s"c${ci}_$i", cx + rnd.nextGaussian() * 0.5, cy + rnd.nextGaussian() * 0.5))
+    }
+    val outliers = Seq(("out1", 60.0, -30.0), ("out2", -120.0, 45.0))
+    val pts = (blob ++ outliers).toDF("id", "lon", "lat")
+    val queries = Seq((0, 0.1, -0.1), (1, 10.0, 10.0), (2, 60.5, -30.2), (3, -120.0, 44.0))
+      .toDF("qid", "qlon", "qlat")
+    for (k <- Seq(1, 5, 10)) {
+      val fast = KnnJoin(spark, pts, "lon", "lat", queries, "qid", "qlon", "qlat", k, res = 7)
+        .select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      val brute = KnnJoin.bruteForce(pts, "lon", "lat", queries, "qid", "qlon", "qlat", k)
+        .select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(fast == brute, s"k=$k mismatch: missing=${brute -- fast}, extra=${fast -- brute}")
+    }
+  }
+
+  test("tile assignment: adaptive resolution follows the XZ size rule") {
+    ready
+    import spark.implicits._
+    val df = Seq(
+      ("small", -0.01, -0.01, 0.01, 0.01),   // tiny -> fine res (capped at maxRes)
+      ("large", -40.0, -40.0, 40.0, 40.0))   // huge -> coarse res (capped at minRes)
+      .toDF("id", "x0", "y0", "x1", "y1")
+      .withColumn("geom", expr("st_makeBBOX(x0, y0, x1, y1)"))
+    val tiles = TileAssign.adaptive(df, "geom", minRes = 3, maxRes = 12)
+      .selectExpr("id", "st_cellRes(tile) AS r").collect()
+    val small = tiles.filter(_.getString(0) == "small").map(_.getInt(1)).distinct
+    val large = tiles.filter(_.getString(0) == "large").map(_.getInt(1)).distinct
+    assert(small.forall(_ == 12))
+    assert(large.forall(_ == 3))
+    // every tile at fixed res intersects the footprint (cover soundness)
+    val fixed = TileAssign.atRes(df.where($"id" === "small"), "geom", 10)
+      .selectExpr("st_intersects(geom, st_cellEnvelope(tile)) AS ok").collect()
+    assert(fixed.nonEmpty && fixed.forall(_.getBoolean(0)))
+  }
+
+  test("pyramid rollup maps tiles to their ancestors") {
+    ready
+    val c = Cells.cell(10.0, 45.0, 10)
+    import spark.implicits._
+    val t = Seq(c).toDF("tile")
+    val p = TileAssign.pyramid(t, "tile", 7).selectExpr("st_cellRes(tile_parent) AS r").head
+    assert(p.getInt(0) == 7)
+  }
+
+  test("density: counts per cell match manual grouping") {
+    ready
+    import spark.implicits._
+    val pts = Seq((0.1, 0.1), (0.2, 0.2), (-10.0, 40.0)).toDF("lon", "lat")
+    val d = Density.points(pts, "lon", "lat", res = 5).collect()
+    val total = d.map(_.getAs[Long]("n")).sum
+    assert(total == 3)
+    assert(d.exists(_.getAs[Long]("n") == 2)) // the two nearby points share a cell
+  }
+
+  test("exact dedup groups identical content") {
+    ready
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "aaa")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").collect()
+    val m = out.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_dups"))).toMap
+    assert(m == Map(1L -> 3L, 2L -> 1L, 4L -> 1L))
+    assert(Dedup.dropExactDuplicates(df, "id", "text").count() == 3)
+  }
+
+  test("minhash LSH finds planted near-duplicates, rejects unrelated") {
+    ready
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank at dawn every single day without fail"
+    val nearDup = base.replace("dawn", "dusk")
+    val other = "completely different content about spark catalyst optimizer rules and shuffle partitioning strategy at scale"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base)).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), s"planted near-dup not found: $pairs")
+    assert(pairs.contains((1L, 4L)), "exact dup not found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
+    // verified stage: exact jaccard
+    val verified = Dedup.nearDuplicates(df, "id", "text", threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.get((1L, 4L)).contains(1.0))
+  }
+
+  test("simhash blocking finds small-hamming pairs exactly") {
+    ready
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val near = base.replace("pi", "rho")
+    val far = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxDist = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"near pair missed: $pairs")
+    // cross-check: blocking result equals brute-force hamming filter
+    val hs = Dedup.withSimhash(df, "text").select("id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bruteNear = (for {
+      (i, hi) <- hs; (j, hj) <- hs if i < j
+      if java.lang.Long.bitCount(hi ^ hj) <= 8
+    } yield (i, j)).toSet
+    assert(pairs.keySet == bruteNear)
+  }
+
+  test("embedding LSH topK achieves full recall on separable clusters") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def vec(center: Int): Seq[Float] =
+      (0 until 16).map(i => (if (i % 4 == center) 1.0f else 0.0f) + rnd.nextFloat() * 0.05f)
+    val data = (0 until 200).map(i => (i.toLong, vec(i % 4))).toDF("id", "emb")
+    val queries = (0 until 4).map(c => (c.toLong, vec(c))).toDF("qid", "qemb")
+    val brute = Ann.bruteForceTopK(data, "id", "emb", queries, "qid", "qemb", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(data, "id", "emb", queries, "qid", "qemb", 5, bits = 16, bands = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("language id picks the dominant profile") {
+    ready
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog sat in the house with the mouse"),
+      (2L, "el perro y el gato en la casa de la abuela que canta"),
+      (3L, "der hund und die katze sind mit dem kind auf der wiese")).toDF("id", "text")
+    val out = TextAnalysis.withLangId(df, "text").select("id", "lang_pred").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "de")
+  }
+
+  test("quality scoring orders clean text above junk") {
+    ready
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A well formed paragraph with reasonable words and structure that reads like actual prose written by a person."),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!!")).toDF("id", "text")
+    val out = TextAnalysis.withQuality(df, "text").select("id", "q_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(1L) > out(2L))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    ready
+    import spark.implicits._
+    val df = Seq((1L, "hello world, extraordinarily long")).toDF("id", "text")
+    val r = TextAnalysis.withTokenCounts(df, "text")
+      .select("n_ws_tokens", "n_bpe_tokens").head
+    assert(r.getLong(0) == 4)
+    // hello(2) world(2) ,(1) extraordinarily(4) long(1) = 10
+    assert(r.getLong(1) == 10)
+  }
+
+  test("fingerprint: whitespace/case-insensitive exact content id") {
+    ready
+    import spark.implicits._
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds")).toDF("id", "text")
+    val fp = TextAnalysis.withFingerprint(df, "text").select("id", "fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+}
