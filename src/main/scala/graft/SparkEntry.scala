@@ -28,7 +28,7 @@ object SparkEntry {
   private val LonExpr = "((event_id * 7919) % 36000) / 100.0 - 180.0"
   private val LatExpr = "((event_id * 104729) % 18000) / 100.0 - 90.0"
   private val PtsSql =
-    s"SELECT event_id, $LonExpr AS lon, $LatExpr AS lat, value FROM events"
+    s"SELECT event_id, $LonExpr AS lon, $LatExpr AS lat, value, ts FROM events"
   private val ZonesSql =
     "SELECT n_nationkey AS zone_key, (n_nationkey % 5) * 72.0 - 180.0 AS lon0, " +
       "floor(n_nationkey / 5) * 36.0 - 90.0 AS lat0 FROM nation"
@@ -192,6 +192,41 @@ object SparkEntry {
         .groupBy("tx", "ty")
         .agg(count("*").as("n"),
           expr("CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)").as("weight"))
+    }),
+
+    "q_z3_scan" -> ((s, dir) => {
+      // spatio-temporal box scan through the Z3 index machinery: coarse
+      // per-bin z-range cover (Z3IndexKeySpace.getRanges analog) + exact
+      // refine (Z3Filter analog); oracle = the plain predicate
+      StFunctions.register(s)
+      val start = java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli
+      val end = java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli - 1
+      val bbox = (-60.0, -30.0, 60.0, 30.0)
+      val df = pts(s, dir)
+        .withColumn("millis", expr("unix_millis(cast(ts AS timestamp))")) // NTZ -> UTC instant
+        .withColumn("bin", expr("st_z3bin(millis, 'week')"))
+        .withColumn("z", expr("st_z3(st_makePoint(lon, lat), millis, 'week')"))
+      df.where(plans.ZQuery.z3Filter(col("bin"), col("z"), bbox, start, end, graft.cells.BinnedTime.Week))
+        .where(col("lon").between(bbox._1, bbox._3) && col("lat").between(bbox._2, bbox._4)
+          && col("millis").between(start, end))
+        .select("event_id")
+    }),
+
+    "q_xz2_scan" -> ((s, dir) => {
+      // extent scan through the XZ2 index: index zone boxes, query with a
+      // window's xz-ranges (XZ2SFC.ranges analog) + exact refine
+      StFunctions.register(s)
+      val z = zones(s, dir)
+        .withColumn("zgeom", expr("st_makeBBOX(lon0, lat0, lon0 + 72.0, lat0 + 36.0)"))
+        .withColumn("xz", expr("st_xz2(zgeom, 12)"))
+      val win = (-120.0, -40.0, -20.0, 40.0)
+      // cap the cover size (scan-range-target analog): a few dozen ORed
+      // BETWEENs — beyond that Catalyst recursion depth becomes the limit
+      val ranges = graft.cells.XZ2(12).ranges(win._1, win._2, win._3, win._4, maxRanges = 48)
+      val coarse = ranges.map(r => col("xz").between(lit(r.lower), lit(r.upper))).reduce(_ || _)
+      z.where(coarse)
+        .where(expr(s"st_intersects(zgeom, st_makeBBOX(${win._1}, ${win._2}, ${win._3}, ${win._4}))"))
+        .select("zone_key")
     }),
 
     // ---- training-data ops: dedup / text / similarity ------------------
@@ -387,6 +422,18 @@ object SparkEntry {
            |  CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight
            |FROM pts GROUP BY 1, 2""".stripMargin
       },
+
+      "q_z3_scan" ->
+        s"""WITH $ptsCte
+           |SELECT event_id FROM pts
+           |WHERE lon BETWEEN -60.0 AND 60.0 AND lat BETWEEN -30.0 AND 30.0
+           |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+      "q_xz2_scan" ->
+        s"""WITH $zonesCte
+           |SELECT zone_key FROM zones
+           |WHERE lon0 <= -20.0 AND lon0 + 72.0 >= -120.0
+           |  AND lat0 <= 40.0 AND lat0 + 36.0 >= -40.0""".stripMargin,
 
       "q_bpe_tokens" ->
         """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -1,0 +1,148 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cells.Cells
+import graft.functions.StFunctions
+import graft.plans.ZQuery
+
+/**
+ * The engine's table layer: Iceberg-style semantics (snapshots, manifest
+ * pruning, idempotent commits, a metrics table) as a thin deterministic
+ * layout over plain Parquet (SURVEY.md §7.0 — no Iceberg jars resolvable
+ * offline, and the north rule wants the machinery from scratch anyway).
+ *
+ * Layout:
+ *   <root>/data/snapshot=<id>/cell_prefix=<p>/...parquet
+ *   <root>/_metrics/snapshot=<id>/...parquet   per-partition lineage:
+ *       (cell_prefix, salt, rows, min_cell, max_cell)
+ *   <root>/_manifests/<id>.json                snapshot manifest
+ *   <root>/_manifests/<id>.committed           commit marker (last write)
+ *
+ * Write path: rows gain cell (at `res`), salt = pmod(xxhash64(id), salts)
+ * (the reference's shard byte, ShardStrategy.scala:53-55), cell_prefix =
+ * parent cell at `prefixRes` (the partition/pruning granularity);
+ * repartition by (cell_prefix, salt) — salting splits hot prefixes across
+ * tasks — sorted by cell within partitions so Parquet row-group min/max
+ * on `cell` enables range skipping inside each file.
+ *
+ * Checkpoint-resume: the commit marker is written last; `write` with an
+ * existing marker is a no-op (idempotent re-run), so a failed job simply
+ * re-runs — outputs are deterministic given (input, snapshotId).
+ */
+object SpatialTable {
+
+  final case class Snapshot(id: String, root: String, prefixRes: Int, res: Int, salts: Int)
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def isCommitted(spark: SparkSession, root: String, snapshotId: String): Boolean =
+    fs(spark, root).exists(new Path(s"$root/_manifests/$snapshotId.committed"))
+
+  /**
+   * Write a snapshot. `idCol` seeds the salt; `lonCol`/`latCol` derive the
+   * cell. Returns the snapshot descriptor (pre-existing one on resume).
+   */
+  def write(spark: SparkSession, df: DataFrame, root: String, snapshotId: String,
+            idCol: String, lonCol: String, latCol: String,
+            res: Int = 9, prefixRes: Int = 4, salts: Int = 4,
+            partitions: Int = 32): Snapshot = {
+    val snap = Snapshot(snapshotId, root, prefixRes, res, salts)
+    if (isCommitted(spark, root, snapshotId)) return snap // resume: done
+
+    val indexed = df
+      .withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
+      .withColumn("cell_prefix", StFunctions.stCellParent(col("cell"), lit(prefixRes)))
+      .withColumn("salt", pmod(xxhash64(col(idCol)), lit(salts)).cast("int"))
+
+    val dataPath = s"$root/data/snapshot=$snapshotId"
+    indexed
+      .repartition(partitions, col("cell_prefix"), col("salt"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite")
+      .partitionBy("cell_prefix")
+      .parquet(dataPath)
+
+    // per-partition lineage metrics (row counts + cell ranges): readable
+    // as a table, used for audits and coarse planning
+    val metrics = spark.read.parquet(dataPath)
+      .groupBy("cell_prefix", "salt")
+      .agg(count(lit(1)).as("rows"), min("cell").as("min_cell"), max("cell").as("max_cell"))
+      .withColumn("snapshot", lit(snapshotId))
+    metrics.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/_metrics/snapshot=$snapshotId")
+
+    // manifest: schema + per-prefix stats for file-level pruning
+    val prefixStats = spark.read.parquet(s"$root/_metrics/snapshot=$snapshotId")
+      .groupBy("cell_prefix")
+      .agg(sum("rows").as("rows"), min("min_cell").as("min_cell"), max("max_cell").as("max_cell"))
+      .collect()
+      .map(r => s"""{"cell_prefix":${r.getLong(0)},"rows":${r.getLong(1)},"min_cell":${r.getLong(2)},"max_cell":${r.getLong(3)}}""")
+      .mkString("[", ",", "]")
+    val manifest =
+      s"""{"snapshot":"$snapshotId","res":$res,"prefix_res":$prefixRes,"salts":$salts,
+         |"schema":${ujsonSchema(indexed)},"partitions":$prefixStats}""".stripMargin
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/_manifests"))
+    writeString(f, s"$root/_manifests/$snapshotId.json", manifest)
+    writeString(f, s"$root/_manifests/$snapshotId.committed", "") // commit marker LAST
+    snap
+  }
+
+  private def ujsonSchema(df: DataFrame): String = df.schema.json
+
+  private def writeString(f: FileSystem, path: String, s: String): Unit = {
+    val out = f.create(new Path(path), true)
+    out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Full snapshot scan. */
+  def read(spark: SparkSession, root: String, snapshotId: String): DataFrame =
+    spark.read.parquet(s"$root/data/snapshot=$snapshotId")
+
+  /**
+   * BBox scan with three pruning levels: (1) partition-directory pruning
+   * on cell_prefix (Spark prunes dirs from the IN-list predicate);
+   * (2) Parquet row-group skipping from the z-range BETWEENs on the
+   * sorted `cell` column; (3) exact lon/lat refine.
+   */
+  def readBBox(spark: SparkSession, root: String, snapshotId: String,
+               bbox: (Double, Double, Double, Double),
+               lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val snap = manifest(spark, root, snapshotId)
+    val prefixes = Cells.coverBBox(bbox._1, bbox._2, bbox._3, bbox._4, snap.prefixRes)
+    read(spark, root, snapshotId)
+      .where(col("cell_prefix").isin(prefixes: _*))
+      .where(ZQuery.cellFilter(col("cell"), bbox, snap.res))
+      .where(col(lonCol).between(bbox._1, bbox._3) && col(latCol).between(bbox._2, bbox._4))
+  }
+
+  def metricsTable(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/_metrics")
+
+  def manifest(spark: SparkSession, root: String, snapshotId: String): Snapshot = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/_manifests/$snapshotId.json")
+    val in = f.open(p)
+    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes)
+    in.close()
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    def intField(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"manifest missing $name"))
+    Snapshot(snapshotId, root, intField("prefix_res"), intField("res"), intField("salts"))
+  }
+
+  /** Snapshot ids present under the root, newest-committed only. */
+  def snapshots(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/_manifests")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".committed")).map(_.stripSuffix(".committed")).toSeq.sorted
+  }
+}

@@ -1,0 +1,82 @@
+package graft.table
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTest
+import graft.images.SyntheticImages
+
+/** Table layer: snapshot write/read, bbox pruning correctness, idempotent
+  * resume, lineage metrics (north rule: checkpoint-resumable with
+  * per-partition lineage + metrics). */
+class SpatialTableSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val root = {
+    val d = java.nio.file.Files.createTempDirectory("graft_table").toString
+    val df = SyntheticImages.geoTable(spark, 2000, partitions = 4).drop("bytes")
+    SpatialTable.write(spark, df, d, "s1", "image_id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 4, partitions = 8)
+    d
+  }
+
+  test("write -> read round-trips all rows with index columns") {
+    val back = SpatialTable.read(spark, root, "s1")
+    assert(back.count() == 2000)
+    assert(back.columns.toSet.contains("cell") && back.columns.toSet.contains("salt"))
+    assert(back.select("cell_prefix").distinct().count() > 1)
+  }
+
+  test("bbox read equals brute-force filter (pruning is sound)") {
+    val bbox = (-80.0, 30.0, -70.0, 45.0) // includes the NYC hotspot
+    val pruned = SpatialTable.readBBox(spark, root, "s1", bbox)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    val brute = SpatialTable.read(spark, root, "s1")
+      .where(col("lon").between(bbox._1, bbox._3) && col("lat").between(bbox._2, bbox._4))
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(pruned == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("bbox read scans fewer files than a full scan (partition pruning)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    val bbox = (-80.0, 30.0, -70.0, 45.0)
+    val prunedFiles = filesScanned(SpatialTable.readBBox(spark, root, "s1", bbox))
+    val allFiles = filesScanned(SpatialTable.read(spark, root, "s1"))
+    assert(prunedFiles < allFiles, s"pruned=$prunedFiles all=$allFiles")
+  }
+
+  test("resume: re-write with same snapshot id is a no-op") {
+    val before = SpatialTable.read(spark, root, "s1").count()
+    val df2 = SyntheticImages.geoTable(spark, 50, partitions = 2).drop("bytes")
+    SpatialTable.write(spark, df2, root, "s1", "image_id", "lon", "lat") // ignored
+    assert(SpatialTable.read(spark, root, "s1").count() == before)
+    assert(SpatialTable.isCommitted(spark, root, "s1"))
+  }
+
+  test("metrics table carries per-partition lineage") {
+    val m = SpatialTable.metricsTable(spark, root)
+    assert(m.columns.toSet == Set("cell_prefix", "salt", "rows", "min_cell", "max_cell", "snapshot"))
+    val total = m.agg(sum("rows")).head.getLong(0)
+    assert(total == 2000)
+    // min_cell <= max_cell everywhere
+    assert(m.where(col("min_cell") > col("max_cell")).count() == 0)
+  }
+
+  test("manifest parses back and snapshots() lists committed ids") {
+    val snap = SpatialTable.manifest(spark, root, "s1")
+    assert(snap.res == 9 && snap.prefixRes == 3 && snap.salts == 4)
+    assert(SpatialTable.snapshots(spark, root) == Seq("s1"))
+  }
+
+  test("salting bounds per-task skew: hot prefix split across salts") {
+    val m = SpatialTable.metricsTable(spark, root)
+    val hot = m.groupBy("cell_prefix").agg(sum("rows").as("rows"), countDistinct("salt").as("nsalts"))
+      .orderBy(desc("rows")).head
+    assert(hot.getLong(2) > 1, "hot prefix not distributed over salts")
+  }
+}
