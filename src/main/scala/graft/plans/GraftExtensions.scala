@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+import graft.cells.Cells
+import graft.geom.GeomOps
+
+/**
+ * Catalyst extensions — the engine's analog of the reference's injected
+ * optimizations (geomesa-spark-sql SQLRules.scala:294-305 and
+ * geomesa-spark-jts GeometryLiteralRules.scala:21-39):
+ *
+ *  - GeometryLiteralFolding: a deterministic spatial ScalaUDF whose
+ *    children are all foldable is evaluated once at plan time and
+ *    replaced by a Literal (Catalyst's ConstantFolding refuses ScalaUDF
+ *    because `foldable=false`, same gap the reference closes).
+ *  - SpatialJoinRewrite: `Join(l, r, on st_intersects/contains/within
+ *    (lgeom, rgeom))` becomes cover-cell explodes on both sides + a cell
+ *    equi-join + the original exact predicate + reference-point
+ *    ownership dedup — turning a would-be CartesianProduct (BNLJ) into
+ *    a shuffled/broadcast hash join on the cell key.
+ *
+ * Enable with:
+ *   SparkSession.builder.withExtensions(GraftExtensions.inject) or
+ *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+
+  val inject: SparkSessionExtensions => Unit = { ext =>
+    ext.injectOptimizerRule(_ => GeometryLiteralFolding)
+    ext.injectOptimizerRule(_ => SpatialJoinRewrite)
+  }
+
+  /** Join resolution for the rewrite's cover cells (knob-free default:
+    * ~2.8 degree cells; fine enough to cut candidates, coarse enough to
+    * bound the per-row explode). */
+  val JoinRes = 7
+  val MaxCoverCells = 64
+
+  private[plans] def isSpatialName(n: String): Boolean =
+    Set("st_intersects", "st_contains", "st_within", "st_covers", "st_overlaps")
+      .contains(n.toLowerCase)
+}
+
+/** Plan-time evaluation of constant spatial UDF calls. */
+object GeometryLiteralFolding extends Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case s: ScalaUDF
+        if s.udfName.exists(_.toLowerCase.startsWith("st_")) && s.deterministic &&
+          s.children.nonEmpty && s.children.forall(_.foldable) =>
+      val v = s.eval(null)
+      Literal.create(v, s.dataType)
+  }
+}
+
+/** θ-spatial-join -> cell equi-join rewrite. */
+object SpatialJoinRewrite extends Rule[LogicalPlan] {
+
+  // raw kernels invoked from constructed ScalaUDF nodes
+  private val coverFn: (Array[Byte], Int, Int) => Array[Long] = (wkb, res, maxCells) => {
+    val geom = GeomOps.fromWkb(wkb)
+    val env = geom.getEnvelopeInternal
+    val cand = Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
+    if (geom.isRectangle || geom.getNumPoints <= 1) cand
+    else {
+      val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(geom)
+      cand.filter { c =>
+        val (x0, y0, x1, y1) = Cells.envelope(c)
+        prep.intersects(GeomOps.bbox(x0, y0, x1, y1))
+      }
+    }
+  }
+
+  private val ownerFn: (Array[Byte], Array[Byte], Int) => Long = (a, b, res) => {
+    val ea = GeomOps.fromWkb(a).getEnvelopeInternal
+    val eb = GeomOps.fromWkb(b).getEnvelopeInternal
+    Cells.cell(math.max(ea.getMinX, eb.getMinX), math.max(ea.getMinY, eb.getMinY), res)
+  }
+
+  private def udf(fn: AnyRef, dt: DataType, children: Seq[Expression], name: String): ScalaUDF =
+    ScalaUDF(fn, dt, children, Nil, None, Some(name), nullable = true, udfDeterministic = true)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if j.resolved && !hasEquiKeys(cond, left, right) &&
+          findSpatialPred(cond, left, right).isDefined &&
+          !left.output.exists(_.name == "__graft_lcell") =>
+      val (lg, rg) = findSpatialPred(cond, left, right).get
+      val res = GraftExtensions.JoinRes
+      val lCover = udf(coverFn, ArrayType(LongType, containsNull = false),
+        Seq(lg, Literal(res), Literal(GraftExtensions.MaxCoverCells)), "graft_cover")
+      val rCover = udf(coverFn, ArrayType(LongType, containsNull = false),
+        Seq(rg, Literal(res), Literal(GraftExtensions.MaxCoverCells)), "graft_cover")
+      val lCell = AttributeReference("__graft_lcell", LongType, nullable = true)()
+      val rCell = AttributeReference("__graft_rcell", LongType, nullable = true)()
+      val genL = Generate(Explode(lCover), Nil, outer = false, None, Seq(lCell), left)
+      val genR = Generate(Explode(rCover), Nil, outer = false, None, Seq(rCell), right)
+      val owner = udf(ownerFn, LongType, Seq(lg, rg, Literal(res)), "graft_owner")
+      val newCond = And(And(EqualTo(lCell, rCell), cond), EqualTo(lCell, owner))
+      Project(left.output ++ right.output, Join(genL, genR, Inner, Some(newCond), hint))
+  }
+
+  /** Extract (leftGeom, rightGeom) when the whole condition (or a
+    * top-level conjunct) is a recognized spatial ScalaUDF with one side
+    * per join child. */
+  private def findSpatialPred(cond: Expression, left: LogicalPlan, right: LogicalPlan): Option[(Expression, Expression)] = {
+    val conjuncts = splitConjuncts(cond)
+    conjuncts.iterator.flatMap {
+      case s: ScalaUDF if s.udfName.exists(GraftExtensions.isSpatialName) && s.children.size == 2 =>
+        val Seq(a, b) = s.children
+        val aRefs = a.references
+        val bRefs = b.references
+        if (aRefs.subsetOf(left.outputSet) && bRefs.subsetOf(right.outputSet) &&
+          aRefs.nonEmpty && bRefs.nonEmpty) Some((a, b))
+        else if (aRefs.subsetOf(right.outputSet) && bRefs.subsetOf(left.outputSet) &&
+          aRefs.nonEmpty && bRefs.nonEmpty) Some((b, a))
+        else None
+      case _ => None
+    }.toSeq.headOption
+  }
+
+  /** A join that already has an equi-key (e.g. our own cell join, or any
+    * hash-joinable condition) is left alone — the rewrite only exists to
+    * kill cartesian/BNLJ plans. Also keeps the rule idempotent. */
+  private def hasEquiKeys(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+    splitConjuncts(cond).exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) &&
+          a.references.nonEmpty && b.references.nonEmpty) ||
+          (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet) &&
+            a.references.nonEmpty && b.references.nonEmpty)
+      case _ => false
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.StFunctions
+
+/** The injected Catalyst rules: spatial join rewrite kills the cartesian
+  * product, literal folding evaluates constant st_* calls at plan time
+  * (analog of the plan assertions in the reference's SparkSQLDataTest:
+  * 162-186, 303-307). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // dedicated session: extensions must be installed at build time.
+  // Clear the active/default session first so getOrCreate builds a NEW
+  // SparkSession (sharing the context) instead of returning the shared
+  // test session that lacks the extensions.
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(GraftExtensions.inject)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    StFunctions.register(s)
+    s
+  }
+
+  private def mkTables(): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val pts = (0 until 200).map(i => (s"p$i", rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 40 - 20))
+      .toDF("p_id", "lon", "lat")
+      .selectExpr("p_id", "st_makePoint(lon, lat) AS p_geom")
+    val polys = (0 until 15).map { i =>
+      val cx = rnd.nextDouble() * 40 - 20; val cy = rnd.nextDouble() * 40 - 20
+      (s"z$i", cx - 2, cy - 2, cx + 2, cy + 2)
+    }.toDF("z_id", "x0", "y0", "x1", "y1")
+      .selectExpr("z_id", "st_makeBBOX(x0, y0, x1, y1) AS z_geom")
+    pts.createOrReplaceTempView("pts")
+    polys.createOrReplaceTempView("polys")
+  }
+
+  test("SQL spatial join is rewritten to a cell equi-join (no CartesianProduct/BNLJ)") {
+    mkTables()
+    val q = spark.sql(
+      "SELECT p_id, z_id FROM pts JOIN polys ON st_intersects(p_geom, z_geom)")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), s"cartesian product in plan:\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$phys")
+    // and it computes the right answer
+    val fast = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = spark.sql(
+      "SELECT /*+ BROADCAST(polys) */ p_id, z_id FROM pts, polys WHERE st_distance(p_geom, z_geom) = 0")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == brute && brute.nonEmpty)
+  }
+
+  test("rewrite preserves extra join conjuncts") {
+    mkTables()
+    val q = spark.sql(
+      "SELECT p_id, z_id FROM pts JOIN polys ON st_intersects(p_geom, z_geom) AND p_id != 'p0'")
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    assert(q.collect().forall(_.getString(0) != "p0"))
+  }
+
+  test("non-spatial joins are untouched") {
+    mkTables()
+    val q = spark.sql("SELECT a.p_id FROM pts a JOIN pts b ON a.p_id = b.p_id")
+    assert(q.count() == 200)
+  }
+
+  test("constant st_* expressions fold to literals at plan time") {
+    mkTables()
+    val q = spark.sql(
+      "SELECT p_id FROM pts WHERE st_intersects(st_geomFromWKT('POLYGON((-20 -20, -20 20, 20 20, 20 -20, -20 -20))'), p_geom)")
+    val optimized = q.queryExecution.optimizedPlan
+    val leftoverConstructors = optimized.expressions.flatMap(_.collect {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+          if s.udfName.exists(_.equalsIgnoreCase("st_geomFromWKT")) => s
+    })
+    assert(leftoverConstructors.isEmpty, "st_geomFromWKT not folded")
+    assert(q.count() == 200) // whole box covers all points
+  }
+}
