@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// extra JVM flags for bench experiments (e.g. GC choice): space-separated
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.split(" ").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)

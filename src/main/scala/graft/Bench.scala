@@ -1,5 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.pipeline.ImagePipeline
+
+/**
+ * Benchmark main (driver contract): one JSON line with per-query wall
+ * times plus the flagship pipeline metric (spatial-join + tile-assign
+ * throughput over the synthetic image table, BASELINE.json north rule).
+ *
+ * Input generation is cached under /tmp so the pipeline timing measures
+ * the spatial stages, not image encoding. A short warmup action runs
+ * first so session/codegen startup is not attributed to the first query.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,19 +19,108 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: session + whole-stage-codegen initialization
+    graft.functions.StFunctions.register(spark)
+    spark.range(1000).selectExpr("st_cellOfXY(CAST(id AS DOUBLE) / 100, 1.0, 9) AS c")
+      .groupBy("c").count().count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // flagship pipeline: n scaled to the testdata sf
+    val nImages = sys.env.get("SPARK_GRAFT_IMAGES").map(_.toLong).getOrElse {
+      if (sfDir.contains("sf0.1")) 100000L
+      else if (sfDir.contains("sf0.01")) 20000L
+      else 5000L
+    }
+    val input = ImagePipeline.ensureInput(spark, nImages, "/tmp/graft_bench_cache")
+    ImagePipeline.runJoinTile(spark, input, nZones = 500) // warm
+    val p = ImagePipeline.runJoinTile(spark, input, nZones = 500)
+
+    val qs = (results :+ ("pipeline_join_tile" -> p.secs))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + p.secs
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""pipeline":{"images":${p.nImages},"join_rows":${p.joinRows},"tile_rows":${p.tileRows},""" +
+        s""""density_cells":${p.densityCells},"secs":${p.secs},"images_per_sec":${p.imagesPerSec},""" +
+        s""""output_rows_per_sec":${p.outputRowsPerSec},"cpus":$cpus}}""")
+    spark.stop()
+  }
+}
+
+/**
+ * Scaling-evidence main (north rule: throughput at N vs 4N parallelism):
+ * runs ONLY the flagship pipeline and prints a machine-readable line.
+ * Invoke twice — SPARK_GRAFT_CPUS=8 and =32 — on the same cached input
+ * (bench/run_scaling.sh does this and computes the efficiency).
+ */
+object ScalingBench {
+
+  /** The Spark-4-on-JDK17 module opens, for executor JVMs in
+    * local-cluster mode (mirrors build.sbt's driver flags). */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_MASTER: either local[N] (thread scaling) or
+    // local-cluster[nExec,coresPerExec,memMb] (real executor JVMs —
+    // the faithful N-vs-4N-executors evidence; needs SPARK_HOME and
+    // SPARK_GRAFT_JAR pointing at the packaged library)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    val totalCores =
+      "local-cluster\\[(\\d+),(\\d+),\\d+\\]".r.findFirstMatchIn(master)
+        .map(m => m.group(1).toInt * m.group(2).toInt)
+        .orElse("local\\[(\\d+)\\]".r.findFirstMatchIn(master).map(_.group(1).toInt))
+        .getOrElse(8)
+    val nImages = sys.env.get("SPARK_GRAFT_IMAGES").map(_.toLong).getOrElse(50000000L)
+    val builder = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", totalCores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      // the pipeline is broadcast-join + map-side agg: AQE's runtime
+      // re-planning only adds driver rounds here (no shuffle skew to fix)
+      .config("spark.sql.adaptive.enabled", "false")
+    sys.env.get("SPARK_GRAFT_JAR").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.StFunctions.register(spark)
+
+    // mode: "box" = whole-stage-codegen path (scan-bound);
+    //       "wkb" = generic JTS path (compute-bound)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "box")
+    def once() =
+      if (mode == "wkb") ImagePipeline.runJoinTileWkb(spark, input, nZones = 2000)
+      else ImagePipeline.runJoinTile(spark, input, nZones = 2000)
+    lazy val input = ImagePipeline.ensureGeoInput(spark, nImages, "/tmp/graft_bench_cache")
+    once() // warm
+    val runs = (1 to 2).map(_ => once())
+    val best = runs.minBy(_.secs)
+    val stages = best.stageSecs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"bench":"scaling","mode":"$mode","master":"$master","cpus":$totalCores,"images":${best.nImages},"secs":${best.secs},""" +
+        s""""images_per_sec":${best.imagesPerSec},"join_rows":${best.joinRows},"tile_rows":${best.tileRows},"stages":$stages}""")
     spark.stop()
   }
 }

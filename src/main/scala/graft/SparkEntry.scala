@@ -194,6 +194,64 @@ object SparkEntry {
           expr("CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)").as("weight"))
     }),
 
+    "q_changelog_replay" -> ((s, dir) => {
+      // changelog materialization (GeoMessage upsert/delete semantics):
+      // events become a keyed changelog; replay -> live view. Oracle =
+      // last-event-wins per key ((user_id, ts) is unique in the data).
+      import s.implicits._
+      val ev = pts(s, dir)
+        .join(t(s, dir, "events").select("event_id", "user_id"), "event_id")
+        .selectExpr(
+          "CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS kind",
+          "cast(ts AS timestamp) AS ts",
+          "CAST(user_id AS STRING) AS id",
+          "CAST(lon AS DOUBLE) AS lon", "CAST(lat AS DOUBLE) AS lat",
+          "map('eid', CAST(event_id AS STRING)) AS attrs")
+        .as[graft.streaming.ChangelogStream.GeoEvent]
+      graft.streaming.ChangelogStream.replay(s, ev)
+        .toDF()
+        .selectExpr("CAST(id AS BIGINT) AS user_id",
+          "CAST(round(lon, 2) AS DOUBLE) AS lon", "CAST(round(lat, 2) AS DOUBLE) AS lat")
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      // TopK stat analog (deterministic tiebreak on the value)
+      operators.Stats.topK(t(s, dir, "events"), "event_type", 3)
+        .withColumnRenamed("count", "n")
+    }),
+
+    "q_group_minmax" -> ((s, dir) => {
+      // GroupBy-stat nesting (stats/GroupBy.scala analog)
+      operators.Stats.groupedMinMax(t(s, dir, "events"), "event_type", "value")
+        .withColumnRenamed("count", "n")
+    }),
+
+    "q_z3hist" -> ((s, dir) => {
+      // Z3Histogram analog: counts keyed by (week bin, res-6 cell);
+      // oracle recomputes bin arithmetic + Morton packing independently
+      StFunctions.register(s)
+      val p = pts(s, dir).withColumn("millis", expr("unix_millis(cast(ts AS timestamp))"))
+      operators.Stats.z3Histogram(p, "lon", "lat", "millis", "week", 6)
+        .selectExpr("CAST(time_bin AS BIGINT) AS time_bin", "cell", "count AS n")
+    }),
+
+    "q_convexhull" -> ((s, dir) => {
+      // geometry-valued aggregate (ConvexHull UDAF analog) — WKT output
+      StFunctions.register(s)
+      import org.apache.spark.sql.functions.udf
+      val wkt = udf((b: Array[Byte]) => graft.geom.GeomOps.toWkt(graft.geom.GeomOps.fromWkb(b)))
+      pts(s, dir).selectExpr("st_makePoint(lon, lat) AS g")
+        .agg(operators.Stats.convexHull(col("g")).as("hull"))
+        .select(wkt(col("hull")).as("hull_wkt"))
+    }),
+
+    "q_bin_records" -> ((s, dir) => {
+      // BIN export projection (BinAggregatingScan analog)
+      val p = pts(s, dir).join(t(s, dir, "events").select("event_id", "user_id"), "event_id")
+        .withColumn("millis", expr("unix_millis(cast(ts AS timestamp))"))
+      operators.Stats.binRecords(p, "user_id", "millis", "lon", "lat")
+    }),
+
     "q_z3_scan" -> ((s, dir) => {
       // spatio-temporal box scan through the Z3 index machinery: coarse
       // per-bin z-range cover (Z3IndexKeySpace.getRanges analog) + exact
@@ -206,7 +264,7 @@ object SparkEntry {
         .withColumn("millis", expr("unix_millis(cast(ts AS timestamp))")) // NTZ -> UTC instant
         .withColumn("bin", expr("st_z3bin(millis, 'week')"))
         .withColumn("z", expr("st_z3(st_makePoint(lon, lat), millis, 'week')"))
-      df.where(plans.ZQuery.z3Filter(col("bin"), col("z"), bbox, start, end, graft.cells.BinnedTime.Week))
+      df.where(plans.ZQuery.z3FilterFn(col("bin"), col("z"), bbox, start, end, graft.cells.BinnedTime.Week))
         .where(col("lon").between(bbox._1, bbox._3) && col("lat").between(bbox._2, bbox._4)
           && col("millis").between(start, end))
         .select("event_id")
@@ -421,6 +479,36 @@ object SparkEntry {
            |SELECT $tx AS tx, $ty AS ty, COUNT(*) AS n,
            |  CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight
            |FROM pts GROUP BY 1, 2""".stripMargin
+      },
+
+      "q_changelog_replay" ->
+        s"""WITH $ptsCte,
+           |ev AS (SELECT p.event_id, e.user_id, p.lon, p.lat, p.ts,
+           |    CASE WHEN p.event_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS kind
+           |  FROM pts p JOIN events e ON p.event_id = e.event_id),
+           |latest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn FROM ev)
+           |SELECT user_id, CAST(round(lon, 2) AS DOUBLE) AS lon, CAST(round(lat, 2) AS DOUBLE) AS lat
+           |FROM latest WHERE rn = 1 AND kind = 'upsert'""".stripMargin,
+
+      "q_topk" ->
+        """SELECT event_type, n FROM (
+          |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type) t
+          |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
+
+      "q_group_minmax" ->
+        """SELECT e.event_type, min(e.value) AS min, max(e.value) AS max, COUNT(e.value) AS n
+          |FROM events e GROUP BY e.event_type""".stripMargin,
+
+      "q_z3hist" -> {
+        val tx = "LEAST(63, GREATEST(0, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT)))"
+        val ty = "LEAST(63, GREATEST(0, CAST(floor((lat + 90.0) / 180.0 * 64.0) AS BIGINT)))"
+        s"""WITH $ptsCte,
+           |k AS (SELECT (epoch_ms(ts) // 86400000) // 7 AS time_bin,
+           |  $tx AS tx, $ty AS ty FROM pts)
+           |SELECT CAST(time_bin AS BIGINT) AS time_bin,
+           |  (CAST(6 AS BIGINT) << 58) | ${mortonSql("tx", "ty", 6)} AS cell,
+           |  COUNT(*) AS n
+           |FROM k GROUP BY 1, 2""".stripMargin
       },
 
       "q_z3_scan" ->

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Whole-stage-codegen spatial operators for axis-aligned boxes.
+ *
+ * The generic operators (SpatialJoin/TileAssign) take WKB geometry and
+ * run JTS inside ScalaUDFs — correct for arbitrary shapes, but each call
+ * crosses the codegen boundary and allocates. When both sides are AABBs
+ * (image footprints, tile/zone boxes — the flagship pipeline's case),
+ * the same cell equi-join + refine + ownership-dedup plan compiles to
+ * pure Column arithmetic: `sequence`/`explode` for the cover,
+ * comparisons for the overlap refine, `greatest/floor` for the
+ * reference-corner owner cell, and shift/or folds for the Morton tile
+ * id. Everything stays inside WholeStageCodegen — no UDF, no JTS, no
+ * per-row allocation — which is what keeps 4x-core scaling near-linear.
+ */
+object BoxOps {
+
+  private def ix(lon: Column, n: Long): Column =
+    least(lit(n - 1), greatest(lit(0L), floor((lon + 180.0) / 360.0 * n).cast("long")))
+  private def iy(lat: Column, n: Long): Column =
+    least(lit(n - 1), greatest(lit(0L), floor((lat + 90.0) / 180.0 * n).cast("long")))
+
+  /** Morton interleave as a codegen Column fold (matches Cells.pack). */
+  def mortonColumn(tx: Column, ty: Column, res: Int): Column = {
+    val terms = (0 until res).flatMap { i =>
+      Seq(shiftleft(tx.bitwiseAND(lit(1L << i)), i),       // bit i -> 2i
+          shiftleft(ty.bitwiseAND(lit(1L << i)), i + 1))   // bit i -> 2i+1
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Packed cell id (res << 58 | morton) — identical to Cells.pack. */
+  def cellColumn(tx: Column, ty: Column, res: Int): Column =
+    lit(res.toLong << 58).bitwiseOR(mortonColumn(tx, ty, res))
+
+  /** Explode a bbox (xmin..xmax, ymin..ymax columns) into its covering
+    * grid coords at resolution `res`: adds __cx, __cy. */
+  private def coverGrid(df: DataFrame, xmin: String, ymin: String, xmax: String, ymax: String,
+                        res: Int): DataFrame = {
+    val n = 1L << res
+    df.withColumn("__cx", explode(sequence(ix(col(xmin), n), ix(col(xmax), n))))
+      .withColumn("__cy", explode(sequence(iy(col(ymin), n), iy(col(ymax), n))))
+  }
+
+  /**
+   * AABB intersects-join with reference-point dedup, codegen-only.
+   * Each side supplies its bounds column names. Outputs all columns of
+   * both inputs for every intersecting pair, exactly once.
+   */
+  def intersectsJoin(left: DataFrame, lb: (String, String, String, String),
+                     right: DataFrame, rb: (String, String, String, String),
+                     res: Int, broadcastRight: Boolean = false): DataFrame = {
+    val n = 1L << res
+    val lc = coverGrid(left, lb._1, lb._2, lb._3, lb._4, res)
+      .withColumnRenamed("__cx", "__lcx").withColumnRenamed("__cy", "__lcy")
+    val rc0 = coverGrid(right, rb._1, rb._2, rb._3, rb._4, res)
+      .withColumnRenamed("__cx", "__rcx").withColumnRenamed("__cy", "__rcy")
+    val rc = if (broadcastRight) broadcast(rc0) else rc0
+    val overlap =
+      col(lb._1) <= col(rb._3) && col(lb._3) >= col(rb._1) &&
+        col(lb._2) <= col(rb._4) && col(lb._4) >= col(rb._2)
+    // owner cell = grid cell of the intersection's min corner
+    val ownCx = ix(greatest(col(lb._1), col(rb._1)), n)
+    val ownCy = iy(greatest(col(lb._2), col(rb._2)), n)
+    lc.join(rc, col("__lcx") === col("__rcx") && col("__lcy") === col("__rcy"))
+      .where(overlap && col("__lcx") === ownCx && col("__lcy") === ownCy)
+      .drop("__lcx", "__lcy", "__rcx", "__rcy")
+  }
+
+  /** Tile assignment of bboxes at fixed res: one row per covering tile,
+    * with the packed cell id — codegen equivalent of TileAssign.atRes. */
+  def tiles(df: DataFrame, xmin: String, ymin: String, xmax: String, ymax: String,
+            res: Int): DataFrame =
+    coverGrid(df, xmin, ymin, xmax, ymax, res)
+      .withColumn("tile", cellColumn(col("__cx"), col("__cy"), res))
+      .drop("__cx", "__cy")
+
+  /** Density of bbox covers at `res` (count + optional weight). */
+  def density(df: DataFrame, xmin: String, ymin: String, xmax: String, ymax: String,
+              res: Int): DataFrame =
+    coverGrid(df, xmin, ymin, xmax, ymax, res)
+      .groupBy(col("__cx").as("tx"), col("__cy").as("ty"))
+      .agg(count(lit(1)).as("n"))
+}

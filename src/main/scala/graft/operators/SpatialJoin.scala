@@ -27,13 +27,22 @@ import graft.functions.StFunctions
 object SpatialJoin {
 
   /** cell of the envelope-intersection reference corner — the pair's
-    * unique "home" cell at resolution `res`. */
+    * unique "home" cell at resolution `res`. Cached parses: both sides
+    * repeat across candidate pairs. */
   private val ownerCell = udf { (a: Array[Byte], b: Array[Byte], res: Int) =>
-    val ea = GeomOps.fromWkb(a).getEnvelopeInternal
-    val eb = GeomOps.fromWkb(b).getEnvelopeInternal
+    val ea = graft.geom.GeomCache.geom(a).getEnvelopeInternal
+    val eb = graft.geom.GeomCache.geom(b).getEnvelopeInternal
     val x = math.max(ea.getMinX, eb.getMinX)
     val y = math.max(ea.getMinY, eb.getMinY)
     Cells.cell(x, y, res)
+  }
+
+  /** Cache-backed refine predicates: the right (broadcast) side becomes a
+    * PreparedGeometry — its edge index is reused across every candidate
+    * pair in the partition. */
+  val intersectsCached = udf { (l: Array[Byte], r: Array[Byte]) =>
+    if (l == null || r == null) false
+    else graft.geom.GeomCache.prep(r).intersects(graft.geom.GeomCache.geom(l))
   }
 
   /**
@@ -64,11 +73,11 @@ object SpatialJoin {
     deduped.drop("__lcell", "__rcell")
   }
 
-  /** Intersects join (the flagship predicate). */
+  /** Intersects join (the flagship predicate) — cached/prepared refine. */
   def intersects(left: DataFrame, leftGeom: String, right: DataFrame, rightGeom: String,
                  res: Int, leftPoint: Boolean = false, broadcastRight: Boolean = false): DataFrame =
     join(left, leftGeom, right, rightGeom,
-      (l, r) => StFunctions.stIntersects(l, r), res, leftPoint, broadcastRight = broadcastRight)
+      (l, r) => intersectsCached(l, r), res, leftPoint, broadcastRight = broadcastRight)
 
   /**
    * Distance-within join (proximity search, ProximitySearchProcess

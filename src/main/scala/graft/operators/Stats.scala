@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+import graft.geom.GeomOps
+import graft.functions.StFunctions
+
+/**
+ * Aggregation surface — the Spark-native mapping of the reference's Stat
+ * DSL (geomesa-utils/.../stats/Stat.scala and the per-stat classes) and
+ * its ConvexHull UDAF. The monoidal observe/merge pattern of
+ * AggregatingScan + client reduce IS Spark's partial/final aggregation,
+ * so most stats are built-ins; the genuinely custom ones are typed
+ * `Aggregator`s (the UDAF API the reference used was removed in Spark 4).
+ */
+object Stats {
+
+  /** ConvexHull: geometry-valued aggregate (reference: geomesa-spark-jts
+    * ConvexHull.scala:16-51). Buffer = WKB of the running hull; merge =
+    * union + convexHull (associative, null-tolerant). */
+  object ConvexHullAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = null
+    override def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] = merge(buf, wkb)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      if (a == null) b
+      else if (b == null) a
+      else GeomOps.toWkb(GeomOps.fromWkb(a).union(GeomOps.fromWkb(b)).convexHull())
+    }
+    override def finish(buf: Array[Byte]): Array[Byte] =
+      if (buf == null) null else GeomOps.toWkb(GeomOps.fromWkb(buf).convexHull())
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Column form: st_convexHull aggregate over a WKB geometry column. */
+  def convexHull(geomWkb: Column): Column = udaf(ConvexHullAgg).apply(geomWkb)
+
+  /** Bounds: envelope-of-all aggregate (cheap MinMax over coordinates). */
+  def envelopeAgg(df: DataFrame, geomCol: String): DataFrame = {
+    val env = udf { (wkb: Array[Byte]) =>
+      val e = GeomOps.fromWkb(wkb).getEnvelopeInternal
+      (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }
+    df.withColumn("__e", env(col(geomCol)))
+      .agg(min("__e._1").as("xmin"), min("__e._2").as("ymin"),
+        max("__e._3").as("xmax"), max("__e._4").as("ymax"))
+  }
+
+  /** DescriptiveStats analog (stats/DescriptiveStats.scala): one pass of
+    * built-in moments per column. */
+  def descriptive(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_count"), min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"), avg(col(c)).as(s"${c}_mean"),
+        var_samp(col(c)).as(s"${c}_var"), stddev_samp(col(c)).as(s"${c}_stddev"),
+        skewness(col(c)).as(s"${c}_skew"), kurtosis(col(c)).as(s"${c}_kurt"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinMax + HLL cardinality (stats/MinMax.scala: clearspring HLL ->
+    * Spark's HyperLogLog++ approx_count_distinct). */
+  def minMaxCardinality(df: DataFrame, c: String): DataFrame =
+    df.agg(min(col(c)).as("min"), max(col(c)).as("max"),
+      approx_count_distinct(col(c)).as("approx_cardinality"),
+      count(col(c)).as("count"))
+
+  /** TopK (stats/TopK.scala StreamSummary -> exact groupBy + limit; at
+    * 10^12 rows the partial aggregation bounds the shuffle to one row
+    * per distinct value per partition). */
+  def topK(df: DataFrame, c: String, k: Int): DataFrame =
+    df.groupBy(c).count().orderBy(desc("count"), col(c)).limit(k)
+
+  /** Frequency / count-min sketch (stats/Frequency.scala -> built-in). */
+  def countMinSketch(df: DataFrame, c: String, eps: Double = 0.001,
+                     confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.agg(count_min_sketch(col(c), lit(eps), lit(confidence), lit(seed)).as("cms"))
+
+  /** Fixed-bin numeric histogram (stats/Histogram.scala + BinnedArray). */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    val w = (hi - lo) / bins
+    df.where(col(c).between(lo, hi))
+      .withColumn("bin", least(lit(bins - 1), floor((col(c) - lo) / w)).cast("int"))
+      .groupBy("bin").count().orderBy("bin")
+  }
+
+  /** Z3Histogram analog (stats/Z3Histogram.scala): counts keyed by
+    * (time bin, coarse cell) — the spatio-temporal density sketch. */
+  def z3Histogram(df: DataFrame, lonCol: String, latCol: String, millisCol: String,
+                  period: String, cellRes: Int): DataFrame =
+    df.withColumn("time_bin", StFunctions.stZ3Bin(col(millisCol), lit(period)))
+      .withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(cellRes)))
+      .groupBy("time_bin", "cell").count()
+
+  /** Enumeration (exact value -> count map; stats/EnumerationStat.scala). */
+  def enumeration(df: DataFrame, c: String): DataFrame = df.groupBy(c).count()
+
+  /** GroupBy-stat nesting (stats/GroupBy.scala): any of the above per
+    * group key is plain `groupBy(key).agg(...)` — provided as a helper
+    * for the common minmax case. */
+  def groupedMinMax(df: DataFrame, key: String, c: String): DataFrame =
+    df.groupBy(key).agg(min(col(c)).as("min"), max(col(c)).as("max"),
+      count(col(c)).as("count"))
+
+  /** IteratorStackCount analog: how many physical partitions produced
+    * rows (diagnostic). */
+  def partitionCount(df: DataFrame): Long =
+    df.select(spark_partition_id().as("p")).distinct().count()
+
+  /** BIN-record projection (BinAggregatingScan analog): the wire-compact
+    * (trackHash:int, dtgSeconds:int, lat:float, lon:float) layout as
+    * columns; writing it to Parquet/binary is the export. */
+  def binRecords(df: DataFrame, trackCol: String, millisCol: String,
+                 lonCol: String, latCol: String): DataFrame =
+    df.select(
+      hash(col(trackCol)).as("track_hash"),
+      (col(millisCol) / 1000L).cast("int").as("dtg_s"),
+      col(latCol).cast("float").as("lat"),
+      col(lonCol).cast("float").as("lon"))
+}

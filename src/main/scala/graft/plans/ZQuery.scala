@@ -65,6 +65,40 @@ object ZQuery {
   private def rangesToColumn(zCol: Column, ranges: Seq[IndexRange]): Column =
     ranges.map(r => zCol.between(lit(r.lower), lit(r.upper))).reduce(_ || _)
 
+  /**
+   * Function-form z3 check: one evaluation of (binCol, zCol) per row with
+   * a binary search over the captured ranges. Use this when bin/z are
+   * COMPUTED columns — the OR-of-BETWEENs form (z3Filter) duplicates the
+   * computing expression into every term after CollapseProject, turning
+   * one UDF call per row into one per range. For STORED columns prefer
+   * z3Filter: plain attribute references are free and the BETWEENs push
+   * into Parquet row-group skipping.
+   */
+  def z3FilterFn(binCol: Column, zCol: Column,
+                 bbox: (Double, Double, Double, Double),
+                 startMillis: Long, endMillis: Long,
+                 period: BinnedTime.Period,
+                 maxRangesPerBin: Int = 32): Column = {
+    val byBin: Map[Int, (Array[Long], Array[Long])] =
+      z3Ranges(bbox, startMillis, endMillis, period, maxRangesPerBin).map { case (bin, rs) =>
+        val sorted = rs.sortBy(_.lower)
+        bin.toInt -> (sorted.map(_.lower).toArray, sorted.map(_.upper).toArray)
+      }.toMap
+    val check = udf { (bin: Int, z: Long) =>
+      byBin.get(bin) match {
+        case None => false
+        case Some((lo, hi)) =>
+          var i = java.util.Arrays.binarySearch(lo, z)
+          if (i >= 0) true
+          else {
+            i = -i - 2 // last range starting <= z
+            i >= 0 && z <= hi(i)
+          }
+      }
+    }
+    check(binCol, zCol)
+  }
+
   /** Cell-id range predicates at resolution `res` for a bbox — used for
     * partition pruning on cell-partitioned tables: contiguous runs of
     * Morton codes inside the bbox become BETWEENs on the cell column. */

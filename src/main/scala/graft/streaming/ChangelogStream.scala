@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming changelog of feature events — the Structured-Streaming
+ * reformulation of the reference's Kafka feature topic + live cache
+ * (GeoMessage = CreateOrUpdate | Delete | Clear,
+ * /root/reference/geomesa-kafka/.../utils/GeoMessage.scala:15-65, and the
+ * TTL-expiring keyed cache, KafkaFeatureCache.scala:22-150).
+ *
+ * Events arrive keyed by feature id; state is the live feature view.
+ * TTL expiry uses event-time timeouts against the stream's watermark
+ * (deterministic — the reference's wall-clock expireAfterWrite becomes
+ * watermark-driven age-off). `Clear` is a per-key tombstone here: a
+ * global clear on a distributed keyed state would need a control-stream
+ * broadcast, which the changelog model expresses as per-key deletes.
+ */
+object ChangelogStream {
+
+  /** Input event. kind: "upsert" | "delete". */
+  final case class GeoEvent(kind: String, ts: Timestamp, id: String,
+                            lon: Double, lat: Double, attrs: Map[String, String])
+
+  /** Live state per feature id. */
+  final case class GeoState(id: String, lon: Double, lat: Double,
+                            attrs: Map[String, String], updated: Timestamp)
+
+  /** Emitted change. op: "upsert" | "delete" | "expire". */
+  final case class StateChange(id: String, op: String, lon: Double, lat: Double,
+                               updated: Timestamp)
+
+  /**
+   * Materialize the changelog into a stream of state changes with
+   * watermark-driven TTL expiry.
+   *
+   * @param events   input stream (already `withWatermark` on `ts`)
+   * @param ttlMs    age-off: state not updated for ttlMs (event time)
+   *                 expires once the watermark passes
+   */
+  def materialize(spark: SparkSession, events: Dataset[GeoEvent], ttlMs: Long): Dataset[StateChange] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[GeoState, StateChange](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id: String, it: Iterator[GeoEvent], state: GroupState[GeoState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(StateChange(id, "expire", s.lon, s.lat, s.updated))
+          } else {
+            // apply events in event-time order; last-write-wins upsert,
+            // delete tombstones (the reference's cache semantics)
+            val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.kind))
+            var current = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[StateChange]
+            ordered.foreach { e =>
+              e.kind match {
+                case "upsert" if current.forall(_.updated.getTime <= e.ts.getTime) =>
+                  current = Some(GeoState(id, e.lon, e.lat, e.attrs, e.ts))
+                  out += StateChange(id, "upsert", e.lon, e.lat, e.ts)
+                case "delete" =>
+                  current = None
+                  out += StateChange(id, "delete", e.lon, e.lat, e.ts)
+                case _ => // stale upsert: ignore
+              }
+            }
+            current match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.updated.getTime + ttlMs)
+              case None =>
+                if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Batch variant: replay a finite changelog into the final live view —
+    * used for parity tests and for bootstrapping streaming state from a
+    * table (the reference's lambda-store merge reads both tiers). */
+  def replay(spark: SparkSession, events: Dataset[GeoEvent]): Dataset[GeoState] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.id)
+      .flatMapGroups { (id: String, it: Iterator[GeoEvent]) =>
+        val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.kind))
+        var current: Option[GeoState] = None
+        ordered.foreach { e =>
+          e.kind match {
+            case "upsert" if current.forall(_.updated.getTime <= e.ts.getTime) =>
+              current = Some(GeoState(id, e.lon, e.lat, e.attrs, e.ts))
+            case "delete" => current = None
+            case _ =>
+          }
+        }
+        current.iterator
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTest
+import graft.functions.StFunctions
+import graft.geom.GeomOps
+
+class StatsSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val ready: Unit = StFunctions.register(spark)
+
+  test("convex hull aggregate contains all inputs and is their hull") {
+    ready
+    import spark.implicits._
+    val pts = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (2.0, 2.0), (1.0, 3.0))
+      .toDF("x", "y").selectExpr("st_makePoint(x, y) AS g")
+    val hullWkb = pts.agg(Stats.convexHull(col("g"))).head.getAs[Array[Byte]](0)
+    val hull = GeomOps.fromWkb(hullWkb)
+    assert(hull.getGeometryType == "Polygon")
+    assert(hull.getArea == 16.0) // the 4x4 square; interior points absorbed
+  }
+
+  test("convex hull is null-tolerant and merge-associative across partitions") {
+    ready
+    import spark.implicits._
+    val pts = (0 until 100).map(i => (math.cos(i * 0.063) * 10, math.sin(i * 0.063) * 10))
+      .toDF("x", "y").repartition(7).selectExpr("st_makePoint(x, y) AS g")
+    val hull = GeomOps.fromWkb(pts.agg(Stats.convexHull(col("g"))).head.getAs[Array[Byte]](0))
+    assert(math.abs(hull.getArea - math.Pi * 100) / (math.Pi * 100) < 0.05) // ~circle
+  }
+
+  test("envelope aggregate") {
+    ready
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (-3.0, 8.0), (5.0, -1.0)).toDF("x", "y")
+      .selectExpr("st_makePoint(x, y) AS g")
+    val r = Stats.envelopeAgg(df, "g").head
+    assert(r.getDouble(0) == -3.0 && r.getDouble(1) == -1.0 && r.getDouble(2) == 5.0 && r.getDouble(3) == 8.0)
+  }
+
+  test("descriptive stats + minmax cardinality + topK + histogram") {
+    ready
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val d = Stats.descriptive(df, Seq("v")).head
+    assert(d.getAs[Long]("v_count") == 100 && d.getAs[Double]("v_mean") == 50.5)
+    val mm = Stats.minMaxCardinality(df, "v").head
+    assert(mm.getAs[Double]("min") == 1.0 && mm.getAs[Double]("max") == 100.0)
+    assert(math.abs(mm.getAs[Long]("approx_cardinality") - 100) <= 5)
+    val hist = Stats.histogram(df, "v", 0, 100, 10).collect()
+    assert(hist.map(_.getAs[Long]("count")).sum == 100)
+    val tk = Stats.topK(df.withColumn("k", col("v") > 50), "k", 1).head
+    assert(tk.getAs[Long]("count") == 50)
+  }
+
+  test("z3Histogram keys by (time bin, cell)") {
+    ready
+    import spark.implicits._
+    val df = Seq(
+      (0.0, 0.0, 1273190400000L), (0.1, 0.1, 1273190400000L),
+      (50.0, 50.0, 1274000000000L)).toDF("lon", "lat", "millis")
+    val h = Stats.z3Histogram(df, "lon", "lat", "millis", "week", 5).collect()
+    assert(h.map(_.getAs[Long]("count")).sum == 3)
+    assert(h.length == 2) // two (bin, cell) groups
+  }
+
+  test("bin records projection is 16-byte-shaped (int,int,float,float)") {
+    ready
+    import spark.implicits._
+    val df = Seq(("t1", 1273190400000L, 10.5, 45.25)).toDF("track", "millis", "lon", "lat")
+    val b = Stats.binRecords(df, "track", "millis", "lon", "lat")
+    assert(b.schema.fields.map(_.dataType.simpleString).toSeq ==
+      Seq("int", "int", "float", "float"))
+    val r = b.head
+    assert(r.getInt(1) == (1273190400000L / 1000).toInt)
+    assert(r.getFloat(3) == 10.5f && r.getFloat(2) == 45.25f)
+  }
+
+  test("count-min sketch builds and partition count is positive") {
+    ready
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"k${i % 17}").toDF("k")
+    val cms = Stats.countMinSketch(df, "k").head.getAs[Array[Byte]](0)
+    assert(cms != null && cms.nonEmpty)
+    assert(Stats.partitionCount(df) >= 1)
+  }
+}

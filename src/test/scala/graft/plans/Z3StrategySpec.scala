@@ -90,6 +90,22 @@ class Z3StrategySpec extends AnyFunSuite with SparkTest {
     assert(df.where(coarse).count() == 0)
   }
 
+  test("z3FilterFn (function form) selects exactly the same rows as z3Filter") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = features.toDF("fid", "track", "millis", "lon", "lat")
+      .withColumn("bin", expr("st_z3bin(millis, 'week')"))
+      .withColumn("z", expr("st_z3(st_makePoint(lon, lat), millis, 'week')"))
+    val (s, e) = (ts("2010-05-07T00:00:00Z"), ts("2010-05-21T00:00:00Z") - 1)
+    for (bbox <- Seq((38.0, 59.0, 51.0, 61.0), (-180.0, -90.0, 180.0, 90.0), (-10.0, -10.0, 10.0, 10.0))) {
+      val expr1 = df.where(ZQuery.z3Filter(col("bin"), col("z"), bbox, s, e, BinnedTime.Week))
+        .select("fid").as[Int].collect().toSet
+      val fn = df.where(ZQuery.z3FilterFn(col("bin"), col("z"), bbox, s, e, BinnedTime.Week))
+        .select("fid").as[Int].collect().toSet
+      assert(expr1 == fn, s"bbox $bbox: expr=$expr1 fn=$fn")
+    }
+  }
+
   test("z2 planner: bbox cover is sound and selective") {
     StFunctions.register(spark)
     import spark.implicits._

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTest
+import ChangelogStream._
+
+/** Changelog semantics (FIXTURES.md §7): keyed upsert visibility, delete
+  * removal, watermark-driven TTL expiry, batch replay parity. */
+class ChangelogStreamSpec extends AnyFunSuite with SparkTest {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("batch replay: last-write-wins upserts and delete tombstones") {
+    import spark.implicits._
+    val events = Seq(
+      GeoEvent("upsert", ts(0), "a", 1.0, 1.0, Map("v" -> "1")),
+      GeoEvent("upsert", ts(2), "a", 2.0, 2.0, Map("v" -> "2")),
+      GeoEvent("upsert", ts(1), "a", 9.0, 9.0, Map("v" -> "stale")), // out of order, older
+      GeoEvent("upsert", ts(0), "b", 5.0, 5.0, Map()),
+      GeoEvent("delete", ts(3), "b", 0.0, 0.0, Map()),
+      GeoEvent("upsert", ts(1), "c", 7.0, 7.0, Map())).toDS()
+    val view = ChangelogStream.replay(spark, events).collect().map(s => s.id -> s).toMap
+    assert(view.keySet == Set("a", "c"))
+    assert(view("a").lon == 2.0 && view("a").attrs("v") == "2")
+  }
+
+  test("streaming: upserts and deletes flow through keyed state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[GeoEvent]
+    val changes = ChangelogStream.materialize(spark,
+      input.toDS().withWatermark("ts", "0 seconds"), ttlMs = 10 * 60000L)
+    val q = changes.writeStream.format("memory").queryName("chg1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        GeoEvent("upsert", ts(0), "a", 1.0, 1.0, Map()),
+        GeoEvent("upsert", ts(1), "b", 2.0, 2.0, Map()))
+      q.processAllAvailable()
+      input.addData(GeoEvent("delete", ts(2), "a", 0.0, 0.0, Map()))
+      q.processAllAvailable()
+      val out = spark.sql("select * from chg1").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(out.count(_ == ("a", "upsert")) == 1)
+      assert(out.count(_ == ("b", "upsert")) == 1)
+      assert(out.count(_ == ("a", "delete")) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming: TTL expiry fires when the watermark passes updated+ttl") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[GeoEvent]
+    val changes = ChangelogStream.materialize(spark,
+      input.toDS().withWatermark("ts", "0 seconds"), ttlMs = 5 * 60000L)
+    val q = changes.writeStream.format("memory").queryName("chg2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(GeoEvent("upsert", ts(0), "old", 1.0, 1.0, Map()))
+      q.processAllAvailable()
+      // advance the watermark far past old+ttl with a fresh key
+      input.addData(GeoEvent("upsert", ts(20), "fresh", 2.0, 2.0, Map()))
+      q.processAllAvailable()
+      // one more batch so the timeout is evaluated against the new watermark
+      input.addData(GeoEvent("upsert", ts(21), "fresh2", 3.0, 3.0, Map()))
+      q.processAllAvailable()
+      val ops = spark.sql("select * from chg2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(ops.contains(("old", "expire")), s"no expiry in $ops")
+      assert(!ops.contains(("fresh", "expire")))
+    } finally q.stop()
+  }
+}
