@@ -194,6 +194,64 @@ object SparkEntry {
           expr("CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)").as("weight"))
     }),
 
+    "q_json_extract" -> ((s, dir) => {
+      // converter-framework analog (geomesa-convert json): config-free
+      // parse of a JSON column with from_json + aggregation
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+          CAST(SUM(get_json_object(props, '$.k')) AS BIGINT) AS sum_k,
+          COUNT(*) AS n
+        FROM events GROUP BY event_type""")
+    }),
+
+    "q_image_features" -> ((s, dir) => {
+      // multimodal decode + feature extraction over real PNG/JPEG binary
+      // payloads (deterministic synthetic table; rows-only driver check,
+      // invariants asserted in MultimodalSpec)
+      val imgs = graft.images.SyntheticImages.table(s, 300, partitions = 8).toDF()
+      operators.Multimodal.imageFeatures(s, imgs).toDF()
+        .selectExpr("image_id", "width", "height", "phash", "decode_ok",
+          "round(luma_mean, 4) AS luma_mean")
+    }),
+
+    "q_phash_pairs" -> ((s, dir) => {
+      // perceptual-hash near-dup pairs over the image modality
+      val imgs = graft.images.SyntheticImages.table(s, 500, partitions = 8).toDF()
+      operators.Multimodal.phashPairs(imgs, "image_id", "phash", maxDist = 12)
+    }),
+
+    "q_tube_select" -> ((s, dir) => {
+      // spatio-temporal corridor join (TubeSelectProcess analog):
+      // track = user 0's positions ordered by time; features = all points
+      import s.implicits._
+      StFunctions.register(s)
+      val p = pts(s, dir)
+        .join(t(s, dir, "events").select("event_id", "user_id"), "event_id")
+        .withColumn("millis", expr("unix_millis(cast(ts AS timestamp))"))
+        .selectExpr("event_id", "user_id", "CAST(lon AS DOUBLE) AS lon",
+          "CAST(lat AS DOUBLE) AS lat", "millis")
+      val track = p.where(col("user_id") === 1).orderBy("millis")
+        .limit(20).select("lon", "lat", "millis")
+      operators.TrackOps.tubeSelect(s, p, "event_id", "lon", "lat", "millis",
+        track, "lon", "lat", "millis", bufferMeters = 500000.0,
+        timeSlackMs = 86400000L, res = 5)
+    }),
+
+    "q_route_search" -> ((s, dir) => {
+      // route proximity + heading match (RouteSearchProcess analog)
+      import s.implicits._
+      StFunctions.register(s)
+      val p = pts(s, dir)
+        .withColumn("heading", expr("CAST((event_id * 37) % 360 AS DOUBLE)"))
+        .selectExpr("event_id", "CAST(lon AS DOUBLE) AS lon",
+          "CAST(lat AS DOUBLE) AS lat", "heading")
+      val route = (0 until 8).map(i => (-30.0 + i * 10.0, 0.0 + i * 2.0, i))
+        .toDF("rlon", "rlat", "seq")
+      operators.TrackOps.routeSearch(s, p, "event_id", "lon", "lat", "heading",
+        route, "rlon", "rlat", "seq", meters = 300000.0, headingTolDeg = 30.0, res = 5)
+    }),
+
     "q_changelog_replay" -> ((s, dir) => {
       // changelog materialization (GeoMessage upsert/delete semantics):
       // events become a keyed changelog; replay -> live view. Oracle =
@@ -480,6 +538,12 @@ object SparkEntry {
            |  CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight
            |FROM pts GROUP BY 1, 2""".stripMargin
       },
+
+      "q_json_extract" ->
+        """SELECT event_type,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY event_type""".stripMargin,
 
       "q_changelog_replay" ->
         s"""WITH $ptsCte,

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.StFunctions
+import graft.geom.GeomOps
+
+/**
+ * Track-based joins — Spark-native reformulations of the reference's
+ * TubeSelectProcess (spatio-temporal corridor join, geomesa-process/
+ * .../tube/TubeBuilder.scala:39-90, TubeSelectProcess.scala:33-182) and
+ * RouteSearchProcess (route proximity + heading match,
+ * .../query/RouteSearchProcess.scala).
+ *
+ * Both follow the engine's standard shape: build small "segment" tables
+ * from the track/route (window functions), broadcast them, candidate
+ * via cell containment, refine with exact geometry/time/heading
+ * predicates. The big (feature) side never shuffles beyond its cell key.
+ */
+object TrackOps {
+
+  /** Tube segments from an ordered track: consecutive point pairs with
+    * a buffered corridor geometry and a [t0, t1] time window (+/- slack).
+    * NoGapFill semantics (the reference's default). */
+  def tubeSegments(track: DataFrame, lonCol: String, latCol: String, millisCol: String,
+                   bufferMeters: Double, timeSlackMs: Long): DataFrame = {
+    val w = Window.orderBy(col(millisCol))
+    val seg = track
+      .withColumn("__plon", lag(col(lonCol), 1).over(w))
+      .withColumn("__plat", lag(col(latCol), 1).over(w))
+      .withColumn("__pt", lag(col(millisCol), 1).over(w))
+      .where(col("__plon").isNotNull)
+    val mkTube = udf { (x0: Double, y0: Double, x1: Double, y1: Double, m: Double) =>
+      val line = GeomOps.factory.createLineString(Array(
+        new org.locationtech.jts.geom.Coordinate(x0, y0),
+        new org.locationtech.jts.geom.Coordinate(x1, y1)))
+      // meters -> degrees buffer at the segment's mean latitude (same
+      // approximation family as the reference's TubeBuilder:56-71)
+      val latMid = (y0 + y1) / 2
+      val deg = m / (111320.0 * math.max(0.2, math.cos(math.toRadians(latMid))))
+      GeomOps.toWkb(line.buffer(deg))
+    }
+    seg.select(
+      mkTube(col("__plon"), col("__plat"), col(lonCol), col(latCol), lit(bufferMeters)).as("tube_geom"),
+      (col("__pt") - timeSlackMs).as("t0"),
+      (col(millisCol) + timeSlackMs).as("t1"))
+  }
+
+  /**
+   * Tube select: features intersecting any tube segment in BOTH space
+   * and time. Returns features + the matched segment's window, deduped
+   * to one row per feature (a feature may hit several segments).
+   */
+  def tubeSelect(spark: SparkSession,
+                 features: DataFrame, idCol: String, lonCol: String, latCol: String, millisCol: String,
+                 track: DataFrame, trackLon: String, trackLat: String, trackMillis: String,
+                 bufferMeters: Double, timeSlackMs: Long, res: Int = 8): DataFrame = {
+    StFunctions.register(spark)
+    val segs = tubeSegments(track, trackLon, trackLat, trackMillis, bufferMeters, timeSlackMs)
+      .withColumn("__scell", explode(StFunctions.stCellCover(col("tube_geom"), lit(res), lit(512))))
+    val f = features.withColumn("__fcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
+    f.join(broadcast(segs), col("__fcell") === col("__scell"))
+      .where(SpatialJoin.intersectsCached(
+        StFunctions.stMakePoint(col(lonCol), col(latCol)), col("tube_geom")) &&
+        col(millisCol).between(col("t0"), col("t1")))
+      .groupBy(idCol)
+      .agg(min("t0").as("first_window_start"), max("t1").as("last_window_end"),
+        count(lit(1)).as("n_segments"))
+  }
+
+  /** Bearing in degrees [0, 360) from (x0,y0) to (x1,y1), planar. */
+  private val bearing = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
+    val b = math.toDegrees(math.atan2(x1 - x0, y1 - y0))
+    (b + 360.0) % 360.0
+  }
+
+  /** Route segments with per-segment bearing. `route` is an ordered
+    * sequence of (lon, lat) vertices. */
+  def routeSegments(route: DataFrame, lonCol: String, latCol: String, seqCol: String): DataFrame = {
+    val w = Window.orderBy(col(seqCol))
+    route
+      .withColumn("__plon", lag(col(lonCol), 1).over(w))
+      .withColumn("__plat", lag(col(latCol), 1).over(w))
+      .where(col("__plon").isNotNull)
+      .select(col("__plon").as("sx0"), col("__plat").as("sy0"),
+        col(lonCol).as("sx1"), col(latCol).as("sy1"),
+        bearing(col("__plon"), col("__plat"), col(lonCol), col(latCol)).as("seg_bearing"))
+  }
+
+  /**
+   * Route search: features within `meters` of the route whose heading is
+   * within `headingTolDeg` of the local route bearing (either direction,
+   * like the reference's route matching).
+   */
+  def routeSearch(spark: SparkSession,
+                  features: DataFrame, idCol: String, lonCol: String, latCol: String, headingCol: String,
+                  route: DataFrame, routeLon: String, routeLat: String, routeSeq: String,
+                  meters: Double, headingTolDeg: Double, res: Int = 8): DataFrame = {
+    StFunctions.register(spark)
+    val segGeom = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
+      GeomOps.toWkb(GeomOps.factory.createLineString(Array(
+        new org.locationtech.jts.geom.Coordinate(x0, y0),
+        new org.locationtech.jts.geom.Coordinate(x1, y1))))
+    }
+    val segs = routeSegments(route, routeLon, routeLat, routeSeq)
+      .withColumn("seg_geom", segGeom(col("sx0"), col("sy0"), col("sx1"), col("sy1")))
+      .withColumn("__scell", explode(StFunctions.stCellCover(
+        StFunctions.stBuffer(col("seg_geom"), lit(meters / 111320.0 * 1.5)), lit(res), lit(512))))
+    val f = features.withColumn("__fcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
+    val headingDiff =
+      least(
+        abs(col(headingCol) - col("seg_bearing")),
+        lit(360.0) - abs(col(headingCol) - col("seg_bearing")))
+    val alignedEitherWay = least(headingDiff, abs(headingDiff - 180.0))
+    f.join(broadcast(segs), col("__fcell") === col("__scell"))
+      .where(StFunctions.stDWithin(
+        StFunctions.stMakePoint(col(lonCol), col(latCol)), col("seg_geom"), lit(meters)) &&
+        alignedEitherWay <= headingTolDeg)
+      .groupBy(idCol)
+      .agg(min(alignedEitherWay).as("best_heading_diff"), count(lit(1)).as("n_segments"))
+  }
+}

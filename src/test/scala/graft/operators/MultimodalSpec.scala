@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTest
+import graft.images.{ImageCodec, SyntheticImages}
+import graft.cells.XZ3
+import graft.cells.BinnedTime
+
+/** Multimodal operators over real PNG/JPEG payloads + XZ3 kernel. */
+class MultimodalSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val imgs = SyntheticImages.table(spark, 60, partitions = 4).toDF()
+
+  test("image feature extraction: dims, stats, phash, corrupt tolerance") {
+    import spark.implicits._
+    val withBad = imgs.union(
+      Seq(("imgBAD", Array[Byte](1, 2, 3), 0, 0, "png", "x", 0L))
+        .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+    val feats = Multimodal.imageFeatures(spark, withBad).collect()
+    assert(feats.length == 61)
+    val bad = feats.filter(!_.decode_ok)
+    assert(bad.map(_.image_id).toSeq == Seq("imgBAD"))
+    val ok = feats.filter(_.decode_ok)
+    ok.foreach { f =>
+      assert(Set(64, 128, 256).contains(f.width) && Set(64, 128, 256).contains(f.height))
+      assert(f.mean_r >= 0 && f.mean_r <= 255 && f.luma_std >= 0)
+    }
+    // phash from features equals the stored column (same decode path)
+    val stored = imgs.select("image_id", "phash").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ok.foreach { f =>
+      assert(ImageCodec.hammingDistance(f.phash, stored(f.image_id)) <= 6)
+    }
+  }
+
+  test("resize bounds the max dimension, preserves aspect, stays decodable") {
+    val out = Multimodal.resize(spark, imgs, maxDim = 32).collect()
+    assert(out.length == 60)
+    out.foreach { r =>
+      val w = r.getAs[Int]("thumb_w"); val h = r.getAs[Int]("thumb_h")
+      assert(math.max(w, h) <= 32)
+      val dec = ImageCodec.decode(r.getAs[Array[Byte]]("thumb_bytes"))
+      assert(dec.getWidth == w && dec.getHeight == h)
+    }
+  }
+
+  test("phash near-dup blocking equals brute-force hamming filter") {
+    import spark.implicits._
+    val hs = imgs.select("image_id", "phash").collect().map(r => (r.getString(0), r.getLong(1)))
+    val pairsDf = Multimodal.phashPairs(imgs, "image_id", "phash", maxDist = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = (for {
+      (i, hi) <- hs; (j, hj) <- hs if i < j
+      if java.lang.Long.bitCount(hi ^ hj) <= 10
+    } yield (i, j)).toSet
+    assert(pairsDf == brute)
+  }
+
+  test("XZ3: intersecting-window cover includes the element's code") {
+    val xz = XZ3(10, BinnedTime.Week)
+    val rnd = new scala.util.Random(42)
+    (1 to 40).foreach { _ =>
+      val lon = rnd.nextDouble() * 300 - 150
+      val lat = rnd.nextDouble() * 150 - 75
+      val off = (rnd.nextDouble() * 500000).toLong
+      val code = xz.index(lon, lat, off, lon + 1, lat + 1, off + 3600)
+      val cover = xz.ranges(lon - 2, lat - 2, math.max(0, off - 7200),
+        lon + 3, lat + 3, off + 10800)
+      assert(cover.exists(r => code >= r.lower && code <= r.upper))
+    }
+    // disjoint in time excludes
+    val code = xz.index(10, 10, 1000, 11, 11, 2000)
+    val far = xz.ranges(10, 10, 400000, 11, 11, 500000)
+    assert(!far.exists(r => code >= r.lower && code <= r.upper))
+  }
+}
