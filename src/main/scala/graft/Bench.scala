@@ -43,7 +43,7 @@ object Bench {
       else if (sfDir.contains("sf0.01")) 20000L
       else 5000L
     }
-    val input = ImagePipeline.ensureInput(spark, nImages, "/tmp/graft_bench_cache")
+    val input = ImagePipeline.ensureGeoInput(spark, nImages, "/tmp/graft_bench_cache")
     ImagePipeline.runJoinTile(spark, input, nZones = 500) // warm
     val p = ImagePipeline.runJoinTile(spark, input, nZones = 500)
 

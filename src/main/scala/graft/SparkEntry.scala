@@ -421,7 +421,7 @@ object SparkEntry {
 
     "q_emb_pairs" -> ((s, dir) => {
       operators.Ann.cosinePairs(
-          t(s, dir, "embeddings").limit(2000), "vec_id", "embedding",
+          t(s, dir, "embeddings").where("vec_id < 2000"), "vec_id", "embedding",
           minCosine = 0.35)
         .selectExpr("id1", "id2", "round(cosine, 6) AS cosine")
     }),

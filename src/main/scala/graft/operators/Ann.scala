@@ -31,15 +31,26 @@ object Ann {
     s
   }
 
+  // hyperplane matrix cache: deterministic per (bits, dim), computed once
+  // per JVM instead of per row (the gauss() mixing is 4 hash rounds per
+  // component — 4k calls per row without the cache)
+  private val planes = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
+    planes.computeIfAbsent((bits, dim), { _ =>
+      Array.tabulate(bits, dim)((b, i) => gauss(b.toLong * 100003 + i))
+    })
+
   /** bits-wide sign signature of a vector under seeded hyperplanes. */
   private def signature(v: Seq[Float], bits: Int): Long = {
+    val h = hyperplanes(bits, v.length)
     var sig = 0L
     var b = 0
     while (b < bits) {
+      val row = h(b)
       var dot = 0.0
       var i = 0
       while (i < v.length) {
-        dot += v(i) * gauss(b.toLong * 100003 + i)
+        dot += v(i) * row(i)
         i += 1
       }
       if (dot >= 0) sig |= (1L << b)
