@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+import graft.functions.StFunctions
+
+class ExportSpec extends AnyFunSuite with SparkTest {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_export").toString
+
+  test("CSV export renders WKT and round-trips through spark.read.csv") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 2.0), ("b", -3.5, 4.25)).toDF("id", "x", "y")
+      .selectExpr("id", "st_makePoint(x, y) AS geom")
+    val dir = tmp() + "/csv"
+    Export.csv(df, "geom", dir)
+    val back = spark.read.option("header", "true").csv(dir).collect()
+    assert(back.length == 2)
+    val wkts = back.map(r => (r.getString(0), r.getString(1))).toMap
+    assert(wkts("a") == "POINT (1 2)" && wkts("b") == "POINT (-3.5 4.25)")
+  }
+
+  test("GeoJSON export emits parseable line-delimited features") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(("a", 10.0, 20.0, 7)).toDF("id", "x", "y", "n")
+      .selectExpr("id", "n", "st_makePoint(x, y) AS geom")
+    val dir = tmp() + "/geojson"
+    Export.geoJson(df, "geom", dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.length == 1)
+    val parsed = spark.read.json(spark.createDataset(lines.toSeq)(org.apache.spark.sql.Encoders.STRING))
+    val row = parsed.selectExpr("type", "geometry.type AS gt",
+      "CAST(geometry.coordinates[0] AS DOUBLE) AS gx", "properties.id", "properties.n").head
+    assert(row.getString(0) == "Feature" && row.getString(1) == "Point")
+    assert(row.getDouble(2) == 10.0 && row.getString(3) == "a" && row.getLong(4) == 7)
+  }
+
+  test("BIN export writes the packed 4-column layout") {
+    import spark.implicits._
+    val df = Seq(("t1", 1700000000000L, 1.5, 2.5)).toDF("track", "millis", "lon", "lat")
+    val dir = tmp() + "/bin"
+    Export.bin(df, "track", "millis", "lon", "lat", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSeq == Seq("track_hash", "dtg_s", "lat", "lon"))
+    assert(back.count() == 1)
+  }
+}
