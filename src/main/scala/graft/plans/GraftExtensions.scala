@@ -38,6 +38,12 @@ object GraftExtensions {
   val inject: SparkSessionExtensions => Unit = { ext =>
     ext.injectOptimizerRule(_ => GeometryLiteralFolding)
     ext.injectOptimizerRule(_ => SpatialJoinRewrite)
+    // native codegen cell expression (st_cell_native) — primitive-typed,
+    // whole-stage-codegen, unlike the boxed ScalaUDF surface
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("st_cell_native"),
+      graft.functions.CellOfXY.info,
+      graft.functions.CellOfXY.builder))
   }
 
   /** Join resolution for the rewrite's cover cells (knob-free default:

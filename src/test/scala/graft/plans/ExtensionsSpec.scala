@@ -75,6 +75,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(q.count() == 200)
   }
 
+  test("st_cell_native (codegen Expression) matches the UDF bit-for-bit") {
+    mkTables()
+    import graft.cells.Cells
+    val rows = spark.sql(
+      """SELECT st_cell_native(lon, lat, 9) AS native, st_cellOfXY(lon, lat, 9) AS viaUdf, lon, lat
+        |FROM (SELECT CAST(id AS DOUBLE) / 10 - 50 AS lon, CAST(id AS DOUBLE) / 20 - 25 AS lat
+        |      FROM range(1000))""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) == Cells.cell(r.getDouble(2), r.getDouble(3), 9))
+    }
+    // null propagation through the native expression
+    assert(spark.sql("SELECT st_cell_native(CAST(NULL AS DOUBLE), 0.0, 9)").head.isNullAt(0))
+  }
+
   test("constant st_* expressions fold to literals at plan time") {
     mkTables()
     val q = spark.sql(
