@@ -426,6 +426,16 @@ object SparkEntry {
         .selectExpr("id1", "id2", "round(cosine, 6) AS cosine")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF approximate NN (the coarse-quantizer scale path; recall<1 by
+      // construction -> rows-only; recall vs brute force in OperatorsSpec)
+      val e = t(s, dir, "embeddings")
+      val q = e.where("vec_id < 3").selectExpr("vec_id AS qid", "embedding AS qemb")
+      operators.Ann.ivfTopK(e, "vec_id", "embedding", q, "qid", "qemb",
+          k = 10, nLists = 16, nProbe = 6)
+        .selectExpr("qid", "vec_id", "round(cosine, 6) AS cosine")
+    }),
+
     "q_ann_cosine" -> ((s, dir) => {
       // brute-force cosine top-k (ANN baseline): queries = vec_ids 0..2,
       // left-fold dot/norm (deterministic order => bitwise parity)

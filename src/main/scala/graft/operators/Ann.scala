@@ -106,6 +106,51 @@ object Ann {
       .select(col(qidCol), col(idCol), col("cosine"))
   }
 
+  /**
+   * IVF (inverted-file) top-k: a coarse quantizer of `nLists` centroids
+   * (deterministic sample of the data, one refinement sweep) partitions
+   * vectors into lists; each query probes its `nProbe` nearest lists and
+   * ranks exact cosine inside them. The classic ANN scale path: the
+   * data side shuffles once on the list id and each query touches
+   * nProbe/nLists of the data.
+   */
+  def ivfTopK(data: DataFrame, idCol: String, embCol: String,
+              queries: DataFrame, qidCol: String, qEmbCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    // centroids: every (n/nLists)-th row by id hash — deterministic and
+    // cheap; a k-means refinement would slot in here identically
+    val cents: Array[(Int, Seq[Float])] = data
+      .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000)))
+      .where(col("__h") < lit(math.max(1, 1000 / nLists)))
+      .select(col(embCol)).limit(nLists)
+      .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+    require(cents.nonEmpty, "no centroids sampled")
+    val bc = cents
+    def nearestLists(v: Seq[Float], n: Int): Seq[Int] =
+      bc.map { case (i, c) => (i, cosineVal(v, c)) }.sortBy(-_._2).take(n).map(_._1).toSeq
+    val assign = udf((v: Seq[Float]) => nearestLists(v, 1).head)
+    val probe = udf((v: Seq[Float]) => nearestLists(v, nProbe))
+    val d = data.withColumn("__list", assign(col(embCol)))
+    val q = queries.withColumn("__list", explode(probe(col(qEmbCol))))
+    d.join(broadcast(q), "__list")
+      .withColumn("cosine", cosineUdf(col(embCol), col(qEmbCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(qidCol).orderBy(desc("cosine"), col(idCol))))
+      .where(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"))
+  }
+
+  private def cosineVal(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** All pairs with cosine >= minCosine via banded sign-LSH + verify —
     * used for embedding-level near-dup detection. */
   def cosinePairs(df: DataFrame, idCol: String, embCol: String,

@@ -206,6 +206,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("IVF topK achieves high recall on separable clusters") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    def vec(center: Int): Seq[Float] =
+      (0 until 16).map(i => (if (i % 4 == center) 1.0f else 0.0f) + rnd.nextFloat() * 0.05f)
+    val data = (0 until 200).map(i => (i.toLong, vec(i % 4))).toDF("id", "emb")
+    val queries = (0 until 4).map(c => (c.toLong, vec(c))).toDF("qid", "qemb")
+    val brute = Ann.bruteForceTopK(data, "id", "emb", queries, "qid", "qemb", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(data, "id", "emb", queries, "qid", "qemb", 5, nLists = 8, nProbe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall $recall too low")
+  }
+
   test("language id picks the dominant profile") {
     ready
     import spark.implicits._
