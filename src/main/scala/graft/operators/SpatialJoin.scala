@@ -45,6 +45,18 @@ object SpatialJoin {
     else graft.geom.GeomCache.prep(r).intersects(graft.geom.GeomCache.geom(l))
   }
 
+  /** Envelope-based cover (NO exact-geometry refinement of the cell set).
+    * The ownership dedup's uniqueness proof needs the envelope-
+    * intersection corner cell to be present in BOTH sides' covers; a
+    * cover filtered to exactly-intersecting cells can drop that cell for
+    * concave geometries (the corner of two envelopes' intersection need
+    * not touch either geometry), silently losing pairs. Envelope covers
+    * always contain it. The exact predicate still refines the PAIRS. */
+  private val envCover = udf { (wkb: Array[Byte], res: Int, maxCells: Int) =>
+    val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
+    Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
+  }
+
   /**
    * General spatial join on a predicate refined after the cell equi-join.
    *
@@ -62,8 +74,12 @@ object SpatialJoin {
            broadcastRight: Boolean = false): DataFrame = {
     val lc =
       if (leftPoint) left.withColumn("__lcell", StFunctions.stCell(col(leftGeom), lit(res)))
-      else left.withColumn("__lcell", explode(StFunctions.stCellCover(col(leftGeom), lit(res), lit(maxCells))))
-    val rc0 = right.withColumn("__rcell", explode(StFunctions.stCellCover(col(rightGeom), lit(res), lit(maxCells))))
+      else left.withColumn("__lcell", explode(envCover(col(leftGeom), lit(res), lit(maxCells))))
+    val rc0 =
+      if (leftPoint) // point probe: refined cover is sound (p in b => p's cell hits b)
+        right.withColumn("__rcell", explode(StFunctions.stCellCover(col(rightGeom), lit(res), lit(maxCells))))
+      else
+        right.withColumn("__rcell", explode(envCover(col(rightGeom), lit(res), lit(maxCells))))
     val rc = if (broadcastRight) broadcast(rc0) else rc0
     val joined = lc.join(rc, col("__lcell") === col("__rcell"))
       .where(predicate(col(leftGeom), col(rightGeom)))

@@ -71,19 +71,14 @@ object GeometryLiteralFolding extends Rule[org.apache.spark.sql.catalyst.plans.l
 /** θ-spatial-join -> cell equi-join rewrite. */
 object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
-  // raw kernels invoked from constructed ScalaUDF nodes
+  // raw kernels invoked from constructed ScalaUDF nodes.
+  // ENVELOPE cover (no exact-geometry cell filtering): the ownership
+  // dedup below requires the envelope-intersection corner cell to be in
+  // both covers — see SpatialJoin.envCover for the concave-geometry
+  // counterexample a refined cover would hit.
   private val coverFn: (Array[Byte], Int, Int) => Array[Long] = (wkb, res, maxCells) => {
-    val geom = GeomOps.fromWkb(wkb)
-    val env = geom.getEnvelopeInternal
-    val cand = Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
-    if (geom.isRectangle || geom.getNumPoints <= 1) cand
-    else {
-      val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(geom)
-      cand.filter { c =>
-        val (x0, y0, x1, y1) = Cells.envelope(c)
-        prep.intersects(GeomOps.bbox(x0, y0, x1, y1))
-      }
-    }
+    val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
+    Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
   }
 
   private val ownerFn: (Array[Byte], Array[Byte], Int) => Long = (a, b, res) => {

@@ -39,6 +39,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(brute.nonEmpty)
   }
 
+  test("concave-geometry join: ownership dedup must not drop pairs " +
+    "whose envelope-intersection corner misses the geometries") {
+    ready
+    import spark.implicits._
+    // L-shaped polygons: intersecting pair whose envelope-intersection
+    // min corner falls in the notch of both shapes — a refined cover
+    // would not contain that corner cell and the pair would vanish
+    val rnd = new scala.util.Random(41)
+    def lShape(cx: Double, cy: Double, s: Double, flip: Boolean): String = {
+      // an L occupying the envelope minus its lower-left (or upper-right) quadrant
+      if (!flip)
+        s"POLYGON(($cx ${cy + s / 2}, $cx ${cy + s}, ${cx + s} ${cy + s}, ${cx + s} $cy, ${cx + s / 2} $cy, ${cx + s / 2} ${cy + s / 2}, $cx ${cy + s / 2}))"
+      else
+        s"POLYGON(($cx $cy, $cx ${cy + s / 2}, ${cx + s / 2} ${cy + s / 2}, ${cx + s / 2} ${cy + s}, ${cx + s} ${cy + s}, ${cx + s} $cy, $cx $cy))"
+    }
+    val a = (0 until 40).map { i =>
+      val cx = rnd.nextDouble() * 30 - 15; val cy = rnd.nextDouble() * 30 - 15
+      (s"a$i", lShape(cx, cy, 2 + rnd.nextDouble() * 3, flip = false))
+    }.toDF("a_id", "wkt").selectExpr("a_id", "st_geomFromWKT(wkt) AS a_geom")
+    val b = (0 until 40).map { i =>
+      val cx = rnd.nextDouble() * 30 - 15; val cy = rnd.nextDouble() * 30 - 15
+      (s"b$i", lShape(cx, cy, 2 + rnd.nextDouble() * 3, flip = true))
+    }.toDF("b_id", "wkt").selectExpr("b_id", "st_geomFromWKT(wkt) AS b_geom")
+    val fast = SpatialJoin.intersects(a, "a_geom", b, "b_geom", res = 6)
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+    val brute = a.crossJoin(b).where(expr("st_intersects(a_geom, b_geom)"))
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fast.length == fast.distinct.length, "duplicate pairs")
+    assert(fast.toSet == brute.toSet,
+      s"missing=${brute.toSet -- fast.toSet} extra=${fast.toSet -- brute.toSet}")
+    assert(brute.nonEmpty)
+  }
+
   test("point-extent spatial join (leftPoint) matches brute force") {
     ready
     import spark.implicits._
