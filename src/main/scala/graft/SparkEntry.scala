@@ -194,6 +194,17 @@ object SparkEntry {
           expr("CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)").as("weight"))
     }),
 
+    "q_disjoint_scan" -> ((s, dir) => {
+      // disjoint-OR multi-scan (FilterSplitter.makeDisjoint analog):
+      // overlapping predicates -> disjoint branches -> dedup-free union
+      val li = t(s, dir, "lineitem")
+      plans.Disjoint.unionScans(li, Seq(
+          col("l_quantity") < 10.0,
+          col("l_extendedprice") > 50000.0,
+          col("l_returnflag") === "R"))
+        .selectExpr("l_orderkey", "l_linenumber")
+    }),
+
     "q_json_extract" -> ((s, dir) => {
       // converter-framework analog (geomesa-convert json): config-free
       // parse of a JSON column with from_json + aggregation
@@ -548,6 +559,10 @@ object SparkEntry {
            |  CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight
            |FROM pts GROUP BY 1, 2""".stripMargin
       },
+
+      "q_disjoint_scan" ->
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+          |WHERE l_quantity < 10.0 OR l_extendedprice > 50000.0 OR l_returnflag = 'R'""".stripMargin,
 
       "q_json_extract" ->
         """SELECT event_type,

@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTest
+
+class DisjointSpec extends AnyFunSuite with SparkTest {
+
+  test("disjoint branches partition the OR: union equals OR-filter, no dupes") {
+    import spark.implicits._
+    val df = (1 to 1000).toDF("v")
+    // overlapping predicates
+    val branches = Seq(col("v") < 400, col("v").between(200, 700), col("v") % 2 === 0)
+    val viaOr = df.where(branches.reduce(_ || _)).select("v").as[Int].collect().sorted
+    val viaUnion = Disjoint.unionScans(df, branches).select("v").as[Int].collect().sorted
+    assert(viaUnion.length == viaUnion.distinct.length, "union produced duplicates")
+    assert(viaUnion.toSeq == viaOr.toSeq)
+    // each row satisfies exactly one disjoint branch
+    val dis = Disjoint.makeDisjoint(branches)
+    val counts = df.select(dis.map(b => b.cast("int")).reduce(_ + _).as("k"))
+      .groupBy("k").count().collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(counts.keySet.subsetOf(Set(0, 1)))
+  }
+}
