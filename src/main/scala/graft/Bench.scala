@@ -31,11 +31,14 @@ object Bench {
     spark.range(1000).selectExpr("st_cellOfXY(CAST(id AS DOUBLE) / 100, 1.0, 9) AS c")
       .groupBy("c").count().count()
 
+    // a failing query must not masquerade as a wall time: record ok/error
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    val failed = results.collect { case (n, _, Some(e)) => s""""$n":"$e"""" }
 
     // flagship pipeline: n scaled to the testdata sf
     val nImages = sys.env.get("SPARK_GRAFT_IMAGES").map(_.toLong).getOrElse {
@@ -47,11 +50,12 @@ object Bench {
     ImagePipeline.runJoinTile(spark, input, nZones = 500) // warm
     val p = ImagePipeline.runJoinTile(spark, input, nZones = 500)
 
-    val qs = (results :+ ("pipeline_join_tile" -> p.secs))
+    val qs = (results.map(r => (r._1, r._2)) :+ ("pipeline_join_tile" -> p.secs))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + p.secs
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""failed":${failed.mkString("{", ",", "}")},""" +
         s""""pipeline":{"images":${p.nImages},"join_rows":${p.joinRows},"tile_rows":${p.tileRows},""" +
         s""""density_cells":${p.densityCells},"secs":${p.secs},"images_per_sec":${p.imagesPerSec},""" +
         s""""output_rows_per_sec":${p.outputRowsPerSec},"cpus":$cpus}}""")

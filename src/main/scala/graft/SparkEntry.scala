@@ -32,6 +32,19 @@ object SparkEntry {
   private val ZonesSql =
     "SELECT n_nationkey AS zone_key, (n_nationkey % 5) * 72.0 - 180.0 AS lon0, " +
       "floor(n_nationkey / 5) * 36.0 - 90.0 AS lat0 FROM nation"
+  /** Mixed zone sizes: every 3rd zone is continent-sized (300 x 150 deg,
+    * ~2900 cover cells at res 6 — far over the join budget, exercising
+    * the size-split broadcast branch); the rest are small grid-join
+    * zones. */
+  private val BigZonesSql =
+    """SELECT n_nationkey AS zone_key,
+      |  CASE WHEN n_nationkey % 3 = 0 THEN -170.0 + (n_nationkey % 5) * 3.0
+      |       ELSE (n_nationkey % 6) * 50.0 - 150.0 END AS lon0,
+      |  CASE WHEN n_nationkey % 3 = 0 THEN -80.0 + (n_nationkey % 5) * 4.0
+      |       ELSE (n_nationkey % 4) * 40.0 - 80.0 END AS lat0,
+      |  CASE WHEN n_nationkey % 3 = 0 THEN 300.0 ELSE 20.0 END AS w,
+      |  CASE WHEN n_nationkey % 3 = 0 THEN 150.0 ELSE 15.0 END AS h
+      |FROM nation""".stripMargin
 
   private def pts(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").createOrReplaceTempView("events")
@@ -143,6 +156,22 @@ object SparkEntry {
         .withColumn("zcell", explode(expr("st_cellCover(zgeom, 4, 256)")))
       p.join(broadcast(z), p("cell") === z("zcell"))
         .where(expr("st_intersects(st_makePoint(lon, lat), zgeom)"))
+        .select("event_id", "zone_key")
+    }),
+
+    "q_pip_join_bigzones" -> ((s, dir) => {
+      // point-in-polygon join where some zones are continent-sized: the
+      // old cover coarsened these (packed res mismatch -> silent pair
+      // loss); the size-split routes them through the exact-predicate
+      // broadcast branch. Runs through the REAL operator (SpatialJoin),
+      // not an inline plan.
+      StFunctions.register(s)
+      val p = pts(s, dir).selectExpr("event_id", "st_makePoint(lon, lat) AS p_geom")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      val z = s.sql(BigZonesSql)
+        .selectExpr("zone_key", "st_makeBBOX(lon0, lat0, lon0 + w, lat0 + h) AS z_geom")
+      operators.SpatialJoin.intersects(p, "p_geom", z, "z_geom",
+          res = 6, leftPoint = true, broadcastRight = true)
         .select("event_id", "zone_key")
     }),
 
@@ -520,6 +549,14 @@ object SparkEntry {
            |FROM pts p JOIN zones z
            |  ON p.lon BETWEEN z.lon0 AND z.lon0 + 72.0
            | AND p.lat BETWEEN z.lat0 AND z.lat0 + 36.0""".stripMargin,
+
+      "q_pip_join_bigzones" ->
+        s"""WITH $ptsCte,
+           |bz AS (${BigZonesSql.replace("\n", " ")})
+           |SELECT p.event_id, z.zone_key
+           |FROM pts p JOIN bz z
+           |  ON p.lon BETWEEN z.lon0 AND z.lon0 + z.w
+           | AND p.lat BETWEEN z.lat0 AND z.lat0 + z.h""".stripMargin,
 
       "q_tile_assign" -> {
         val tx = "CAST(floor((lon + 180.0) / 360.0 * 512.0) AS BIGINT)"

@@ -142,6 +142,13 @@ object Cells {
     out
   }
 
+  /** Number of cells a bbox cover needs at resolution r, with no cap —
+    * the size-split joins use this to route rows that would overflow the
+    * cover budget (and would previously coarsen) to an exact-predicate
+    * broadcast branch instead of the grid equi-join. */
+  def coverCountBBox(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double, r: Int): Long =
+    cellCountAt(lonMin, latMin, lonMax, latMax, r)
+
   private def cellCountAt(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double, r: Int): Long = {
     val n = 1L << r
     val x0 = clampIdx(math.floor((lonMin + 180.0) / 360.0 * n).toLong, n)

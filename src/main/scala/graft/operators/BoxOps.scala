@@ -46,29 +46,49 @@ object BoxOps {
       .withColumn("__cy", explode(sequence(iy(col(ymin), n), iy(col(ymax), n))))
   }
 
+  /** Cover-cell count of a bbox at `res` as a pure Column — the
+    * size-split routing predicate (no UDF, stays in codegen). */
+  private def coverCount(b: (String, String, String, String), n: Long): Column =
+    (ix(col(b._3), n) - ix(col(b._1), n) + 1) * (iy(col(b._4), n) - iy(col(b._2), n) + 1)
+
   /**
    * AABB intersects-join with reference-point dedup, codegen-only.
    * Each side supplies its bounds column names. Outputs all columns of
    * both inputs for every intersecting pair, exactly once.
+   *
+   * Size split (same argument as SpatialJoin): rows whose cover would
+   * exceed `maxCells` cells at `res` never enter the grid explode — a
+   * world-spanning box at res 9 would emit 262k rows — and instead take
+   * a broadcast nested-loop branch on the exact overlap predicate. With
+   * AQE, empty huge branches collapse, so the capped join costs the same
+   * as the uncapped one when all boxes are small.
    */
   def intersectsJoin(left: DataFrame, lb: (String, String, String, String),
                      right: DataFrame, rb: (String, String, String, String),
-                     res: Int, broadcastRight: Boolean = false): DataFrame = {
+                     res: Int, broadcastRight: Boolean = false,
+                     maxCells: Int = 4096): DataFrame = {
     val n = 1L << res
-    val lc = coverGrid(left, lb._1, lb._2, lb._3, lb._4, res)
-      .withColumnRenamed("__cx", "__lcx").withColumnRenamed("__cy", "__lcy")
-    val rc0 = coverGrid(right, rb._1, rb._2, rb._3, rb._4, res)
-      .withColumnRenamed("__cx", "__rcx").withColumnRenamed("__cy", "__rcy")
-    val rc = if (broadcastRight) broadcast(rc0) else rc0
+    val lHuge = coverCount(lb, n) > maxCells
+    val rHuge = coverCount(rb, n) > maxCells
     val overlap =
       col(lb._1) <= col(rb._3) && col(lb._3) >= col(rb._1) &&
         col(lb._2) <= col(rb._4) && col(lb._4) >= col(rb._2)
+
+    val lc = coverGrid(left.where(!lHuge), lb._1, lb._2, lb._3, lb._4, res)
+      .withColumnRenamed("__cx", "__lcx").withColumnRenamed("__cy", "__lcy")
+    val rc0 = coverGrid(right.where(!rHuge), rb._1, rb._2, rb._3, rb._4, res)
+      .withColumnRenamed("__cx", "__rcx").withColumnRenamed("__cy", "__rcy")
+    val rc = if (broadcastRight) broadcast(rc0) else rc0
     // owner cell = grid cell of the intersection's min corner
     val ownCx = ix(greatest(col(lb._1), col(rb._1)), n)
     val ownCy = iy(greatest(col(lb._2), col(rb._2)), n)
-    lc.join(rc, col("__lcx") === col("__rcx") && col("__lcy") === col("__rcy"))
+    val grid = lc.join(rc, col("__lcx") === col("__rcx") && col("__lcy") === col("__rcy"))
       .where(overlap && col("__lcx") === ownCx && col("__lcy") === ownCy)
       .drop("__lcx", "__lcy", "__rcx", "__rcy")
+
+    val hugeR = left.join(broadcast(right.where(rHuge)), overlap)
+    val hugeLvsSmallR = broadcast(left.where(lHuge)).join(right.where(!rHuge), overlap)
+    grid.union(hugeR).union(hugeLvsSmallR)
   }
 
   /** Tile assignment of bboxes at fixed res: one row per covering tile,

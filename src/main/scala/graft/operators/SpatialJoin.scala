@@ -23,6 +23,17 @@ import graft.functions.StFunctions
  *      to the executors): a pair is emitted only by the cell that
  *      contains the top-left corner of the envelope intersection.
  *      At 10^12 rows this removes the reduce-side dedup entirely.
+ *
+ * Size-split for oversized geometries: a row whose envelope needs more
+ * than `maxCells` cover cells at `res` must NOT enter the grid join —
+ * coarsening its cover would change its cell ids' packed resolution and
+ * the equi-join keys would never meet (silent pair loss), while covering
+ * it at full res would explode (a world-spanning box at res 9 is 262k
+ * cells). Those rows — geometrically rare by definition — are routed to
+ * a broadcast nested-loop branch with the exact predicate, and the grid
+ * branch's covers then never coarsen. With AQE enabled, empty huge
+ * branches collapse via empty-relation propagation, so the common
+ * no-huge-rows case keeps the original single-join plan cost.
  */
 object SpatialJoin {
 
@@ -53,17 +64,32 @@ object SpatialJoin {
     * not touch either geometry), silently losing pairs. Envelope covers
     * always contain it. The exact predicate still refines the PAIRS. */
   private val envCover = udf { (wkb: Array[Byte], res: Int, maxCells: Int) =>
-    val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
-    Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
+    if (wkb == null) Array.empty[Long]
+    else {
+      val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
+      Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
+    }
+  }
+
+  /** True when the row's envelope would overflow the cover budget at
+    * `res` — i.e. the rows coverBBox used to coarsen. Null-safe (null
+    * geometry -> small branch, where the explode drops it). */
+  private[operators] val isHuge = udf { (wkb: Array[Byte], res: Int, maxCells: Int) =>
+    wkb != null && {
+      val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
+      Cells.coverCountBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res) > maxCells
+    }
   }
 
   /**
    * General spatial join on a predicate refined after the cell equi-join.
    *
    * @param leftPoint  true when the left geometry is point-like (single
-   *                   cell assignment — no explode and no dedup needed)
+   *                   cell assignment — no explode, no dedup, no huge
+   *                   branch on the left side)
    * @param res        grid resolution for the partitioning cells
-   * @param maxCells   cover budget per extent (coarsens when exceeded)
+   * @param maxCells   cover budget per extent; rows over budget take the
+   *                   broadcast exact-predicate branch (size split)
    */
   def join(left: DataFrame, leftGeom: String,
            right: DataFrame, rightGeom: String,
@@ -72,21 +98,41 @@ object SpatialJoin {
            leftPoint: Boolean = false,
            maxCells: Int = 256,
            broadcastRight: Boolean = false): DataFrame = {
+    val lHuge = isHuge(col(leftGeom), lit(res), lit(maxCells))
+    val rHuge = isHuge(col(rightGeom), lit(res), lit(maxCells))
+    val smallL = if (leftPoint) left else left.where(!lHuge)
+    val smallR = right.where(!rHuge)
+    val hugeR = right.where(rHuge)
+
+    // -- grid branch: small x small, covers never coarsen ---------------
     val lc =
-      if (leftPoint) left.withColumn("__lcell", StFunctions.stCell(col(leftGeom), lit(res)))
-      else left.withColumn("__lcell", explode(envCover(col(leftGeom), lit(res), lit(maxCells))))
+      if (leftPoint) smallL.withColumn("__lcell", StFunctions.stCell(col(leftGeom), lit(res)))
+      else smallL.withColumn("__lcell", explode(envCover(col(leftGeom), lit(res), lit(maxCells))))
     val rc0 =
       if (leftPoint) // point probe: refined cover is sound (p in b => p's cell hits b)
-        right.withColumn("__rcell", explode(StFunctions.stCellCover(col(rightGeom), lit(res), lit(maxCells))))
+        smallR.withColumn("__rcell", explode(StFunctions.stCellCover(col(rightGeom), lit(res), lit(maxCells))))
       else
-        right.withColumn("__rcell", explode(envCover(col(rightGeom), lit(res), lit(maxCells))))
+        smallR.withColumn("__rcell", explode(envCover(col(rightGeom), lit(res), lit(maxCells))))
     val rc = if (broadcastRight) broadcast(rc0) else rc0
     val joined = lc.join(rc, col("__lcell") === col("__rcell"))
       .where(predicate(col(leftGeom), col(rightGeom)))
-    val deduped =
-      if (leftPoint) joined // point lives in exactly one cell: no dupes
-      else joined.where(col("__lcell") === ownerCell(col(leftGeom), col(rightGeom), lit(res)))
-    deduped.drop("__lcell", "__rcell")
+    val grid =
+      (if (leftPoint) joined // point lives in exactly one cell: no dupes
+       else joined.where(col("__lcell") === ownerCell(col(leftGeom), col(rightGeom), lit(res))))
+        .drop("__lcell", "__rcell")
+
+    // -- huge branches: exact-predicate broadcast nested-loop over the
+    // rare oversized rows; pair sets are disjoint from the grid branch
+    // (classified by hugeness), each BNLJ pair emitted exactly once,
+    // so the union needs no dedup.
+    val allHugeRight = left.join(broadcast(hugeR), predicate(col(leftGeom), col(rightGeom)))
+    val result = grid.union(allHugeRight)
+    if (leftPoint) result
+    else {
+      val hugeLvsSmallR = broadcast(left.where(lHuge))
+        .join(smallR, predicate(col(leftGeom), col(rightGeom)))
+      result.union(hugeLvsSmallR)
+    }
   }
 
   /** Intersects join (the flagship predicate) — cached/prepared refine. */

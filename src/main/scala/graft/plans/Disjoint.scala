@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.not
+import org.apache.spark.sql.functions.{coalesce, lit, not}
 
 /**
  * Disjoint-OR rewrite — the reference's FilterSplitter.makeDisjoint
@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions.not
  */
 object Disjoint {
 
-  /** Pairwise-disjoint branches equivalent (as a union) to the input ORs. */
+  /** Pairwise-disjoint branches equivalent (as a union) to the input ORs.
+    * Prior branches are negated null-safely (`NOT coalesce(prev, false)`):
+    * under three-valued logic a row with prev = NULL and b = TRUE
+    * satisfies the original OR but plain `b AND NOT prev` would be NULL
+    * and the row silently dropped. */
   def makeDisjoint(branches: Seq[Column]): Seq[Column] = {
     require(branches.nonEmpty, "no branches")
     branches.zipWithIndex.map { case (b, i) =>
-      branches.take(i).foldLeft(b)((acc, prev) => acc && not(prev))
+      branches.take(i).foldLeft(b)((acc, prev) => acc && not(coalesce(prev, lit(false))))
     }
   }
 

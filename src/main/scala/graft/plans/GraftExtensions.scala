@@ -68,17 +68,24 @@ object GeometryLiteralFolding extends Rule[org.apache.spark.sql.catalyst.plans.l
   }
 }
 
-/** θ-spatial-join -> cell equi-join rewrite. */
+/** θ-spatial-join -> cell equi-join rewrite (with size split: oversized
+  * geometries take an exact-predicate broadcast branch — see
+  * SpatialJoin's scaladoc for why covers must never coarsen inside an
+  * equi-join). */
 object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
   // raw kernels invoked from constructed ScalaUDF nodes.
   // ENVELOPE cover (no exact-geometry cell filtering): the ownership
   // dedup below requires the envelope-intersection corner cell to be in
   // both covers — see SpatialJoin.envCover for the concave-geometry
-  // counterexample a refined cover would hit.
+  // counterexample a refined cover would hit. Rows routed here are
+  // pre-filtered small, so the maxCells cap never actually coarsens.
   private val coverFn: (Array[Byte], Int, Int) => Array[Long] = (wkb, res, maxCells) => {
-    val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
-    Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
+    if (wkb == null) Array.empty[Long]
+    else {
+      val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
+      Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
+    }
   }
 
   private val ownerFn: (Array[Byte], Array[Byte], Int) => Long = (a, b, res) => {
@@ -87,27 +94,55 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     Cells.cell(math.max(ea.getMinX, eb.getMinX), math.max(ea.getMinY, eb.getMinY), res)
   }
 
+  private val hugeFn: (Array[Byte], Int, Int) => Boolean = (wkb, res, maxCells) => {
+    wkb != null && {
+      val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
+      Cells.coverCountBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res) > maxCells
+    }
+  }
+
   private def udf(fn: AnyRef, dt: DataType, children: Seq[Expression], name: String): ScalaUDF =
     ScalaUDF(fn, dt, children, Nil, None, Some(name), nullable = true, udfDeterministic = true)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && !hasEquiKeys(cond, left, right) &&
+        if j.resolved && hint == JoinHint.NONE &&
+          !hasEquiKeys(cond, left, right) &&
           findSpatialPred(cond, left, right).isDefined &&
           !left.output.exists(_.name == "__graft_lcell") =>
       val (lg, rg) = findSpatialPred(cond, left, right).get
       val res = GraftExtensions.JoinRes
+      val maxCells = Literal(GraftExtensions.MaxCoverCells)
+      def hugeOf(g: Expression) =
+        udf(hugeFn, BooleanType, Seq(g, Literal(res), maxCells), "graft_huge")
+      val outAttrs = left.output ++ right.output
+
+      // grid branch: small x small through the cell equi-join
+      val smallL = Filter(Not(hugeOf(lg)), left)
+      val smallR = Filter(Not(hugeOf(rg)), right)
       val lCover = udf(coverFn, ArrayType(LongType, containsNull = false),
-        Seq(lg, Literal(res), Literal(GraftExtensions.MaxCoverCells)), "graft_cover")
+        Seq(lg, Literal(res), maxCells), "graft_cover")
       val rCover = udf(coverFn, ArrayType(LongType, containsNull = false),
-        Seq(rg, Literal(res), Literal(GraftExtensions.MaxCoverCells)), "graft_cover")
+        Seq(rg, Literal(res), maxCells), "graft_cover")
       val lCell = AttributeReference("__graft_lcell", LongType, nullable = true)()
       val rCell = AttributeReference("__graft_rcell", LongType, nullable = true)()
-      val genL = Generate(Explode(lCover), Nil, outer = false, None, Seq(lCell), left)
-      val genR = Generate(Explode(rCover), Nil, outer = false, None, Seq(rCell), right)
+      val genL = Generate(Explode(lCover), Nil, outer = false, None, Seq(lCell), smallL)
+      val genR = Generate(Explode(rCover), Nil, outer = false, None, Seq(rCell), smallR)
       val owner = udf(ownerFn, LongType, Seq(lg, rg, Literal(res)), "graft_owner")
       val newCond = And(And(EqualTo(lCell, rCell), cond), EqualTo(lCell, owner))
-      Project(left.output ++ right.output, Join(genL, genR, Inner, Some(newCond), hint))
+      val grid = Project(outAttrs, Join(genL, genR, Inner, Some(newCond), hint))
+
+      // huge branches: exact-predicate joins with the rare oversized rows
+      // broadcast (BNLJ). The BROADCAST hint doubles as the idempotency
+      // guard — this rule skips hinted joins. With AQE, empty huge sides
+      // collapse the branch via empty-relation propagation.
+      val bcRight = JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+      val bcLeft = JoinHint(Some(HintInfo(Some(BROADCAST))), None)
+      val hugeR = Project(outAttrs,
+        Join(left, Filter(hugeOf(rg), right), Inner, Some(cond), bcRight))
+      val hugeLvsSmallR = Project(outAttrs,
+        Join(Filter(hugeOf(lg), left), Filter(Not(hugeOf(rg)), right), Inner, Some(cond), bcLeft))
+      Union(Seq(grid, hugeR, hugeLvsSmallR))
   }
 
   /** Extract (leftGeom, rightGeom) when the whole condition (or a

@@ -61,6 +61,32 @@ class BoxOpsSpec extends AnyFunSuite with SparkTest {
     assert(fast == generic && generic.nonEmpty)
   }
 
+  test("box join size split: world-spanning boxes match brute force under a tiny budget") {
+    ready
+    import spark.implicits._
+    val smalls = boxes(60, 9, "a")
+    val b = (Seq(
+      ("b_world", -179.0, -89.0, 179.0, 89.0),
+      ("b_band", -179.0, -10.0, 179.0, 10.0)) ++
+      (0 until 40).map { i =>
+        val rnd = new scala.util.Random(100 + i)
+        val cx = rnd.nextDouble() * 60 - 30; val cy = rnd.nextDouble() * 60 - 30
+        (s"b$i", cx - 1, cy - 1, cx + 1, cy + 1)
+      }).toDF("b_id", "bxmin", "bymin", "bxmax", "bymax")
+    // maxCells=16 forces even moderate boxes through the huge branch
+    val fast = BoxOps.intersectsJoin(smalls, ("axmin", "aymin", "axmax", "aymax"),
+        b, ("bxmin", "bymin", "bxmax", "bymax"), res = 6, maxCells = 16)
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+    val brute = smalls.crossJoin(b)
+      .where(col("axmin") <= col("bxmax") && col("axmax") >= col("bxmin") &&
+        col("aymin") <= col("bymax") && col("aymax") >= col("bymin"))
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fast.length == fast.distinct.length, "duplicate pairs")
+    assert(fast.toSet == brute.toSet,
+      s"missing=${(brute.toSet -- fast.toSet).take(5)} extra=${(fast.toSet -- brute.toSet).take(5)}")
+    assert(brute.count(_._2 == "b_world") == 60, "world box must match every left box")
+  }
+
   test("box join plan is pure codegen (no ScalaUDF / BatchEvalPython)") {
     ready
     val a = boxes(10, 7, "a")

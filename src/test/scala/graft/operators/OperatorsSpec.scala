@@ -72,6 +72,62 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(brute.nonEmpty)
   }
 
+  test("oversized-geometry join (size split): continent-wide boxes vs small ones, " +
+    "no pair loss where the cover would have coarsened") {
+    ready
+    import spark.implicits._
+    // res 6 cells are ~5.6 deg; maxCells=64 -> any box wider than ~45 deg
+    // overflows the budget. Before the size split, coverBBox coarsened its
+    // resolution and the cell equi-join keys could never match.
+    val rnd = new scala.util.Random(17)
+    def side(name: String): org.apache.spark.sql.DataFrame =
+      ((0 until 3).map { i =>
+        (s"${name}_big$i", -150.0 + i * 15, -70.0 + i * 10, 150.0 - i * 15, 70.0 - i * 10)
+      } ++ (0 until 50).map { i =>
+        val cx = rnd.nextDouble() * 60 - 30; val cy = rnd.nextDouble() * 60 - 30
+        (s"${name}_sm$i", cx - 1.5, cy - 1.5, cx + 1.5, cy + 1.5)
+      }).toDF(s"${name}_id", "x0", "y0", "x1", "y1")
+        .selectExpr(s"${name}_id", s"st_makeBBOX(x0, y0, x1, y1) AS ${name}_geom")
+    val a = side("a")
+    val b = side("b")
+    val fast = SpatialJoin.intersects(a, "a_geom", b, "b_geom", res = 6)
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+    val brute = a.crossJoin(b).where(expr("st_intersects(a_geom, b_geom)"))
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fast.length == fast.distinct.length, "duplicate pairs emitted")
+    assert(fast.toSet == brute.toSet,
+      s"missing=${(brute.toSet -- fast.toSet).take(5)} extra=${(fast.toSet -- brute.toSet).take(5)}")
+    assert(brute.exists(p => p._1.contains("big") && p._2.contains("big")),
+      "huge x huge pairs must exist")
+    assert(brute.exists(p => p._1.contains("big") ^ p._2.contains("big")),
+      "huge x small pairs must exist")
+  }
+
+  test("point-in-oversized-zone join (leftPoint, size split) matches brute force") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 400).map { i =>
+      (s"p$i", rnd.nextDouble() * 340 - 170, rnd.nextDouble() * 160 - 80)
+    }.toDF("p_id", "lon", "lat").selectExpr("p_id", "st_makePoint(lon, lat) AS p_geom")
+    val zones = ((0 until 2).map { i =>
+      (s"zbig$i", -160.0 + i * 20, -75.0 + i * 10, 160.0 - i * 20, 75.0 - i * 10)
+    } ++ (0 until 12).map { i =>
+      val cx = rnd.nextDouble() * 120 - 60; val cy = rnd.nextDouble() * 80 - 40
+      (s"zsm$i", cx - 3, cy - 3, cx + 3, cy + 3)
+    }).toDF("z_id", "x0", "y0", "x1", "y1")
+      .selectExpr("z_id", "st_makeBBOX(x0, y0, x1, y1) AS z_geom")
+    val fast = SpatialJoin.intersects(pts, "p_geom", zones, "z_geom",
+        res = 6, leftPoint = true, broadcastRight = true)
+      .select("p_id", "z_id").collect().map(r => (r.getString(0), r.getString(1)))
+    val brute = pts.crossJoin(zones).where(expr("st_intersects(p_geom, z_geom)"))
+      .select("p_id", "z_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fast.length == fast.distinct.length, "duplicate pairs emitted")
+    assert(fast.toSet == brute.toSet,
+      s"missing=${(brute.toSet -- fast.toSet).take(5)} extra=${(fast.toSet -- brute.toSet).take(5)}")
+    assert(brute.count(_._2.startsWith("zbig")) > 100, "big zones should catch most points")
+  }
+
   test("point-extent spatial join (leftPoint) matches brute force") {
     ready
     import spark.implicits._

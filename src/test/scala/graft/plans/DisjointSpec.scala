@@ -21,4 +21,19 @@ class DisjointSpec extends AnyFunSuite with SparkTest {
       .groupBy("k").count().collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(counts.keySet.subsetOf(Set(0, 1)))
   }
+
+  test("nullable predicate columns: three-valued logic must not drop rows " +
+    "(A NULL, B TRUE satisfies A OR B)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some(10)), (None, Some(10)), (None, None),
+      (Some(5), None), (Some(1), Some(99)), (None, Some(99))
+    ).toDF("a", "b")
+    val branches = Seq(col("a") < 3, col("b") < 50)
+    val viaOr = df.where(branches.reduce(_ || _)).count()
+    val viaUnion = Disjoint.unionScans(df, branches).count()
+    assert(viaUnion == viaOr, s"union=$viaUnion or=$viaOr — null branch dropped rows")
+    // (1,10) via A; (None,10) via B even though A is NULL; (1,99) via A
+    assert(viaOr == 3)
+  }
 }

@@ -46,19 +46,50 @@ class ExtensionsSpec extends AnyFunSuite {
     polys.createOrReplaceTempView("polys")
   }
 
-  test("SQL spatial join is rewritten to a cell equi-join (no CartesianProduct/BNLJ)") {
+  test("SQL spatial join is rewritten to a cell equi-join (no CartesianProduct; " +
+    "bulk goes through the grid hash join)") {
     mkTables()
     val q = spark.sql(
       "SELECT p_id, z_id FROM pts JOIN polys ON st_intersects(p_geom, z_geom)")
     val phys = q.queryExecution.executedPlan.toString
     assert(!phys.contains("CartesianProduct"), s"cartesian product in plan:\n$phys")
-    assert(!phys.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$phys")
+    // the small x small bulk is a hash join on the generated cell key;
+    // the only BNLJ branches are against filtered-huge sides (empty here,
+    // collapsed by AQE at runtime)
+    assert(phys.contains("__graft_lcell"), s"grid branch missing:\n$phys")
     // and it computes the right answer
     val fast = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
     val brute = spark.sql(
       "SELECT /*+ BROADCAST(polys) */ p_id, z_id FROM pts, polys WHERE st_distance(p_geom, z_geom) = 0")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(fast == brute && brute.nonEmpty)
+  }
+
+  test("SQL spatial join with continent-sized zones (size split): no pair loss " +
+    "where the old cover would coarsen") {
+    mkTables()
+    import spark.implicits._
+    // JoinRes=7 cells are ~2.8 deg; MaxCoverCells=64 -> any zone wider
+    // than ~8 cells (~23 deg) used to coarsen its cover and silently lose
+    // every pair. These zones are up to 160 deg wide.
+    val rnd = new scala.util.Random(11)
+    val zones = ((0 until 3).map { i =>
+      (s"big$i", -80.0 + i * 10, -40.0 + i * 5, 80.0 - i * 10, 40.0 - i * 5)
+    } ++ (0 until 10).map { i =>
+      val cx = rnd.nextDouble() * 80 - 40; val cy = rnd.nextDouble() * 80 - 40
+      (s"sm$i", cx - 2, cy - 2, cx + 2, cy + 2)
+    }).toDF("z_id", "x0", "y0", "x1", "y1")
+      .selectExpr("z_id", "st_makeBBOX(x0, y0, x1, y1) AS z_geom")
+    zones.createOrReplaceTempView("bigzones")
+    val q = spark.sql(
+      "SELECT p_id, z_id FROM pts JOIN bigzones ON st_intersects(p_geom, z_geom)")
+    val fast = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = spark.sql(
+      "SELECT /*+ BROADCAST(bigzones) */ p_id, z_id FROM pts, bigzones WHERE st_distance(p_geom, z_geom) = 0")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == brute, s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+    assert(brute.exists(_._2.startsWith("big")), "big zones must actually match points")
+    assert(fast.size == q.collect().length, "duplicate pairs emitted")
   }
 
   test("rewrite preserves extra join conjuncts") {
