@@ -175,6 +175,41 @@ object SparkEntry {
         .select("event_id", "zone_key")
     }),
 
+    "q_rule_scan" -> ((s, dir) => {
+      // automatic spatial-filter pushdown (SpatialFilterRule): a plain
+      // SQL WHERE st_intersects(...) over a SpatialTable — no manual
+      // ZQuery/readBBox call — must still answer exactly. The injected
+      // rule derives lon/lat envelope bounds (PushedFilters), cell
+      // z-ranges (row-group skipping), and cell_prefix partition pruning;
+      // plan shape asserted in ExtensionsSpec.
+      StFunctions.register(s)
+      val root = s"/tmp/graft_rule_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.table.SpatialTable.write(s, pts(s, dir), root, "s1", "event_id", "lon", "lat",
+        res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      s.conf.set("spark.graft.index.res", "9")
+      graft.table.SpatialTable.read(s, root, "s1").createOrReplaceTempView("graft_rule_tbl")
+      s.sql("""SELECT event_id FROM graft_rule_tbl
+              |WHERE st_intersects(st_makePoint(lon, lat),
+              |  st_geomFromWKT('POLYGON((-50 -20, 30 -20, 30 25, -50 25, -50 -20))'))""".stripMargin)
+    }),
+
+    "q_dwithin_join" -> ((s, dir) => {
+      // SQL proximity join through the injected SpatialJoinRewrite:
+      // st_dwithinPlanar plans as a cell equi-join with distance-expanded
+      // right covers (no cartesian; plan asserted in ExtensionsSpec)
+      StFunctions.register(s)
+      pts(s, dir).selectExpr("event_id", "st_makePoint(lon, lat) AS p_geom")
+        .createOrReplaceTempView("dw_pts")
+      zones(s, dir)
+        .selectExpr("zone_key", "st_makePoint(lon0 + 36.0, lat0 + 18.0) AS z_geom")
+        .createOrReplaceTempView("dw_zones")
+      // threshold 9.701: 9.701^2*10000 is not an integer, so no
+      // hundredth-lattice point distance can land exactly on the
+      // boundary — keeps the JTS-vs-DuckDB comparison FMA-robust
+      s.sql("""SELECT event_id, zone_key FROM dw_pts
+              |JOIN dw_zones ON st_dwithinPlanar(p_geom, z_geom, 9.701)""".stripMargin)
+    }),
+
     "q_tile_assign" -> ((s, dir) => {
       // raster->vector tile assignment at res 9; oracle recomputes the
       // packed cell id via independent bit-arithmetic SQL
@@ -549,6 +584,18 @@ object SparkEntry {
            |FROM pts p JOIN zones z
            |  ON p.lon BETWEEN z.lon0 AND z.lon0 + 72.0
            | AND p.lat BETWEEN z.lat0 AND z.lat0 + 36.0""".stripMargin,
+
+      "q_rule_scan" ->
+        s"""WITH $ptsCte
+           |SELECT event_id FROM pts
+           |WHERE lon BETWEEN -50.0 AND 30.0 AND lat BETWEEN -20.0 AND 25.0""".stripMargin,
+
+      "q_dwithin_join" ->
+        s"""WITH $ptsCte, $zonesCte
+           |SELECT p.event_id, z.zone_key
+           |FROM pts p JOIN zones z
+           |  ON sqrt((p.lon - (z.lon0 + 36.0))*(p.lon - (z.lon0 + 36.0)) +
+           |          (p.lat - (z.lat0 + 18.0))*(p.lat - (z.lat0 + 18.0))) < 9.701""".stripMargin,
 
       "q_pip_join_bigzones" ->
         s"""WITH $ptsCte,

@@ -142,6 +142,11 @@ object StFunctions {
   val stIntersection: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) => nn2(a, b)((x, y) => w(g(x).intersection(g(y)))).asInstanceOf[Array[Byte]])
   val stDWithin: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], meters: Double) =>
     nn2(a, b)((x, y) => G.distanceSphereMeters(g(x), g(y)) < meters).asInstanceOf[java.lang.Boolean])
+  /** Planar (degree-space) distance-within — JTS cartesian distance. The
+    * oracle-safe variant (no trig) and the reference's st_dwithin
+    * cartesian twin. */
+  val stDWithinPlanar: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], deg: Double) =>
+    nn2(a, b)((x, y) => g(x).distance(g(y)) < deg).asInstanceOf[java.lang.Boolean])
 
   // -- outputs ----------------------------------------------------------
   val stAsBinary: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(g(x))).asInstanceOf[Array[Byte]])
@@ -244,6 +249,7 @@ object StFunctions {
     "st_buffer" -> stBuffer, "st_bufferPoint" -> stBufferPoint,
     "st_antimeridianSafeGeom" -> stAntimeridianSafeGeom, "st_idlSafeGeom" -> stAntimeridianSafeGeom,
     "st_intersection" -> stIntersection, "st_dwithin" -> stDWithin,
+    "st_dwithinPlanar" -> stDWithinPlanar,
     "st_asBinary" -> stAsBinary, "st_asText" -> stAsText, "st_asGeoJSON" -> stAsGeoJSON,
     "st_asLatLonText" -> stAsLatLonText, "st_geoHash" -> stGeoHash,
     "st_castToPoint" -> stCastToPoint, "st_castToPolygon" -> stCastToPolygon,

@@ -55,6 +55,29 @@ object GeomOps {
     haversineMeters(pts(0).x, pts(0).y, pts(1).x, pts(1).y)
   }
 
+  /**
+   * Conservative (superset) envelope expansion for a metric radius: any
+   * point whose haversine distance to the envelope is <= meters lies
+   * inside the expanded envelope. Uses 110,000 m/deg (< the true
+   * 111,195 m/deg at R=6371008.77) so the degree deltas over-cover, and
+   * the worst-case cos(lat) over the expanded band for longitude. Near
+   * the poles longitude becomes unconstrained.
+   */
+  def expandEnvelopeMeters(env: Envelope, meters: Double): Envelope = {
+    val dLat = meters / 110000.0
+    val maxAbsLat = math.max(math.abs(env.getMinY - dLat), math.abs(env.getMaxY + dLat))
+    val dLon =
+      if (maxAbsLat >= 89.0) 360.0
+      else meters / (110000.0 * math.cos(math.toRadians(maxAbsLat)))
+    new Envelope(env.getMinX - dLon, env.getMaxX + dLon,
+      env.getMinY - dLat, env.getMaxY + dLat)
+  }
+
+  /** Envelope expanded by a planar degree radius (st_dwithinPlanar). */
+  def expandEnvelopeDeg(env: Envelope, deg: Double): Envelope =
+    new Envelope(env.getMinX - deg, env.getMaxX + deg,
+      env.getMinY - deg, env.getMaxY + deg)
+
   /** Geodesic length of a line in meters (sum of haversine segment lengths). */
   def lengthSphereMeters(g: Geometry): Double = {
     val cs = g.getCoordinates

@@ -37,6 +37,7 @@ object GraftExtensions {
 
   val inject: SparkSessionExtensions => Unit = { ext =>
     ext.injectOptimizerRule(_ => GeometryLiteralFolding)
+    ext.injectOptimizerRule(_ => SpatialFilterRule)
     ext.injectOptimizerRule(_ => SpatialJoinRewrite)
     // native codegen cell expression (st_cell_native) — primitive-typed,
     // whole-stage-codegen, unlike the boxed ScalaUDF surface
@@ -101,6 +102,41 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  // dwithin variants: the right side's envelope is expanded by the
+  // distance radius (conservative metric->degree conversion, or plain
+  // degrees for the planar predicate) before covering — any pair within
+  // the distance then meets at a shared cell, with the owner corner
+  // taken on the expanded-envelope intersection.
+  private def expand(env: org.locationtech.jts.geom.Envelope, radius: Double,
+                     planar: Boolean): org.locationtech.jts.geom.Envelope =
+    if (radius <= 0) env
+    else if (planar) GeomOps.expandEnvelopeDeg(env, radius)
+    else GeomOps.expandEnvelopeMeters(env, radius)
+
+  private val coverExpFn: (Array[Byte], Int, Int, Double, Boolean) => Array[Long] =
+    (wkb, res, maxCells, radius, planar) => {
+      if (wkb == null) Array.empty[Long]
+      else {
+        val env = expand(GeomOps.fromWkb(wkb).getEnvelopeInternal, radius, planar)
+        Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
+      }
+    }
+
+  private val ownerExpFn: (Array[Byte], Array[Byte], Int, Double, Boolean) => Long =
+    (a, b, res, radius, planar) => {
+      val ea = GeomOps.fromWkb(a).getEnvelopeInternal
+      val eb = expand(GeomOps.fromWkb(b).getEnvelopeInternal, radius, planar)
+      Cells.cell(math.max(ea.getMinX, eb.getMinX), math.max(ea.getMinY, eb.getMinY), res)
+    }
+
+  private val hugeExpFn: (Array[Byte], Int, Int, Double, Boolean) => Boolean =
+    (wkb, res, maxCells, radius, planar) => {
+      wkb != null && {
+        val env = expand(GeomOps.fromWkb(wkb).getEnvelopeInternal, radius, planar)
+        Cells.coverCountBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res) > maxCells
+      }
+    }
+
   private def udf(fn: AnyRef, dt: DataType, children: Seq[Expression], name: String): ScalaUDF =
     ScalaUDF(fn, dt, children, Nil, None, Some(name), nullable = true, udfDeterministic = true)
 
@@ -110,25 +146,31 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
           !hasEquiKeys(cond, left, right) &&
           findSpatialPred(cond, left, right).isDefined &&
           !left.output.exists(_.name == "__graft_lcell") =>
-      val (lg, rg) = findSpatialPred(cond, left, right).get
+      val SpatialPredInfo(lg, rg, radius, planar) = findSpatialPred(cond, left, right).get
       val res = GraftExtensions.JoinRes
       val maxCells = Literal(GraftExtensions.MaxCoverCells)
-      def hugeOf(g: Expression) =
+      val rad = Literal(radius)
+      val pl = Literal(planar)
+      // the distance expansion (dwithin) applies to the RIGHT side only:
+      // the pair then meets at a cell of env(l) intersect expandedEnv(r)
+      def hugeOfL(g: Expression) =
         udf(hugeFn, BooleanType, Seq(g, Literal(res), maxCells), "graft_huge")
+      def hugeOfR(g: Expression) =
+        udf(hugeExpFn, BooleanType, Seq(g, Literal(res), maxCells, rad, pl), "graft_huge_r")
       val outAttrs = left.output ++ right.output
 
       // grid branch: small x small through the cell equi-join
-      val smallL = Filter(Not(hugeOf(lg)), left)
-      val smallR = Filter(Not(hugeOf(rg)), right)
+      val smallL = Filter(Not(hugeOfL(lg)), left)
+      val smallR = Filter(Not(hugeOfR(rg)), right)
       val lCover = udf(coverFn, ArrayType(LongType, containsNull = false),
         Seq(lg, Literal(res), maxCells), "graft_cover")
-      val rCover = udf(coverFn, ArrayType(LongType, containsNull = false),
-        Seq(rg, Literal(res), maxCells), "graft_cover")
+      val rCover = udf(coverExpFn, ArrayType(LongType, containsNull = false),
+        Seq(rg, Literal(res), maxCells, rad, pl), "graft_cover_r")
       val lCell = AttributeReference("__graft_lcell", LongType, nullable = true)()
       val rCell = AttributeReference("__graft_rcell", LongType, nullable = true)()
       val genL = Generate(Explode(lCover), Nil, outer = false, None, Seq(lCell), smallL)
       val genR = Generate(Explode(rCover), Nil, outer = false, None, Seq(rCell), smallR)
-      val owner = udf(ownerFn, LongType, Seq(lg, rg, Literal(res)), "graft_owner")
+      val owner = udf(ownerExpFn, LongType, Seq(lg, rg, Literal(res), rad, pl), "graft_owner")
       val newCond = And(And(EqualTo(lCell, rCell), cond), EqualTo(lCell, owner))
       val grid = Project(outAttrs, Join(genL, genR, Inner, Some(newCond), hint))
 
@@ -139,29 +181,50 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
       val bcRight = JoinHint(None, Some(HintInfo(Some(BROADCAST))))
       val bcLeft = JoinHint(Some(HintInfo(Some(BROADCAST))), None)
       val hugeR = Project(outAttrs,
-        Join(left, Filter(hugeOf(rg), right), Inner, Some(cond), bcRight))
+        Join(left, Filter(hugeOfR(rg), right), Inner, Some(cond), bcRight))
       val hugeLvsSmallR = Project(outAttrs,
-        Join(Filter(hugeOf(lg), left), Filter(Not(hugeOf(rg)), right), Inner, Some(cond), bcLeft))
+        Join(Filter(hugeOfL(lg), left), Filter(Not(hugeOfR(rg)), right), Inner, Some(cond), bcLeft))
       Union(Seq(grid, hugeR, hugeLvsSmallR))
   }
 
-  /** Extract (leftGeom, rightGeom) when the whole condition (or a
+  private[plans] case class SpatialPredInfo(
+    leftGeom: Expression, rightGeom: Expression, radius: Double, planar: Boolean)
+
+  /** Extract the spatial predicate when the whole condition (or a
     * top-level conjunct) is a recognized spatial ScalaUDF with one side
-    * per join child. */
-  private def findSpatialPred(cond: Expression, left: LogicalPlan, right: LogicalPlan): Option[(Expression, Expression)] = {
+    * per join child — binary predicates (st_intersects family) or
+    * st_dwithin/st_dwithinPlanar with a foldable distance. */
+  private def findSpatialPred(cond: Expression, left: LogicalPlan, right: LogicalPlan): Option[SpatialPredInfo] = {
+    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] = {
+      val aRefs = a.references
+      val bRefs = b.references
+      if (aRefs.subsetOf(left.outputSet) && bRefs.subsetOf(right.outputSet) &&
+        aRefs.nonEmpty && bRefs.nonEmpty) Some((a, b))
+      else if (aRefs.subsetOf(right.outputSet) && bRefs.subsetOf(left.outputSet) &&
+        aRefs.nonEmpty && bRefs.nonEmpty) Some((b, a))
+      else None
+    }
     val conjuncts = splitConjuncts(cond)
     conjuncts.iterator.flatMap {
       case s: ScalaUDF if s.udfName.exists(GraftExtensions.isSpatialName) && s.children.size == 2 =>
         val Seq(a, b) = s.children
-        val aRefs = a.references
-        val bRefs = b.references
-        if (aRefs.subsetOf(left.outputSet) && bRefs.subsetOf(right.outputSet) &&
-          aRefs.nonEmpty && bRefs.nonEmpty) Some((a, b))
-        else if (aRefs.subsetOf(right.outputSet) && bRefs.subsetOf(left.outputSet) &&
-          aRefs.nonEmpty && bRefs.nonEmpty) Some((b, a))
-        else None
+        sides(a, b).map { case (l, r) => SpatialPredInfo(l, r, 0.0, planar = false) }
+      case s: ScalaUDF if s.children.size == 3 &&
+          s.udfName.exists(n => n.equalsIgnoreCase("st_dwithin") ||
+            n.equalsIgnoreCase("st_dwithinPlanar")) && s.children(2).foldable =>
+        val Seq(a, b, d) = s.children
+        val planar = s.udfName.exists(_.equalsIgnoreCase("st_dwithinPlanar"))
+        val radius = Option(d.eval(null)).map {
+          case x: Double => x
+          case x: java.lang.Number => x.doubleValue()
+        }
+        radius match {
+          case Some(r) if r > 0 =>
+            sides(a, b).map { case (l, rr) => SpatialPredInfo(l, rr, r, planar) }
+          case _ => None
+        }
       case _ => None
-    }.toSeq.headOption
+    }.nextOption()
   }
 
   /** A join that already has an equi-key (e.g. our own cell join, or any

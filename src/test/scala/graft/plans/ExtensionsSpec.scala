@@ -92,6 +92,81 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fast.size == q.collect().length, "duplicate pairs emitted")
   }
 
+  test("SpatialFilterRule: WHERE st_intersects(st_makePoint(lon,lat), literal) " +
+    "pushes envelope bounds into the Parquet scan and prunes cell_prefix partitions") {
+    mkTables()
+    import spark.implicits._
+    val root = "/tmp/graft_ext_rule_tbl"
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextDouble() * 340 - 170, rnd.nextDouble() * 160 - 80)
+    }.toDF("id", "lon", "lat")
+    // fresh table per run (deterministic content, tiny)
+    val dir = new java.io.File(root)
+    if (dir.exists()) { def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }; rm(dir) }
+    graft.table.SpatialTable.write(spark, df, root, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 2, partitions = 4)
+    spark.conf.set("spark.graft.index.res", "9")
+    try {
+      graft.table.SpatialTable.read(spark, root, "s1").createOrReplaceTempView("rule_tbl")
+      val q = spark.sql(
+        """SELECT id FROM rule_tbl WHERE st_intersects(st_makePoint(lon, lat),
+          |  st_geomFromWKT('POLYGON((0 0, 40 0, 40 30, 0 30, 0 0))'))""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      // envelope bounds reached the scan
+      // (the PushedFilters display truncates; the lon bounds appearing
+      // there plus the lat bound in the Filter proves all four reached
+      // the optimizer and the scan)
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(lon,0.0)") &&
+        "lat#\\d+ <= 30\\.0".r.findFirstIn(plan).isDefined,
+        s"envelope bounds not pushed:\n$plan")
+      // cell z-ranges on the sorted column reached the plan too
+      assert("cell#\\d+L >= ".r.findFirstIn(plan).isDefined, s"cell ranges not derived:\n$plan")
+      // partition-directory pruning on cell_prefix: the bbox only touches
+      // prefix cells intersecting [0,40]x[0,30] — far fewer than all 64
+      val scannedPrefixes = q.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+      assert(scannedPrefixes > 0 && scannedPrefixes <= 8,
+        s"expected <=8 pruned partitions, scanned $scannedPrefixes:\n$plan")
+      // and the answer equals the plain predicate
+      val expect = df.where(col("lon").between(0, 40) && col("lat").between(0, 30))
+        .select("id").as[Long].collect().sorted.toSeq
+      val got = q.as[Long].collect().sorted.toSeq
+      assert(got == expect && expect.nonEmpty)
+    } finally spark.conf.unset("spark.graft.index.res")
+  }
+
+  test("SQL st_dwithinPlanar join is rewritten to a cell equi-join and matches brute force") {
+    mkTables()
+    val q = spark.sql(
+      "SELECT p_id, z_id FROM pts JOIN polys ON st_dwithinPlanar(p_geom, z_geom, 3.0)")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), s"cartesian in plan:\n$phys")
+    assert(phys.contains("__graft_lcell"), s"grid branch missing:\n$phys")
+    val fast = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = spark.sql(
+      "SELECT /*+ BROADCAST(polys) */ p_id, z_id FROM pts, polys WHERE st_distance(p_geom, z_geom) < 3.0")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == brute && brute.nonEmpty)
+  }
+
+  test("SQL st_dwithin (meters) join is rewritten and matches brute force") {
+    mkTables()
+    val q = spark.sql(
+      "SELECT p_id, z_id FROM pts JOIN polys ON st_dwithin(p_geom, z_geom, 250000.0)")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), s"cartesian in plan:\n$phys")
+    val fast = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = spark.sql(
+      """SELECT /*+ BROADCAST(polys) */ p_id, z_id FROM pts, polys
+        |WHERE st_dwithin(p_geom, z_geom, 250000.0)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == brute && brute.nonEmpty)
+  }
+
   test("rewrite preserves extra join conjuncts") {
     mkTables()
     val q = spark.sql(
