@@ -220,17 +220,15 @@ object SparkEntry {
     }),
 
     "q_knn" -> ((s, dir) => {
-      // kNN: 3 query points, k=5, planar distance, deterministic tiebreak
+      // kNN through the REAL operator (cell-ring expansion with
+      // density-seeded radius + per-query proof), planar metric so the
+      // DuckDB oracle is exact; event_id tiebreak matches the oracle
       import s.implicits._
       StFunctions.register(s)
       val queries = Seq((0, 0.0, 0.0), (1, 100.05, 30.05), (2, -74.0, 40.7))
         .toDF("qid", "qx", "qy")
-      val joined = pts(s, dir).crossJoin(broadcast(queries))
-        .withColumn("dist", expr("sqrt((lon - qx)*(lon - qx) + (lat - qy)*(lat - qy))"))
-      joined
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("dist"), col("event_id"))))
-        .where(col("rn") <= 5)
+      operators.KnnJoin(s, pts(s, dir), "lon", "lat", queries, "qid", "qx", "qy",
+          k = 5, res = 6, metric = "planar", tieBreakCols = Seq("event_id"))
         .selectExpr("qid", "event_id", "round(dist, 6) AS dist")
     }),
 

@@ -97,9 +97,11 @@ object Ann {
         .withColumn("key", bandKey(col("__sig"), col("band")))
     val d = banded(data, idCol, embCol).select(col("band"), col("key"), col(idCol), col(embCol))
     val q = banded(queries, qidCol, qEmbCol).select(col("band"), col("key"), col(qidCol), col(qEmbCol))
+    // cosine before the (qid, id) dedup: the shuffle carries a scalar,
+    // not two embedding vectors
     d.join(broadcast(q), Seq("band", "key"))
-      .groupBy(qidCol, idCol).agg(first(col(embCol)).as(embCol), first(col(qEmbCol)).as(qEmbCol))
       .withColumn("cosine", cosineUdf(col(embCol), col(qEmbCol)))
+      .groupBy(qidCol, idCol).agg(first(col("cosine")).as("cosine"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(qidCol).orderBy(desc("cosine"), col(idCol))))
       .where(col("__rn") <= k)
@@ -152,23 +154,30 @@ object Ann {
   }
 
   /** All pairs with cosine >= minCosine via banded sign-LSH + verify —
-    * used for embedding-level near-dup detection. */
+    * used for embedding-level near-dup detection. The cosine is computed
+    * and thresholded BEFORE the pair dedup, so the `groupBy(id1, id2)`
+    * shuffle carries ids + one double instead of two full embeddings;
+    * buckets over `maxBucket` rows are dropped (quadratic guard — see
+    * Dedup.capBuckets). */
   def cosinePairs(df: DataFrame, idCol: String, embCol: String,
-                  minCosine: Double, bits: Int = 16, bands: Int = 4): DataFrame = {
+                  minCosine: Double, bits: Int = 16, bands: Int = 4,
+                  maxBucket: Int = 4096): DataFrame = {
     require(bits % bands == 0)
     val width = bits / bands
     val sigU = udf((v: Seq[Float]) => signature(v, bits))
     val bandKey = udf((sig: Long, b: Int) => (sig >>> (b * width)) & ((1L << width) - 1))
-    val banded = df.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .withColumn("__sig", sigU(col("emb")))
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("key", bandKey(col("__sig"), col("band")))
+    val banded = Dedup.capBuckets(
+      df.select(col(idCol).as("id"), col(embCol).as("emb"))
+        .withColumn("__sig", sigU(col("emb")))
+        .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+        .withColumn("key", bandKey(col("__sig"), col("band"))),
+      Seq("band", "key"), maxBucket)
     val l = banded.select(col("band"), col("key"), col("id").as("id1"), col("emb").as("emb1"))
     val r = banded.select(col("band"), col("key"), col("id").as("id2"), col("emb").as("emb2"))
     l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(first("emb1").as("emb1"), first("emb2").as("emb2"))
       .withColumn("cosine", cosineUdf(col("emb1"), col("emb2")))
       .where(col("cosine") >= minCosine)
+      .groupBy("id1", "id2").agg(first("cosine").as("cosine"))
       .select("id1", "id2", "cosine")
   }
 }

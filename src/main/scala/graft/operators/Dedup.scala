@@ -63,30 +63,56 @@ object Dedup {
     eq.toDouble / a.length
   }
 
+  /** Drop LSH buckets larger than `maxBucket` rows — the quadratic
+    * guard. A degenerate band key (e.g. the constant signature of empty
+    * text) would otherwise create one bucket whose self-join is
+    * |bucket|^2; at billions of rows that single bucket dominates the
+    * job. Pairs only found in oversized buckets are sacrificed —
+    * equivalent to the reference capping scan-range fan-out — and the
+    * count of dropped buckets is available via `oversizedBuckets`. */
+  private[operators] def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                                    maxBucket: Int): DataFrame = {
+    if (maxBucket <= 0) banded
+    else {
+      val counts = banded.groupBy(keyCols.map(col): _*).count()
+        .where(col("count") <= maxBucket).drop("count")
+      banded.join(counts, keyCols)
+    }
+  }
+
+  /** Buckets that the cap would drop (for auditing a corpus). */
+  def oversizedBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+    banded.groupBy(keyCols.map(col): _*).count().where(col("count") > maxBucket)
+
   /**
    * MinHash-LSH near-duplicate pairs: shingle -> minhash -> band ->
    * bucket-join -> signature-level Jaccard estimate filter.
-   * Pairs are emitted once (id1 < id2) and deduped across bands with the
-   * cheap `min(band)` ownership trick (a pair colliding in several bands
-   * is kept only for its first band — no global distinct over pairs).
+   *
+   * Scale shape: the estimate is computed AND thresholded before the
+   * pair dedup, so the `groupBy(id1, id2)` shuffle carries only ids + one
+   * double (~24 bytes/pair) instead of two 64-long signatures, and pairs
+   * failing the threshold never shuffle at all. Buckets over `maxBucket`
+   * rows are dropped (see capBuckets) so no degenerate key goes
+   * quadratic.
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, w: Int = 3,
-                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                   numHashes: Int = 64, bands: Int = 16,
+                   maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = df.select(col(idCol).as("id"), sigUdf(w, numHashes)(col(textCol)).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+    val banded0 = sig.select(col("id"), col("sig"),
       posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
       .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
       .select("id", "sig", "band", "bucket")
+    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
-    val cand = l.join(r, Seq("band", "bucket")).where(col("id1") < col("id2"))
-    cand
-      .groupBy("id1", "id2").agg(first("sig1").as("sig1"), first("sig2").as("sig2"))
+    l.join(r, Seq("band", "bucket")).where(col("id1") < col("id2"))
       .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2")))
       .where(col("est_jaccard") >= threshold)
+      .groupBy("id1", "id2").agg(first("est_jaccard").as("est_jaccard"))
       .select("id1", "id2", "est_jaccard")
   }
 
@@ -145,7 +171,7 @@ object Dedup {
    * Z-ranges: coarse exact-match buckets + precise refine.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val blocks = maxDist + 1
     val width = 64 / blocks
     val sh = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol)
@@ -155,16 +181,20 @@ object Dedup {
       val w = if (b == blocks - 1) 64 - shift else width
       (h >>> shift) & ((1L << w) - 1)
     }
-    val banded = sh.select(col("id"), col("simhash"),
-        explode(sequence(lit(0), lit(blocks - 1))).as("block"))
-      .withColumn("key", blockKey(col("simhash"), col("block")))
+    val banded = capBuckets(
+      sh.select(col("id"), col("simhash"),
+          explode(sequence(lit(0), lit(blocks - 1))).as("block"))
+        .withColumn("key", blockKey(col("simhash"), col("block"))),
+      Seq("block", "key"), maxBucket)
     val l = banded.select(col("block"), col("key"), col("id").as("id1"), col("simhash").as("h1"))
     val r = banded.select(col("block"), col("key"), col("id").as("id2"), col("simhash").as("h2"))
     val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    // hamming computed + thresholded pre-dedup: the pair shuffle carries
+    // ids + one int, and non-near pairs never shuffle
     l.join(r, Seq("block", "key")).where(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(first("h1").as("h1"), first("h2").as("h2"))
       .withColumn("hamming", hamming(col("h1"), col("h2")))
       .where(col("hamming") <= maxDist)
+      .groupBy("id1", "id2").agg(first("hamming").as("hamming"))
       .select("id1", "id2", "hamming")
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.cells.Cells
@@ -8,27 +8,34 @@ import graft.functions.StFunctions
 
 /**
  * Distributed k-nearest-neighbor join: for each query point, the k
- * closest data points by great-circle distance.
+ * closest data points (haversine meters, or planar degrees for the
+ * `planar` metric — the oracle-safe mode).
  *
  * Semantics mirror the reference's cell-ring expansion search
  * (/root/reference/geomesa-process/.../knn/GeoHashSpiral.scala:96-151,
  * KNNQuery.scala:57-81): seed at the query's cell, expand rings of
  * neighbor cells, shrink the radius to the current kth distance,
  * terminate when no unvisited cell can be closer. Re-expressed for BSP
- * execution: instead of a per-query priority-queue loop, a bounded
- * number of whole-fleet rounds —
+ * execution with a bounded number of whole-fleet passes:
  *
- *   growth:  double the cell-disk radius until every query has >= k
- *            candidates (log #rounds, each one Spark job over
- *            candidates only, never the full cross product);
- *   proof:   from the candidates, take each query's kth-smallest
- *            distance d_k; any point outside disk radius
- *            r'(q) = ceil(d_k / metricCellWidth(lat_q)) + 1 is provably
- *            farther than d_k (the k-completeness argument the
- *            reference's GEOMESA-285 note asks for, done per query
+ *   seed:    one density estimate (a count) picks the initial disk
+ *            radius so the expected candidate count is ~4k — most
+ *            queries resolve in the FIRST candidate pass instead of
+ *            log2(maxRings) doubling rounds, each of which is a full
+ *            scan of the point table;
+ *   growth:  per-query state — only queries still short of k rejoin the
+ *            next round with a doubled ring; satisfied queries carry
+ *            their observed kth distance out of the loop;
+ *   proof:   any point outside disk radius r'(q) = ceil(d_k /
+ *            metricCellWidth(lat_q)) + 1 is provably farther than the
+ *            observed d_k (the k-completeness argument, done per query
  *            with the latitude-dependent east-west cell width);
- *   final:   one exact pass over the per-query proven disk, then a
+ *   final:   ONE exact pass over the per-query proven disks, then a
  *            top-k window.
+ *
+ * A query with fewer than k reachable points keeps its maxRings disk
+ * and returns what exists (matching the brute-force oracle on sparse
+ * data) instead of disappearing from the output.
  *
  * Queries are broadcast (the reference collects them too); data points
  * are never collected, so the operator scales with executors.
@@ -41,11 +48,21 @@ object KnnJoin {
   def apply(spark: SparkSession,
             points: DataFrame, lonCol: String, latCol: String,
             queries: DataFrame, qidCol: String, qLonCol: String, qLatCol: String,
-            k: Int, res: Int, maxRings: Int = 64): DataFrame = {
+            k: Int, res: Int, maxRings: Int = 64,
+            metric: String = "haversine",
+            tieBreakCols: Seq[String] = Nil): DataFrame = {
+    require(metric == "haversine" || metric == "planar", s"unknown metric $metric")
+    val planar = metric == "planar"
+    val tieBreak = if (tieBreakCols.nonEmpty) tieBreakCols else Seq(lonCol, latCol)
 
-    val distExpr = StFunctions.stDistanceSphere(
-      StFunctions.stMakePoint(col(lonCol), col(latCol)),
-      StFunctions.stMakePoint(col(qLonCol), col(qLatCol)))
+    def distExpr: Column =
+      if (planar)
+        sqrt((col(lonCol) - col(qLonCol)) * (col(lonCol) - col(qLonCol)) +
+          (col(latCol) - col(qLatCol)) * (col(latCol) - col(qLatCol)))
+      else
+        StFunctions.stDistanceSphere(
+          StFunctions.stMakePoint(col(lonCol), col(latCol)),
+          StFunctions.stMakePoint(col(qLonCol), col(qLatCol)))
 
     val pts = points.withColumn("__pcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
     val qs = queries.withColumn("__qcell", StFunctions.stCellOfXY(col(qLonCol), col(qLatCol), lit(res)))
@@ -57,47 +74,86 @@ object KnnJoin {
         broadcast(ringOf.withColumn("__cell", explode(StFunctions.stCellDisk(col("__qcell"), col("__ring"))))),
         col("__pcell") === col("__cell"))
 
-    // -- growth phase ---------------------------------------------------
-    var ring = 1
-    var done = false
-    while (!done && ring < maxRings) {
-      val cand = candidates(qs.withColumn("__ring", lit(ring)))
-      val enough = cand.groupBy(qidCol).count().where(col("count") >= k).count()
-      done = enough == nq
-      if (!done) ring = math.min(maxRings, ring * 2)
+    // -- density-seeded initial radius ---------------------------------
+    // expected candidates in a (2r+1)^2 disk ~ 4k => r from the global
+    // mean density; sparse/hot spots are corrected by the growth loop
+    val nPts = math.max(1L, points.count())
+    val cellsSpanned = (1L << res).toDouble * (1L << res).toDouble / 2.0 // lat band heuristic
+    val perCell = nPts / cellsSpanned
+    val ring0 = math.max(1, math.min(maxRings,
+      math.ceil((math.sqrt(4.0 * k / math.max(perCell, 1e-12)) - 1) / 2).toInt))
+
+    // -- growth with per-query state -----------------------------------
+    // qid -> (ring to use in the final pass, observed kth distance or
+    // None when the query is short of k and capped at maxRings)
+    val kthOf = scala.collection.mutable.Map.empty[Any, Double]
+    val cappedQids = scala.collection.mutable.Set.empty[Any]
+    var activeQs = qs.withColumn("__ring", lit(ring0))
+    var ring = ring0
+    var remaining = nq
+    while (remaining > 0) {
+      val cand = candidates(activeQs).withColumn("__dist", distExpr)
+      val stats = cand
+        .withColumn("__rn", row_number().over(Window.partitionBy(qidCol).orderBy(col("__dist"))))
+        .where(col("__rn") <= k)
+        .groupBy(qidCol).agg(count(lit(1)).as("__n"), max("__dist").as("__dk"))
+        .collect()
+      val satisfied = stats.filter(_.getAs[Long]("__n") >= k)
+      satisfied.foreach(r => kthOf(r.get(0)) = r.getAs[Double]("__dk"))
+      remaining -= satisfied.length
+      if (remaining > 0) {
+        if (ring >= maxRings) {
+          // sparse queries: fewer than k points within the whole budget —
+          // keep them at the maxRings disk instead of dropping them
+          val sat = satisfied.map(_.get(0)).toSet
+          qs.select(qidCol).collect().map(_.get(0))
+            .filterNot(q => kthOf.contains(q) || sat.contains(q))
+            .foreach(cappedQids += _)
+          remaining = 0
+        } else {
+          ring = math.min(maxRings, ring * 2)
+          val done = kthOf.keySet.toSeq
+          activeQs = qs.withColumn("__ring", lit(ring))
+            .where(!col(qidCol).isin(done: _*))
+        }
+      }
     }
 
-    // -- proof phase: per-query kth distance -> proven disk radius ------
-    val grown = candidates(qs.withColumn("__ring", lit(ring)))
-      .withColumn("__dist", distExpr)
-    val kth = grown
-      .withColumn("__rn", row_number().over(Window.partitionBy(qidCol).orderBy(col("__dist"))))
-      .where(col("__rn") === k || col("__rn") < k) // queries with < k points keep their max
-      .groupBy(qidCol).agg(max("__dist").as("__dk"), first(col(qLatCol)).as("__qlat"))
-
+    // -- proof: observed kth distance -> proven disk radius ------------
     val latW = Cells.latWidth(res)
     val lonW = Cells.lonWidth(res)
     val provenRing = udf { (dk: Double, qlat: Double) =>
       // metric width of one cell step: north-south is latitude-constant;
       // east-west shrinks with cos(lat) — take the tighter requirement
       // over the band the disk can reach
-      val bandLat = math.min(89.0, math.abs(qlat) + latW * (maxRings + 1))
-      val stepNS = latW * MetersPerDegLat
-      val stepEW = lonW * MetersPerDegLon * math.cos(math.toRadians(bandLat))
+      val (stepNS, stepEW) =
+        if (planar) (latW, lonW) // degree metric: grid steps are exact
+        else {
+          val bandLat = math.min(89.0, math.abs(qlat) + latW * (maxRings + 1))
+          (latW * MetersPerDegLat,
+            lonW * MetersPerDegLon * math.cos(math.toRadians(bandLat)))
+        }
       val need = math.max(
         math.ceil(dk / stepNS),
-        math.ceil(dk / math.max(1.0, stepEW))).toInt + 1
+        math.ceil(dk / math.max(1e-9, stepEW))).toInt + 1
       math.min(maxRings, math.max(1, need))
     }
-    val qsProven = qs.join(broadcast(kth), qidCol)
-      .withColumn("__ring", provenRing(col("__dk"), col("__qlat")))
-      .drop("__dk", "__qlat")
+    import spark.implicits._
+    val states = (kthOf.toSeq.map { case (q, dk) => (q.toString, dk, false) } ++
+      cappedQids.toSeq.map(q => (q.toString, 0.0, true)))
+      .toDF("__qid_s", "__dk", "__capped")
+    val qsProven = qs
+      .join(broadcast(states), col(qidCol).cast("string") === col("__qid_s"))
+      .withColumn("__ring",
+        when(col("__capped"), lit(maxRings))
+          .otherwise(provenRing(col("__dk"), col(qLatCol))))
+      .drop("__qid_s", "__dk", "__capped")
 
     // -- final exact pass ----------------------------------------------
     candidates(qsProven)
       .withColumn("dist", distExpr)
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(qidCol).orderBy(col("dist"), col(lonCol), col(latCol))))
+        Window.partitionBy(qidCol).orderBy(col("dist") +: tieBreak.map(col): _*)))
       .where(col("__rn") <= k)
       .drop("__rn", "__pcell", "__qcell", "__cell", "__ring")
   }
@@ -105,10 +161,15 @@ object KnnJoin {
   /** Brute-force oracle (for tests): exact cross-join top-k. */
   def bruteForce(points: DataFrame, lonCol: String, latCol: String,
                  queries: DataFrame, qidCol: String, qLonCol: String, qLatCol: String,
-                 k: Int): DataFrame = {
-    val distExpr = StFunctions.stDistanceSphere(
-      StFunctions.stMakePoint(col(lonCol), col(latCol)),
-      StFunctions.stMakePoint(col(qLonCol), col(qLatCol)))
+                 k: Int, metric: String = "haversine"): DataFrame = {
+    val distExpr: Column =
+      if (metric == "planar")
+        sqrt((col(lonCol) - col(qLonCol)) * (col(lonCol) - col(qLonCol)) +
+          (col(latCol) - col(qLatCol)) * (col(latCol) - col(qLatCol)))
+      else
+        StFunctions.stDistanceSphere(
+          StFunctions.stMakePoint(col(lonCol), col(latCol)),
+          StFunctions.stMakePoint(col(qLonCol), col(qLatCol)))
     points.crossJoin(broadcast(queries))
       .withColumn("dist", distExpr)
       .withColumn("__rn", row_number().over(

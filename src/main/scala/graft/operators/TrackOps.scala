@@ -103,10 +103,18 @@ object TrackOps {
         new org.locationtech.jts.geom.Coordinate(x0, y0),
         new org.locationtech.jts.geom.Coordinate(x1, y1))))
     }
+    // candidate buffer scaled by 1/cos(max segment latitude): one degree
+    // of longitude shrinks toward the poles, so a fixed factor would
+    // miss features that the haversine refine accepts above ~48 deg lat
+    val bufferDeg = udf { (y0: Double, y1: Double, m: Double) =>
+      val maxAbsLat = math.min(89.0, math.max(math.abs(y0), math.abs(y1)) + m / 110000.0)
+      m / (110000.0 * math.cos(math.toRadians(maxAbsLat)))
+    }
     val segs = routeSegments(route, routeLon, routeLat, routeSeq)
       .withColumn("seg_geom", segGeom(col("sx0"), col("sy0"), col("sx1"), col("sy1")))
       .withColumn("__scell", explode(StFunctions.stCellCover(
-        StFunctions.stBuffer(col("seg_geom"), lit(meters / 111320.0 * 1.5)), lit(res), lit(512))))
+        StFunctions.stBuffer(col("seg_geom"), bufferDeg(col("sy0"), col("sy1"), lit(meters))),
+        lit(res), lit(512))))
     val f = features.withColumn("__fcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
     val headingDiff =
       least(

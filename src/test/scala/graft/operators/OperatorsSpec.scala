@@ -192,6 +192,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("kNN sparse data: queries with fewer than k reachable points still " +
+    "return rows (no silent drop), both metrics") {
+    ready
+    import spark.implicits._
+    // only 3 points in the world, k=5 — brute force returns 3 rows per
+    // query; the ring operator must match, not vanish the query
+    val pts = Seq(("p1", 0.0, 0.0), ("p2", 50.0, 20.0), ("p3", -100.0, -40.0))
+      .toDF("id", "lon", "lat")
+    val queries = Seq((0, 10.0, 10.0), (1, -170.0, 80.0)).toDF("qid", "qlon", "qlat")
+    for (metric <- Seq("haversine", "planar")) {
+      val fast = KnnJoin(spark, pts, "lon", "lat", queries, "qid", "qlon", "qlat",
+          k = 5, res = 6, metric = metric)
+        .select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      val brute = KnnJoin.bruteForce(pts, "lon", "lat", queries, "qid", "qlon", "qlat",
+          k = 5, metric = metric)
+        .select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(fast == brute, s"metric=$metric missing=${brute -- fast} extra=${fast -- brute}")
+      assert(brute.size == 6, "each query should see all 3 points")
+    }
+  }
+
+  test("kNN planar metric matches brute force on dense data") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val pts = (0 until 300).map(i => (s"p$i", rnd.nextDouble() * 60 - 30, rnd.nextDouble() * 60 - 30))
+      .toDF("id", "lon", "lat")
+    val queries = Seq((0, 0.0, 0.0), (1, 25.0, -25.0)).toDF("qid", "qlon", "qlat")
+    val fast = KnnJoin(spark, pts, "lon", "lat", queries, "qid", "qlon", "qlat",
+        k = 7, res = 6, metric = "planar", tieBreakCols = Seq("id"))
+      .select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val brute = KnnJoin.bruteForce(pts, "lon", "lat", queries, "qid", "qlon", "qlat",
+        k = 7, metric = "planar")
+      .select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(fast == brute && brute.size == 14)
+  }
+
   test("tile assignment: adaptive resolution follows the XZ size rule") {
     ready
     import spark.implicits._
@@ -257,6 +294,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     val verified = Dedup.nearDuplicates(df, "id", "text", threshold = 0.6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(verified.get((1L, 4L)).contains(1.0))
+  }
+
+  test("LSH bucket cap drops degenerate buckets instead of going quadratic, " +
+    "normal pairs unaffected") {
+    ready
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank at dawn every single day without fail"
+    val nearDup = base.replace("dawn", "dusk")
+    // 200 identical degenerate docs -> one 200-row bucket in every band
+    val degen = (0 until 200).map(i => (i.toLong, "same text everywhere alike"))
+    val df = (degen :+ (1000L, base) :+ (1001L, nearDup)).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.5, maxBucket = 50)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000L, 1001L)), s"planted pair lost by the cap: $pairs")
+    assert(!pairs.exists(p => p._1 < 200 && p._2 < 200),
+      "degenerate bucket pairs should have been dropped")
+    // audit surface reports what was dropped
+    val sig = Dedup.minhashPairs(df, "id", "text", threshold = 0.5) // default cap keeps all
+    assert(sig.select("id1", "id2").collect().length > 19900, "default cap should keep the dense bucket")
   }
 
   test("simhash blocking finds small-hamming pairs exactly") {
