@@ -466,8 +466,13 @@ object SparkEntry {
     }),
 
     "q_quality_score" -> ((s, dir) => {
+      // floor(x*1e6+0.5) instead of round(x,6): the composite lands on
+      // exact dyadic .5 boundaries (sums of /16, /96 fractions) where
+      // Spark's BigDecimal HALF_UP and DuckDB's multiply-round disagree;
+      // the floor form is the same double arithmetic on both engines
       operators.TextAnalysis.withQuality(t(s, dir, "documents"), "text")
-        .selectExpr("doc_id", "q_words", "round(q_score, 6) AS q_score")
+        .selectExpr("doc_id", "CAST(q_words AS BIGINT) AS q_words",
+          "CAST(floor(q_score * 1000000 + 0.5) AS BIGINT) AS q_score_e6")
     }),
 
     "q_knn_ring" -> ((s, dir) => {
@@ -484,12 +489,30 @@ object SparkEntry {
     }),
 
     "q_tile_adaptive" -> ((s, dir) => {
-      // resolution-adaptive tile assignment of zone extents (XZ rule)
+      // resolution-adaptive tile assignment of MIXED-SIZE zone extents
+      // (XZ rule: big zones land at res 2, small at res 3); the oracle
+      // independently recomputes the adaptive res (floor(-ln(maxDim)/
+      // ln 2)), the cover grid, and the Morton packing in SQL
       StFunctions.register(s)
-      val z = zones(s, dir)
-        .withColumn("zgeom", expr("st_makeBBOX(lon0, lat0, lon0 + 72.0, lat0 + 36.0)"))
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      val z = s.sql(BigZonesSql)
+        .selectExpr("zone_key", "st_makeBBOX(lon0, lat0, lon0 + w, lat0 + h) AS zgeom")
       operators.TileAssign.adaptive(z, "zgeom", minRes = 2, maxRes = 10)
         .selectExpr("zone_key", "tile", "st_cellRes(tile) AS tile_res")
+    }),
+
+    "q_hamming_pairs" -> ((s, dir) => {
+      // generic Hamming near-dup pair machinery (pigeonhole blocks +
+      // bit_count verify) over a SQL-derivable 64-bit hash, so DuckDB
+      // can brute-force the exact same pair set; groups of 4 doc_ids
+      // share a base hash and differ in one low bit -> planted pairs
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      val hashed = s.sql(
+        """SELECT doc_id,
+          |  CAST(((doc_id div 4) * 2654435761) % 4294967296 * 65537 AS BIGINT)
+          |    ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT)) AS h
+          |FROM documents""".stripMargin)
+      operators.Dedup.hammingPairs(hashed, "doc_id", "h", maxDist = 3)
     }),
 
     "q_emb_pairs" -> ((s, dir) => {
@@ -701,6 +724,93 @@ object SparkEntry {
 
       "q_dedup_exact" ->
         "SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+
+      "q_fingerprint" ->
+        """SELECT doc_id,
+          |  list_reduce(
+          |    list_prepend(CAST(7919 AS BIGINT),
+          |      list_transform(
+          |        string_split(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' '), ''),
+          |        c -> CAST(ascii(c) AS BIGINT))),
+          |    (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
+          |FROM documents""".stripMargin,
+
+      "q_hamming_pairs" ->
+        """WITH h AS (SELECT doc_id,
+          |    xor(CAST((doc_id // 4 * 2654435761) % 4294967296 * 65537 AS BIGINT),
+          |        CAST(1 AS BIGINT) << CAST(doc_id % 4 AS INT)) AS h
+          |  FROM documents)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+          |FROM h a JOIN h b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+
+      "q_quality_score" ->
+        """WITH f AS (
+          |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nchars,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, nchars,
+          |    GREATEST(1, len(toks)) AS n,
+          |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / GREATEST(1, nchars) AS punct,
+          |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / GREATEST(1, nchars) AS digits,
+          |    CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(1, len(toks)) AS uniq,
+          |    COALESCE(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE), 0.0) / GREATEST(1, len(toks)) AS mean_word
+          |  FROM f)
+          |SELECT doc_id, CAST(n AS BIGINT) AS q_words,
+          |  CAST(floor(GREATEST(0.0, LEAST(1.0,
+          |    0.3 * (LEAST(1.0, nchars / 200.0) * (CASE WHEN nchars > 20000 THEN 0.5 ELSE 1.0 END)) +
+          |    0.25 * uniq + 0.2 * (1 - punct * 4) +
+          |    0.15 * LEAST(1.0, mean_word / 6.0) + 0.1 * (1 - digits * 2))) * 1000000 + 0.5) AS BIGINT) AS q_score_e6
+          |FROM g""".stripMargin,
+
+      "q_lang_id" -> {
+        def score(words: Seq[String], grams: Seq[String]): String = {
+          val w = words.map(s => s"'$s'").mkString(", ")
+          val g = grams.map(s => s"'$s'").mkString(", ")
+          s"2 * (CAST(len(list_filter(toks, x -> x IN ($w))) AS DOUBLE) / GREATEST(1, len(toks)))" +
+            s" + CAST(len(list_filter(tris, x -> x IN ($g))) AS DOUBLE) / GREATEST(1, len(tris))"
+        }
+        val sEn = score(Seq("the","and","of","to","in","is","that","for","with","it"), Seq("the","ing","and","ion","ent"))
+        val sEs = score(Seq("el","la","de","que","y","en","los","del","se","las"), Seq("que","ent","con","ado","cio"))
+        val sDe = score(Seq("der","die","und","das","ist","den","von","mit","sich","auf"), Seq("der","ein","ich","sch","und"))
+        val sFr = score(Seq("le","la","de","et","les","des","est","une","dans","que"), Seq("les","ent","que","ion","ait"))
+        s"""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+           |f AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lt, '\\s+'), x -> x <> '') AS toks,
+           |    list_filter([substr(g, CAST(i AS INT), 3) for i in generate_series(1, GREATEST(1, length(g) - 2))],
+           |                x -> NOT contains(x, ' ')) AS tris
+           |  FROM (SELECT doc_id, lt, regexp_replace(lt, '[^a-z ]', '', 'g') AS g FROM t) s),
+           |sc AS (SELECT doc_id, $sEn AS s_en, $sEs AS s_es, $sDe AS s_de, $sFr AS s_fr FROM f),
+           |w AS (SELECT doc_id,
+           |    list_sort([{'s': s_en, 'l': 'en'}, {'s': s_es, 'l': 'es'},
+           |               {'s': s_de, 'l': 'de'}, {'s': s_fr, 'l': 'fr'}]) AS ranked
+           |  FROM sc)
+           |SELECT doc_id,
+           |  CASE WHEN ranked[-1].s <= 0 THEN 'und' ELSE ranked[-1].l END AS lang_pred
+           |FROM w""".stripMargin
+      },
+
+      "q_tile_adaptive" -> {
+        s"""WITH bz AS (${BigZonesSql.replace("\n", " ")}),
+           |z2 AS (SELECT zone_key, lon0, lat0, lon0 + w AS lon1, lat0 + h AS lat1,
+           |  GREATEST(2, LEAST(10, CAST(floor(-ln(GREATEST(w / 360.0, h / 180.0)) / ln(2.0)) AS INT))) AS r
+           |  FROM bz),
+           |cov AS (SELECT zone_key, r,
+           |  LEAST((CAST(1 AS BIGINT) << r) - 1, GREATEST(0, CAST(floor((lon0 + 180.0) / 360.0 * (CAST(1 AS BIGINT) << r)) AS BIGINT))) AS tx0,
+           |  LEAST((CAST(1 AS BIGINT) << r) - 1, GREATEST(0, CAST(floor((lon1 + 180.0) / 360.0 * (CAST(1 AS BIGINT) << r)) AS BIGINT))) AS tx1,
+           |  LEAST((CAST(1 AS BIGINT) << r) - 1, GREATEST(0, CAST(floor((lat0 + 90.0) / 180.0 * (CAST(1 AS BIGINT) << r)) AS BIGINT))) AS ty0,
+           |  LEAST((CAST(1 AS BIGINT) << r) - 1, GREATEST(0, CAST(floor((lat1 + 90.0) / 180.0 * (CAST(1 AS BIGINT) << r)) AS BIGINT))) AS ty1
+           |  FROM z2),
+           |t1 AS (SELECT zone_key, r, ty0, ty1, unnest(generate_series(tx0, tx1)) AS tx FROM cov),
+           |t2 AS (SELECT zone_key, r, tx, unnest(generate_series(ty0, ty1)) AS ty FROM t1)
+           |SELECT zone_key,
+           |  CASE WHEN r = 2 THEN (CAST(2 AS BIGINT) << 58) | ${mortonSql("tx", "ty", 2)}
+           |       ELSE (CAST(3 AS BIGINT) << 58) | ${mortonSql("tx", "ty", 3)} END AS tile,
+           |  r AS tile_res
+           |FROM t2""".stripMargin
+      },
 
       "q_token_count" ->
         "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars_calc FROM documents",

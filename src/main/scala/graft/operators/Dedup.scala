@@ -171,26 +171,37 @@ object Dedup {
    * Z-ranges: coarse exact-match buckets + precise refine.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 4096): DataFrame =
+    hammingPairs(
+      withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol),
+      "id", "simhash", maxDist, maxBucket)
+
+  /**
+   * Generic Hamming-distance pair finder over any 64-bit hash column —
+   * the shared machinery behind simhashPairs and the image phashPairs.
+   * Pigeonhole-exact: bits split into (maxDist+1) blocks, any pair
+   * within maxDist shares >= 1 exact block; equi-join per block, verify
+   * with bit_count(xor). Hamming computed + thresholded pre-dedup so the
+   * pair shuffle carries ids + one int, and non-near pairs never
+   * shuffle; oversized buckets dropped (capBuckets).
+   */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   maxDist: Int, maxBucket: Int = 4096): DataFrame = {
     val blocks = maxDist + 1
     val width = 64 / blocks
-    val sh = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol)
-      .select("id", "simhash")
     val blockKey = udf { (h: Long, b: Int) =>
       val shift = b * width
       val w = if (b == blocks - 1) 64 - shift else width
       (h >>> shift) & ((1L << w) - 1)
     }
     val banded = capBuckets(
-      sh.select(col("id"), col("simhash"),
-          explode(sequence(lit(0), lit(blocks - 1))).as("block"))
-        .withColumn("key", blockKey(col("simhash"), col("block"))),
+      df.select(col(idCol).as("__hid"), col(hashCol).as("__h"))
+        .withColumn("block", explode(sequence(lit(0), lit(blocks - 1))))
+        .withColumn("key", blockKey(col("__h"), col("block"))),
       Seq("block", "key"), maxBucket)
-    val l = banded.select(col("block"), col("key"), col("id").as("id1"), col("simhash").as("h1"))
-    val r = banded.select(col("block"), col("key"), col("id").as("id2"), col("simhash").as("h2"))
+    val l = banded.select(col("block"), col("key"), col("__hid").as("id1"), col("__h").as("h1"))
+    val r = banded.select(col("block"), col("key"), col("__hid").as("id2"), col("__h").as("h2"))
     val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    // hamming computed + thresholded pre-dedup: the pair shuffle carries
-    // ids + one int, and non-near pairs never shuffle
     l.join(r, Seq("block", "key")).where(col("id1") < col("id2"))
       .withColumn("hamming", hamming(col("h1"), col("h2")))
       .where(col("hamming") <= maxDist)

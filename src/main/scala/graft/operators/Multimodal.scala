@@ -95,28 +95,6 @@ object Multimodal {
     * pigeonhole blocking over the 64-bit phash (exact for hamming <=
     * maxDist) — dedup for the image modality. */
   def phashPairs(df: DataFrame, idCol: String, phashCol: String, maxDist: Int = 6,
-                 maxBucket: Int = 4096): DataFrame = {
-    val blocks = maxDist + 1
-    val width = 64 / blocks
-    val blockKey = udf { (h: Long, b: Int) =>
-      val shift = b * width
-      val w = if (b == blocks - 1) 64 - shift else width
-      (h >>> shift) & ((1L << w) - 1)
-    }
-    val banded = Dedup.capBuckets(
-      df.select(col(idCol).as("id"), col(phashCol).as("ph"))
-        .withColumn("block", explode(sequence(lit(0), lit(blocks - 1))))
-        .withColumn("key", blockKey(col("ph"), col("block"))),
-      Seq("block", "key"), maxBucket)
-    val l = banded.select(col("block"), col("key"), col("id").as("id1"), col("ph").as("h1"))
-    val r = banded.select(col("block"), col("key"), col("id").as("id2"), col("ph").as("h2"))
-    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    // hamming + threshold before the pair dedup: ids + one int through
-    // the shuffle, non-near pairs dropped map-side
-    l.join(r, Seq("block", "key")).where(col("id1") < col("id2"))
-      .withColumn("hamming", hamming(col("h1"), col("h2")))
-      .where(col("hamming") <= maxDist)
-      .groupBy("id1", "id2").agg(first("hamming").as("hamming"))
-      .select("id1", "id2", "hamming")
-  }
+                 maxBucket: Int = 4096): DataFrame =
+    Dedup.hammingPairs(df, idCol, phashCol, maxDist, maxBucket)
 }

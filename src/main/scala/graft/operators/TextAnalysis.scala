@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
-import graft.images.SyntheticImages.mix
 
 /**
  * Text analysis operators for training-data curation: language id,
@@ -106,23 +105,19 @@ object TextAnalysis {
 
   // ---- fingerprinting -------------------------------------------------
 
-  /** 64-bit polynomial rolling hash of the case/whitespace-normalized
-    * text — an order-sensitive exact-content fingerprint (cheap first
-    * stage before MinHash). */
-  def withFingerprint(df: DataFrame, textCol: String, outCol: String = "fingerprint"): DataFrame = {
-    val fp = udf { (text: String) =>
-      if (text == null) null
-      else {
-        val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
-        var h = 0xcbf29ce484222325L // FNV offset basis
-        var i = 0
-        while (i < norm.length) {
-          h = (h ^ norm.charAt(i)) * 0x100000001b3L // FNV-1a 64
-          i += 1
-        }
-        java.lang.Long.valueOf(mix(h))
-      }
-    }
-    df.withColumn(outCol, fp(col(textCol)))
-  }
+  /** Polynomial rolling hash (Rabin-Karp, base 31 mod a 50-bit prime) of
+    * the case/whitespace-normalized text — an order-sensitive
+    * exact-content fingerprint (cheap first stage before MinHash).
+    * Implemented as a pure SQL expression: stays inside whole-stage
+    * codegen (no UDF), and the identical ANSI expression is the DuckDB
+    * oracle. The modulus keeps acc*31+char < 2^63 so the arithmetic is
+    * exact (no wrapping) on any engine. */
+  def withFingerprint(df: DataFrame, textCol: String, outCol: String = "fingerprint"): DataFrame =
+    df.withColumn(outCol, expr(
+      s"""aggregate(
+         |  transform(
+         |    split(array_join(filter(split(lower($textCol), '\\\\s+'), x -> x != ''), ' '), ''),
+         |    c -> CAST(ascii(c) AS BIGINT)),
+         |  CAST(7919 AS BIGINT),
+         |  (acc, x) -> (acc * 31 + x) % 1000000000000037)""".stripMargin))
 }
