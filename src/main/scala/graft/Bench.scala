@@ -64,6 +64,114 @@ object Bench {
 }
 
 /**
+ * Skew-handling evidence (north rule: "skew handled with salted
+ * cell-range repartitioning and AQE-driven join selection"): a zipfian
+ * hot-cell join where the right side is NOT broadcastable, run three
+ * ways on identical input —
+ *
+ *   noaqe:  static shuffle join; the hot cell's partition is a straggler
+ *   aqe:    AQE skew-join splits the oversized partition at runtime
+ *   salted: explicit salt column (SpatialTable's shard strategy): left
+ *           keys become (cell, salt), right is exploded x nSalts
+ *
+ * Prints one JSON line with wall seconds + task-duration distribution
+ * (max/p50) per variant — the straggler shows up as max >> p50.
+ */
+object SkewBench {
+
+  private final class TaskStats extends org.apache.spark.scheduler.SparkListener {
+    val durations = new scala.collection.mutable.ArrayBuffer[Long]()
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized { durations += e.taskInfo.duration }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val n = sys.env.get("SPARK_GRAFT_SKEW_ROWS").map(_.toLong).getOrElse(20000000L)
+    val nCells = 100000
+    val hotFrac = 0.9
+    val fanout = 4
+    val nSalts = 16
+
+    def session(aqe: Boolean): SparkSession = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        // 4x cores: salt buckets need headroom to spread (a production
+        // job sizes shuffle partitions >> executors anyway)
+        .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
+        // local-scale analogs of the 100TB defaults (256MB/64MB):
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        // the premise: right side too big to broadcast
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .getOrCreate()
+    }
+
+    import org.apache.spark.sql.functions._
+    def leftDf(s: SparkSession) = s.range(0, n, 1, 64)
+      .select(col("id"),
+        // zipfian: hotFrac of rows in ONE cell, rest uniform
+        when(pmod(xxhash64(col("id")), lit(1000)) < lit((hotFrac * 1000).toInt), lit(7L))
+          .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(nCells))).as("cell"),
+        // incompressible payload: constant-key hot rows would otherwise
+        // LZ4 to ~nothing and stay under the skew threshold — a real
+        // image-metadata row doesn't compress away either
+        xxhash64(col("id"), lit(3)).as("payload"))
+    def rightDf(s: SparkSession) = s.range(0, nCells.toLong * fanout, 1, 16)
+      .select(pmod(col("id"), lit(nCells)).as("cell"),
+        concat(lit("feature_payload_"), col("id")).as("zmeta"))
+
+    def run(name: String, aqe: Boolean, salted: Boolean): (String, Double, Long, Long, Long, Boolean) = {
+      val s = session(aqe)
+      val stats = new TaskStats
+      s.sparkContext.addSparkListener(stats)
+      val t0 = System.nanoTime()
+      val joined =
+        if (!salted) leftDf(s).join(rightDf(s), "cell")
+        else {
+          val l = leftDf(s).withColumn("salt", pmod(xxhash64(col("id"), lit(2)), lit(nSalts)))
+          val r = rightDf(s).withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
+          l.join(r, Seq("cell", "salt"))
+        }
+      // aggregate over payload so column pruning cannot drop it from the
+      // shuffle (count(*) alone would shuffle just the 8-byte key)
+      val agg = joined.selectExpr("count(*) AS c", "bit_xor(payload) AS s")
+      val rows = agg.collect()(0).getLong(0) // collect(): executes agg's own plan
+      val secs = (System.nanoTime() - t0) / 1e9
+      s.sparkContext.removeSparkListener(stats)
+      // did AQE actually mark/split a skewed join in the FINAL (executed)
+      // adaptive plan? (the unexecuted `joined` plan never finalizes)
+      val plan = agg.queryExecution.executedPlan.toString
+      val skewApplied = plan.contains("isSkew=true") || plan.toLowerCase.contains("skewed")
+      if (sys.env.contains("SPARK_GRAFT_SKEW_DEBUG")) System.err.println(s"=== $name plan ===\n$plan")
+      val ds = stats.durations.sorted
+      val p50 = if (ds.isEmpty) 0L else ds(ds.length / 2)
+      val mx = if (ds.isEmpty) 0L else ds.last
+      s.stop()
+      (name, secs, rows, p50, mx, skewApplied)
+    }
+
+    // 2 reps, best wall time per variant (hypervisor-throttled sandbox
+    // is noisy); task distribution reported from the best rep
+    def best(name: String, aqe: Boolean, salted: Boolean) =
+      (1 to 2).map(_ => run(name, aqe, salted)).minBy(_._2)
+    val variants = Seq(
+      best("noaqe", aqe = false, salted = false),
+      best("aqe", aqe = true, salted = false),
+      best("salted", aqe = true, salted = true))
+    val js = variants.map { case (nm, secs, rows, p50, mx, skew) =>
+      s""""$nm":{"secs":$secs,"rows":$rows,"task_p50_ms":$p50,"task_max_ms":$mx,""" +
+        s""""straggler_ratio":${if (p50 > 0) mx.toDouble / p50 else -1},"skew_join_applied":$skew}"""
+    }.mkString(",")
+    println(s"""{"bench":"skew","rows":$n,"hot_frac":$hotFrac,"cpus":$cpus,"variants":{$js}}""")
+  }
+}
+
+/**
  * Scaling-evidence main (north rule: throughput at N vs 4N parallelism):
  * runs ONLY the flagship pipeline and prints a machine-readable line.
  * Invoke twice — SPARK_GRAFT_CPUS=8 and =32 — on the same cached input

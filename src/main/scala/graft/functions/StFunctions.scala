@@ -130,11 +130,17 @@ object StFunctions {
     val geoms = xs.map(g)
     geoms.sliding(2).collect { case Seq(p, q) => G.distanceSphereMeters(p, q) }.sum
   }.asInstanceOf[java.lang.Double])
-  // Spheroid variants: reference uses GeoTools orthodromic (WGS84); ours
-  // uses haversine on the mean radius — documented approximation, same name.
-  val stDistanceSpheroid: UserDefinedFunction = stDistanceSphere
-  val stLengthSpheroid: UserDefinedFunction = stLengthSphere
-  val stAggregateDistanceSpheroid: UserDefinedFunction = stAggregateDistanceSphere
+  // Spheroid variants: WGS84 geodesic (Vincenty inverse), matching the
+  // reference's GeoTools orthodromic semantics — no longer haversine
+  // aliases (sphere vs spheroid differ by up to ~0.5%).
+  val stDistanceSpheroid: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => nn2(a, b)((x, y) => G.distanceSpheroidMeters(g(x), g(y))).asInstanceOf[java.lang.Double])
+  val stLengthSpheroid: UserDefinedFunction =
+    udf((b: Array[Byte]) => nn(b)(x => G.lengthSpheroidMeters(g(x))).asInstanceOf[java.lang.Double])
+  val stAggregateDistanceSpheroid: UserDefinedFunction = udf((gs: Seq[Array[Byte]]) => nn(gs) { xs =>
+    val geoms = xs.map(g)
+    geoms.sliding(2).collect { case Seq(p, q) => G.distanceSpheroidMeters(p, q) }.sum
+  }.asInstanceOf[java.lang.Double])
 
   val stBuffer: UserDefinedFunction = udf((b: Array[Byte], d: Double) => nn(b)(x => w(g(x).buffer(d))).asInstanceOf[Array[Byte]])
   val stBufferPoint: UserDefinedFunction = udf((b: Array[Byte], meters: Double) => nn(b)(x => w(G.bufferPointMeters(g(x), meters))).asInstanceOf[Array[Byte]])

@@ -55,6 +55,78 @@ object GeomOps {
     haversineMeters(pts(0).x, pts(0).y, pts(1).x, pts(1).y)
   }
 
+  // WGS84 ellipsoid (the reference's spheroid distances use GeoTools
+  // orthodromic on the same datum, GeometricDistanceFunctions.scala:20-52)
+  private val WgsA = 6378137.0
+  private val WgsF = 1.0 / 298.257223563
+  private val WgsB = (1.0 - WgsF) * WgsA
+
+  /**
+   * WGS84 geodesic (spheroid) distance in meters — Vincenty's inverse
+   * formula (T. Vincenty, Survey Review 23(176), 1975). Validated
+   * against the published closed forms: 1 deg of equator =
+   * 111319.4908 m, quarter meridian = 10001965.729 m. Falls back to
+   * haversine for the nearly-antipodal non-convergent region (error
+   * there is bounded by the flattening, ~0.5%).
+   */
+  def vincentyMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val L = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1 - WgsF) * math.tan(math.toRadians(lat1)))
+    val u2r = math.atan((1 - WgsF) * math.tan(math.toRadians(lat2)))
+    val sU1 = math.sin(u1); val cU1 = math.cos(u1)
+    val sU2 = math.sin(u2r); val cU2 = math.cos(u2r)
+    var lam = L
+    var iter = 0
+    var converged = false
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cos2A = 0.0; var cos2SM = 0.0
+    while (iter < 200 && !converged) {
+      val sl = math.sin(lam); val cl = math.cos(lam)
+      val t1 = cU2 * sl
+      val t2 = cU1 * sU2 - sU1 * cU2 * cl
+      sinSigma = math.sqrt(t1 * t1 + t2 * t2)
+      if (sinSigma == 0) return 0.0 // coincident
+      cosSigma = sU1 * sU2 + cU1 * cU2 * cl
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cU1 * cU2 * sl / sinSigma
+      cos2A = 1 - sinAlpha * sinAlpha
+      cos2SM = if (cos2A == 0) 0.0 else cosSigma - 2 * sU1 * sU2 / cos2A
+      val c = WgsF / 16 * cos2A * (4 + WgsF * (4 - 3 * cos2A))
+      val lamNew = L + (1 - c) * WgsF * sinAlpha *
+        (sigma + c * sinSigma * (cos2SM + c * cosSigma * (-1 + 2 * cos2SM * cos2SM)))
+      converged = math.abs(lamNew - lam) < 1e-12
+      lam = lamNew
+      iter += 1
+    }
+    if (!converged) return haversineMeters(lon1, lat1, lon2, lat2) // antipodal
+    val uu = cos2A * (WgsA * WgsA - WgsB * WgsB) / (WgsB * WgsB)
+    val aa = 1 + uu / 16384 * (4096 + uu * (-768 + uu * (320 - 175 * uu)))
+    val bb = uu / 1024 * (256 + uu * (-128 + uu * (74 - 47 * uu)))
+    val dSigma = bb * sinSigma * (cos2SM + bb / 4 *
+      (cosSigma * (-1 + 2 * cos2SM * cos2SM) -
+        bb / 6 * cos2SM * (-3 + 4 * sinSigma * sinSigma) * (-3 + 4 * cos2SM * cos2SM)))
+    WgsB * aa * (sigma - dSigma)
+  }
+
+  /** Spheroid distance between the closest representative points of two
+    * geometries (nearest pair in degree space, then Vincenty). */
+  def distanceSpheroidMeters(a: Geometry, b: Geometry): Double = {
+    val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(a, b)
+    vincentyMeters(pts(0).x, pts(0).y, pts(1).x, pts(1).y)
+  }
+
+  /** Geodesic (spheroid) length of a line: sum of Vincenty segments. */
+  def lengthSpheroidMeters(g: Geometry): Double = {
+    val cs = g.getCoordinates
+    var i = 1
+    var acc = 0.0
+    while (i < cs.length) {
+      acc += vincentyMeters(cs(i - 1).x, cs(i - 1).y, cs(i).x, cs(i).y)
+      i += 1
+    }
+    acc
+  }
+
   /**
    * Conservative (superset) envelope expansion for a metric radius: any
    * point whose haversine distance to the envelope is <= meters lies

@@ -126,6 +126,34 @@ class StFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(d - 111195.0) < 200.0)
   }
 
+  test("st_distanceSpheroid: WGS84 Vincenty against published geodesic fixtures (<1 m)") {
+    // closed forms: 1 deg of equator = 2*pi*a/360; quarter meridian
+    // (WGS84) = 10,001,965.729 m; JFK-LHR from the same formula run
+    // through an independent implementation
+    val eq = GeomOps.vincentyMeters(0, 0, 1, 0)
+    assert(math.abs(eq - 111319.4908) < 0.001, s"equator degree: $eq")
+    val qm = GeomOps.vincentyMeters(0, 0, 0, 90)
+    assert(math.abs(qm - 10001965.729) < 0.01, s"quarter meridian: $qm")
+    val jfkLhr = GeomOps.vincentyMeters(-73.7789, 40.6397, -0.4543, 51.4700)
+    assert(math.abs(jfkLhr - 5555072.558) < 1.0, s"JFK-LHR: $jfkLhr")
+    // spheroid differs from the sphere (meridian degree is shorter than
+    // the haversine mean-radius degree) — the names must NOT be aliases
+    val merSpheroid = GeomOps.vincentyMeters(0, 0, 0, 1)
+    val merSphere = GeomOps.haversineMeters(0, 0, 0, 1)
+    assert(math.abs(merSpheroid - 110574.3886) < 0.001, s"meridian degree: $merSpheroid")
+    assert(math.abs(merSpheroid - merSphere) > 500, "spheroid must not equal sphere")
+    // symmetric + zero + SQL surface
+    assert(GeomOps.vincentyMeters(10, 20, 10, 20) == 0.0)
+    assert(math.abs(GeomOps.vincentyMeters(5, 10, 25, 40) - GeomOps.vincentyMeters(25, 40, 5, 10)) < 1e-6)
+    val viaSql = spark.sql(
+      "select st_distanceSpheroid(st_makePoint(-73.7789, 40.6397), st_makePoint(-0.4543, 51.47)) as d")
+      .head.getDouble(0)
+    assert(math.abs(viaSql - jfkLhr) < 1e-6)
+    // antipodal fallback does not blow up
+    val anti = GeomOps.vincentyMeters(0, 0, 179.7, 0.5)
+    assert(anti > 1.9e7 && anti < 2.1e7)
+  }
+
   test("cell functions: assignment, ring, cover, parent") {
     val r = spark.sql(
       """select st_cellOfXY(10.0, 45.0, 9) as c,
