@@ -2,9 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import graft.cells.Cells
 import graft.geom.GeomOps
-import graft.functions.StFunctions
+import graft.functions.{EnvCoverWkb, IntersectsWkb, OwnerCellWkb, StFunctions}
 
 /**
  * Cell-partitioned spatial join — the Spark-native replacement for the
@@ -38,23 +39,20 @@ import graft.functions.StFunctions
 object SpatialJoin {
 
   /** cell of the envelope-intersection reference corner — the pair's
-    * unique "home" cell at resolution `res`. Cached parses: both sides
-    * repeat across candidate pairs. */
-  private val ownerCell = udf { (a: Array[Byte], b: Array[Byte], res: Int) =>
-    val ea = graft.geom.GeomCache.geom(a).getEnvelopeInternal
-    val eb = graft.geom.GeomCache.geom(b).getEnvelopeInternal
-    val x = math.max(ea.getMinX, eb.getMinX)
-    val y = math.max(ea.getMinY, eb.getMinY)
-    Cells.cell(x, y, res)
-  }
+    * unique "home" cell at resolution `res`. Native codegen Expression
+    * (GeomExpressions): primitive locals, no ScalaUDF boxing. */
+  private def ownerCell(a: Column, b: Column, res: Column): Column =
+    ExpressionUtils.column(OwnerCellWkb(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(res)))
 
-  /** Cache-backed refine predicates: the right (broadcast) side becomes a
+  /** Cache-backed refine predicate: the right (broadcast) side becomes a
     * PreparedGeometry — its edge index is reused across every candidate
-    * pair in the partition. */
-  val intersectsCached = udf { (l: Array[Byte], r: Array[Byte]) =>
-    if (l == null || r == null) false
-    else graft.geom.GeomCache.prep(r).intersects(graft.geom.GeomCache.geom(l))
-  }
+    * pair in the partition. Native codegen Expression twin of the udf
+    * surface (same kernel, no boxing). */
+  def intersectsCached(l: Column, r: Column): Column =
+    ExpressionUtils.column(IntersectsWkb(
+      ExpressionUtils.expression(l), ExpressionUtils.expression(r)))
 
   /** Envelope-based cover (NO exact-geometry refinement of the cell set).
     * The ownership dedup's uniqueness proof needs the envelope-
@@ -63,13 +61,10 @@ object SpatialJoin {
     * concave geometries (the corner of two envelopes' intersection need
     * not touch either geometry), silently losing pairs. Envelope covers
     * always contain it. The exact predicate still refines the PAIRS. */
-  private val envCover = udf { (wkb: Array[Byte], res: Int, maxCells: Int) =>
-    if (wkb == null) Array.empty[Long]
-    else {
-      val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
-      Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
-    }
-  }
+  private def envCover(wkb: Column, res: Column, maxCells: Column): Column =
+    ExpressionUtils.column(EnvCoverWkb(
+      ExpressionUtils.expression(wkb), ExpressionUtils.expression(res),
+      ExpressionUtils.expression(maxCells)))
 
   /** True when the row's envelope would overflow the cover budget at
     * `res` — i.e. the rows coverBBox used to coarsen. Null-safe (null

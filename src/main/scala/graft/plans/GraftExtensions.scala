@@ -45,6 +45,18 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.FunctionIdentifier("st_cell_native"),
       graft.functions.CellOfXY.info,
       graft.functions.CellOfXY.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("st_intersects_native"),
+      graft.functions.IntersectsWkb.info,
+      graft.functions.IntersectsWkb.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("st_env_cover_native"),
+      graft.functions.EnvCoverWkb.info,
+      graft.functions.EnvCoverWkb.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("st_owner_cell_native"),
+      graft.functions.OwnerCellWkb.info,
+      graft.functions.OwnerCellWkb.builder))
   }
 
   /** Join resolution for the rewrite's cover cells (knob-free default:

@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.nio.channels.Channels
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Arrow IPC export/import — the engine's analog of the reference's
+ * Arrow exporter (geomesa-tools ArrowExporter.scala:29, ArrowScan
+ * .scala:37-160). Spark ships the Arrow Java libraries (they back
+ * pandas-UDF transport), so the writer is the real columnar IPC *file*
+ * format (readable by pyarrow.ipc.open_file, Arrow JS, DuckDB's
+ * read_arrow, etc.), not a stand-in.
+ *
+ * Layout: one `part-<id>.arrow` IPC file per Spark partition under the
+ * target directory plus a `_SUCCESS` marker — the same contract as
+ * Spark's own file sinks, so the export parallelizes with the job and
+ * never funnels through the driver.
+ *
+ * Supported column types: long, int, double, float, string, binary,
+ * boolean, timestamp (as UTC microseconds) — the reference exporter's
+ * effective surface (geometry travels as WKB binary or WKT string).
+ */
+object ArrowExport {
+
+  private def arrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case LongType => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType => new ArrowType.Utf8()
+      case BinaryType => new ArrowType.Binary()
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case TimestampType => new ArrowType.Timestamp(org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC")
+      case other => throw new IllegalArgumentException(
+        s"ArrowExport: unsupported column type $other for ${f.name} (project to a supported type first)")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), null)
+  }
+
+  def arrowSchema(schema: StructType): Schema =
+    new Schema(schema.fields.map(arrowField).toSeq.asJava)
+
+  /** Write the DataFrame as a directory of Arrow IPC files. */
+  def write(df: DataFrame, path: String, batchRows: Int = 4096): Unit = {
+    val sparkSchema = df.schema
+    df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val conf = new Configuration()
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, f"part-$pid%05d.arrow"), true)
+      val allocator = new RootAllocator(Long.MaxValue)
+      val root = VectorSchemaRoot.create(arrowSchema(sparkSchema), allocator)
+      val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
+      writer.start()
+      try {
+        val fields = sparkSchema.fields
+        var batch = 0
+        while (it.hasNext) {
+          root.allocateNew()
+          var r = 0
+          while (r < batchRows && it.hasNext) {
+            val row = it.next()
+            var c = 0
+            while (c < fields.length) {
+              val v = root.getVector(c)
+              if (row.isNullAt(c)) setNull(v, r)
+              else setValue(v, r, row, c, fields(c).dataType)
+              c += 1
+            }
+            r += 1
+          }
+          root.setRowCount(r)
+          writer.writeBatch()
+          batch += 1
+        }
+      } finally {
+        writer.end(); writer.close(); root.close(); allocator.close(); out.close()
+      }
+      Iterator.empty[Int]
+    }.count() // force the write job
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.create(new Path(path, "_SUCCESS"), true).close()
+  }
+
+  private def setNull(v: FieldVector, r: Int): Unit = v match {
+    case x: BigIntVector => x.setNull(r)
+    case x: IntVector => x.setNull(r)
+    case x: Float8Vector => x.setNull(r)
+    case x: Float4Vector => x.setNull(r)
+    case x: VarCharVector => x.setNull(r)
+    case x: VarBinaryVector => x.setNull(r)
+    case x: BitVector => x.setNull(r)
+    case x: TimeStampMicroTZVector => x.setNull(r)
+    case other => throw new IllegalStateException(s"unexpected vector $other")
+  }
+
+  private def setValue(v: FieldVector, r: Int, row: Row, c: Int, dt: DataType): Unit = (v, dt) match {
+    case (x: BigIntVector, _) => x.setSafe(r, row.getLong(c))
+    case (x: IntVector, _) => x.setSafe(r, row.getInt(c))
+    case (x: Float8Vector, _) => x.setSafe(r, row.getDouble(c))
+    case (x: Float4Vector, _) => x.setSafe(r, row.getFloat(c))
+    case (x: VarCharVector, _) => x.setSafe(r, row.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (x: VarBinaryVector, _) => x.setSafe(r, row.getAs[Array[Byte]](c))
+    case (x: BitVector, _) => x.setSafe(r, if (row.getBoolean(c)) 1 else 0)
+    case (x: TimeStampMicroTZVector, _) =>
+      x.setSafe(r, row.getAs[java.sql.Timestamp](c).toInstant.toEpochMilli * 1000L +
+        row.getAs[java.sql.Timestamp](c).getNanos / 1000 % 1000)
+    case (other, d) => throw new IllegalStateException(s"unexpected vector $other for $d")
+  }
+
+  /** Read a directory of Arrow IPC files back as a DataFrame (the
+    * inverse of `write` — each file decoded in the executor that gets
+    * it). */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val files = fs.listStatus(new Path(path))
+      .map(_.getPath).filter(_.getName.endsWith(".arrow")).map(_.toString).toSeq
+    val rdd = spark.sparkContext.parallelize(files, math.max(1, files.size)).flatMap { f =>
+      val conf = new Configuration()
+      val p = new Path(f)
+      val in = p.getFileSystem(conf).open(p)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes); in.close()
+      val allocator = new RootAllocator(Long.MaxValue)
+      val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      try {
+        val root = reader.getVectorSchemaRoot
+        while (reader.loadNextBatch()) {
+          val n = root.getRowCount
+          var r = 0
+          while (r < n) {
+            val vals = (0 until root.getFieldVectors.size()).map { c =>
+              getValue(root.getVector(c), r)
+            }
+            out += Row.fromSeq(vals)
+            r += 1
+          }
+        }
+      } finally { reader.close(); allocator.close() }
+      out.iterator
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def getValue(v: FieldVector, r: Int): Any = {
+    if (v.isNull(r)) null
+    else v match {
+      case x: BigIntVector => x.get(r)
+      case x: IntVector => x.get(r)
+      case x: Float8Vector => x.get(r)
+      case x: Float4Vector => x.get(r)
+      case x: VarCharVector => new String(x.get(r), java.nio.charset.StandardCharsets.UTF_8)
+      case x: VarBinaryVector => x.get(r)
+      case x: BitVector => x.get(r) == 1
+      case x: TimeStampMicroTZVector =>
+        val micros = x.get(r)
+        new java.sql.Timestamp(micros / 1000) // millis precision round-trip
+      case other => throw new IllegalStateException(s"unexpected vector $other")
+    }
+  }
+}

@@ -16,8 +16,10 @@ import graft.functions.StFunctions
  *    GeoJSON, the standard big-data framing
  *  - BIN: the 16-byte (trackHash,dtgSecs,lat,lon) records as Parquet
  *    (Stats.binRecords does the packing projection)
- *  - Avro/Arrow: spark-avro is not on this classpath and Spark exposes
- *    no public Arrow file writer; Parquet is the columnar export here.
+ *  - Arrow: real IPC files via the Arrow Java libraries Spark ships —
+ *    see ArrowExport (one .arrow file per partition, pyarrow-readable)
+ *  - Avro: spark-avro is not on this classpath; Parquet/Arrow are the
+ *    columnar exports here.
  */
 object Export {
 

@@ -196,6 +196,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT st_cell_native(CAST(NULL AS DOUBLE), 0.0, 9)").head.isNullAt(0))
   }
 
+  test("native geom expressions (st_intersects/env_cover/owner_cell) match UDF twins") {
+    mkTables()
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val boxes = (0 until 200).map { i =>
+      val cx = rnd.nextDouble() * 80 - 40; val cy = rnd.nextDouble() * 80 - 40
+      val w = 0.5 + rnd.nextDouble() * 5
+      (i, cx - w, cy - w, cx + w, cy + w, rnd.nextDouble() * 80 - 40, rnd.nextDouble() * 80 - 40)
+    }.toDF("i", "x0", "y0", "x1", "y1", "qx", "qy")
+    boxes.createOrReplaceTempView("nb")
+    val rows = spark.sql(
+      """SELECT
+        |  st_intersects_native(st_makeBBOX(x0, y0, x1, y1), st_makePoint(qx, qy)) AS ni,
+        |  st_intersects(st_makeBBOX(x0, y0, x1, y1), st_makePoint(qx, qy)) AS ui,
+        |  st_env_cover_native(st_makeBBOX(x0, y0, x1, y1), 6, 256) AS nc,
+        |  st_cellCover(st_makeBBOX(x0, y0, x1, y1), 6, 256) AS uc,
+        |  st_owner_cell_native(st_makeBBOX(x0, y0, x1, y1), st_makePoint(qx, qy), 6) AS no
+        |FROM nb""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(0) == r.getBoolean(1), "intersects parity")
+      // rectangles: refined cover == envelope cover
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "cover parity")
+      assert(graft.cells.Cells.res(r.getLong(4)) == 6)
+    }
+    // and the SpatialJoin operator (now on native expressions) still
+    // plans without ScalaUDF in the refine/cover slots
+    val a = spark.sql("SELECT i AS a_id, st_makeBBOX(x0, y0, x1, y1) AS a_geom FROM nb")
+    val b = spark.sql("SELECT i AS b_id, st_makePoint(qx, qy) AS b_geom FROM nb")
+    val plan = graft.operators.SpatialJoin.intersects(a, "a_geom", b, "b_geom", res = 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("intersectswkb") || plan.contains("IntersectsWkb") ||
+      plan.toLowerCase.contains("st_intersects_native") || !plan.contains("graft_cover"),
+      s"native refine missing from plan:\n${plan.take(2000)}")
+  }
+
   test("constant st_* expressions fold to literals at plan time") {
     mkTables()
     val q = spark.sql(

@@ -38,6 +38,31 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     assert(row.getDouble(2) == 10.0 && row.getString(3) == "a" && row.getLong(4) == 7)
   }
 
+  test("Arrow IPC export round-trips all supported types (incl. WKB geometry + nulls)") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10, 1.5, 2.5f, "hello", true),
+      (2L, 20, -3.25, 0.5f, "world", false),
+      (3L, 30, 0.0, 1.0f, null.asInstanceOf[String], true)
+    ).toDF("id", "n", "d", "f", "s", "b")
+      .selectExpr("id", "n", "d", "f", "s", "b", "st_makePoint(d, d) AS geom")
+      .repartition(2)
+    val dir = tmp() + "/arrow"
+    ArrowExport.write(df, dir, batchRows = 2)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".arrow")) == 2)
+    val back = ArrowExport.read(spark, dir, df.schema)
+    assert(back.schema == df.schema)
+    val a = df.collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    }).toSet
+    val b = back.collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    }).toSet
+    assert(a == b && a.size == 3)
+  }
+
   test("BIN export writes the packed 4-column layout") {
     import spark.implicits._
     val df = Seq(("t1", 1700000000000L, 1.5, 2.5)).toDF("track", "millis", "lon", "lat")
