@@ -193,6 +193,22 @@ object SparkEntry {
               |  st_geomFromWKT('POLYGON((-50 -20, 30 -20, 30 25, -50 25, -50 -20))'))""".stripMargin)
     }),
 
+    "q_attr_scan" -> ((s, dir) => {
+      // attribute-index scan (AttributeIndex analog): a second layout
+      // bucketed by attr hash + sorted by (attr, cell); equality lookup
+      // prunes to one bucket directory (plan asserted in
+      // SpatialTableSpec), answer must equal the plain filter
+      StFunctions.register(s)
+      val root = s"/tmp/graft_attr_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val p = pts(s, dir)
+        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+      graft.table.SpatialTable.write(s, p, root, "s1", "event_id", "lon", "lat",
+        res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      graft.table.SpatialTable.writeAttributeIndex(s, root, "s1", "event_type", buckets = 8)
+      graft.table.SpatialTable.readByAttribute(s, root, "s1", "event_type", "click", buckets = 8)
+        .select("event_id")
+    }),
+
     "q_dwithin_join" -> ((s, dir) => {
       // SQL proximity join through the injected SpatialJoinRewrite:
       // st_dwithinPlanar plans as a cell equi-join with distance-expanded
@@ -610,6 +626,9 @@ object SparkEntry {
         s"""WITH $ptsCte
            |SELECT event_id FROM pts
            |WHERE lon BETWEEN -50.0 AND 30.0 AND lat BETWEEN -20.0 AND 25.0""".stripMargin,
+
+      "q_attr_scan" ->
+        "SELECT event_id FROM events WHERE event_type = 'click'",
 
       "q_dwithin_join" ->
         s"""WITH $ptsCte, $zonesCte

@@ -94,6 +94,41 @@ object Stats {
       .withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(cellRes)))
       .groupBy("time_bin", "cell").count()
 
+  /** Z3Frequency analog (stats/Z3Frequency.scala:1-149): one count-min
+    * sketch PER time bin over the coarse cell — the time-binned
+    * frequency sketch the reference uses to answer "how hot was this
+    * region during week W" without exact counts. Returns (time_bin,
+    * cms binary); query a value by probing the bin's sketch. */
+  def z3Frequency(df: DataFrame, lonCol: String, latCol: String, millisCol: String,
+                  period: String, cellRes: Int,
+                  eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.withColumn("time_bin", StFunctions.stZ3Bin(col(millisCol), lit(period)))
+      .withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(cellRes)))
+      .groupBy("time_bin")
+      .agg(count_min_sketch(col("cell"), lit(eps), lit(confidence), lit(seed)).as("cms"),
+        count(lit(1)).as("n"))
+
+  /** Full covariance/correlation matrix across numeric columns in ONE
+    * aggregation pass (DescriptiveStats.scala co-moments analog): all
+    * pairwise covar_samp + corr as flat columns `cov_a_b` / `corr_a_b`. */
+  def covarianceMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need >= 2 columns")
+    val aggs = for {
+      i <- cols.indices; j <- cols.indices if j > i
+      a = cols(i); b = cols(j)
+      e <- Seq(covar_samp(col(a), col(b)).as(s"cov_${a}_$b"),
+        corr(col(a), col(b)).as(s"corr_${a}_$b"))
+    } yield e
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Map aggregation (the reference's map-valued stats): exact
+    * value -> count as a MapType column per group. */
+  def mapCounts(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(keyCol, valueCol).count()
+      .groupBy(keyCol)
+      .agg(map_from_entries(collect_list(struct(col(valueCol), col("count")))).as("value_counts"))
+
   /** Enumeration (exact value -> count map; stats/EnumerationStat.scala). */
   def enumeration(df: DataFrame, c: String): DataFrame = df.groupBy(c).count()
 

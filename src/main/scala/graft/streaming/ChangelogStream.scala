@@ -80,6 +80,24 @@ object ChangelogStream {
       }
   }
 
+  /**
+   * Lambda-store merged view (the reference's LambdaQueryRunner.scala:
+   * 35-90: query = transient in-memory tier UNION persistent tier,
+   * transient wins per feature id). `persistent` is the long-term store
+   * snapshot; `liveEvents` is the recent changelog not yet flushed.
+   * A feature with ANY live activity takes its live outcome — including
+   * suppression when the live outcome is a delete; untouched features
+   * come from the persistent tier. One anti-join + union, both keyed on
+   * id: co-partitioned, no global dedup.
+   */
+  def mergedView(spark: SparkSession, persistent: Dataset[GeoState],
+                 liveEvents: Dataset[GeoEvent]): Dataset[GeoState] = {
+    import spark.implicits._
+    val liveTouched = liveEvents.select("id").distinct()
+    val untouched = persistent.join(liveTouched, Seq("id"), "left_anti").as[GeoState]
+    untouched.union(replay(spark, liveEvents))
+  }
+
   /** Batch variant: replay a finite changelog into the final live view —
     * used for parity tests and for bootstrapping streaming state from a
     * table (the reference's lambda-store merge reads both tiers). */

@@ -120,6 +120,51 @@ object SpatialTable {
       .where(col(lonCol).between(bbox._1, bbox._3) && col(latCol).between(bbox._2, bbox._4))
   }
 
+  /**
+   * Attribute-index layout — the analog of the reference's
+   * AttributeIndex (geomesa-index-api/.../attribute/AttributeIndex
+   * .scala:278-372: rows keyed attribute-first with tiered date/z).
+   * A second copy of the snapshot bucketed by the attribute's hash and
+   * SORTED by (attr, cell) inside each file, so a high-selectivity
+   * attribute predicate becomes: bucket-directory pruning (the
+   * `attr_bucket=` partition column) + Parquet row-group min/max
+   * skipping on the sorted attribute — instead of a full scan of the
+   * cell-ordered primary layout (whose files have useless attr stats).
+   * The tiered cell sort keeps the secondary scan spatially clustered
+   * for the usual attribute+bbox combination.
+   */
+  def writeAttributeIndex(spark: SparkSession, root: String, snapshotId: String,
+                          attrCol: String, buckets: Int = 16): Unit = {
+    val marker = s"$root/_manifests/$snapshotId.attr_$attrCol.committed"
+    val f = fs(spark, root)
+    if (f.exists(new Path(marker))) return // resume: done
+    val data = read(spark, root, snapshotId)
+    data
+      .withColumn("attr_bucket", pmod(xxhash64(col(attrCol)), lit(buckets)).cast("int"))
+      .repartition(buckets, col("attr_bucket"))
+      .sortWithinPartitions(attrCol, "cell")
+      .write.mode("overwrite")
+      .partitionBy("attr_bucket")
+      .parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
+    writeString(f, marker, "")
+  }
+
+  /** Equality/range scan through the attribute index: bucket pruning
+    * applies for equality (the hash bucket is known); range predicates
+    * rely on the per-file sorted-attr row-group stats in every bucket. */
+  def readByAttribute(spark: SparkSession, root: String, snapshotId: String,
+                      attrCol: String, value: Any, buckets: Int = 16): DataFrame = {
+    val idx = spark.read.parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
+    idx.where(col("attr_bucket") ===
+        pmod(xxhash64(lit(value)), lit(buckets)).cast("int"))
+      .where(col(attrCol) === lit(value))
+  }
+
+  def readAttributeRange(spark: SparkSession, root: String, snapshotId: String,
+                         attrCol: String, lo: Any, hi: Any): DataFrame =
+    spark.read.parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
+      .where(col(attrCol).between(lit(lo), lit(hi)))
+
   def metricsTable(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/_metrics")
 

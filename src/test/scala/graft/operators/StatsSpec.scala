@@ -85,4 +85,40 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(cms != null && cms.nonEmpty)
     assert(Stats.partitionCount(df) >= 1)
   }
+
+  test("z3Frequency: per-bin count-min sketch answers hot-cell queries") {
+    import spark.implicits._
+    // 200 points in one hot cell during bin of week 0, 50 spread out
+    val rows = (0 until 200).map(i => (10.0, 45.0, 1000L * i)) ++
+      (0 until 50).map(i => (i.toDouble, -i / 2.0, 700L * 3600 * 1000 + i))
+    val df = rows.toDF("lon", "lat", "millis")
+    val out = Stats.z3Frequency(df, "lon", "lat", "millis", "week", 6).collect()
+    assert(out.length == 2) // two week bins
+    val hotBin = out.maxBy(_.getAs[Long]("n"))
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(hotBin.getAs[Array[Byte]]("cms")))
+    val hotCell = graft.cells.Cells.cell(10.0, 45.0, 6)
+    assert(cms.estimateCount(hotCell) >= 200) // CMS overestimates only
+  }
+
+  test("covariance matrix: pairwise covar/corr in one pass") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0))
+      .toDF("x", "y", "z")
+    val r = Stats.covarianceMatrix(df, Seq("x", "y", "z")).head
+    assert(math.abs(r.getAs[Double]("corr_x_y") - 1.0) < 1e-12)   // y = 2x
+    assert(math.abs(r.getAs[Double]("corr_x_z") + 1.0) < 1e-12)   // z = -x
+    assert(math.abs(r.getAs[Double]("cov_x_y") - 2 * r.getAs[Double]("cov_x_z").abs / 1.0) < 1e-9 ||
+      r.getAs[Double]("cov_x_y") > 0)
+    val expectedCovXY = 10.0 / 3.0 // var_samp(x) * 2 with x=1..4: var=5/3 -> cov=10/3
+    assert(math.abs(r.getAs[Double]("cov_x_y") - expectedCovXY) < 1e-9)
+  }
+
+  test("map aggregation: per-group value->count map") {
+    import spark.implicits._
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "c")).toDF("g", "v")
+    val out = Stats.mapCounts(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(out == Map("g1" -> Map("a" -> 2L, "b" -> 1L), "g2" -> Map("c" -> 1L)))
+  }
 }

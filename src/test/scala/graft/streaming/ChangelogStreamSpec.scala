@@ -73,4 +73,20 @@ class ChangelogStreamSpec extends AnyFunSuite with SparkTest {
       assert(!ops.contains(("fresh", "expire")))
     } finally q.stop()
   }
+
+  test("lambda merged view: live tier wins, live deletes suppress persistent rows") {
+    import spark.implicits._
+    val persistent = Seq(
+      GeoState("a", 1.0, 1.0, Map.empty, ts(0)),
+      GeoState("b", 2.0, 2.0, Map.empty, ts(0)),
+      GeoState("c", 3.0, 3.0, Map.empty, ts(0))).toDS()
+    val live = Seq(
+      GeoEvent("upsert", ts(10), "a", 9.0, 9.0, Map.empty),  // overrides persistent a
+      GeoEvent("delete", ts(10), "b", 0.0, 0.0, Map.empty),  // suppresses persistent b
+      GeoEvent("upsert", ts(11), "d", 4.0, 4.0, Map.empty)). // new live-only feature
+      toDS()
+    val merged = ChangelogStream.mergedView(spark, persistent, live)
+      .collect().map(s => s.id -> (s.lon, s.lat)).toMap
+    assert(merged == Map("a" -> (9.0, 9.0), "c" -> (3.0, 3.0), "d" -> (4.0, 4.0)))
+  }
 }

