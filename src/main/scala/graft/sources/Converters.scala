@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Config-driven converter framework — the Spark-native re-expression of
+ * the reference's geomesa-convert modules (delimited-text, fixed-width,
+ * xml, json, composite; /root/reference/geomesa-convert-* dirs). The
+ * reference interprets a HOCON config per record on a custom iterator;
+ * here a converter IS a function from a raw-line DataFrame to a typed
+ * DataFrame, built from the same declarative field specs — so parsing
+ * runs inside Spark's scan + codegen machinery and scales like any
+ * other projection.
+ *
+ * Field extractors:
+ *  - delimited: split + element_at (pure Columns, codegen)
+ *  - fixed-width: substring specs (pure Columns)
+ *  - json: get_json_object paths (built-in)
+ *  - xml: XPath over each record via the JDK's javax.xml (UDF — the JDK
+ *    parser is the only XML machinery on a vanilla Spark classpath)
+ *  - composite: per-line routing predicate -> first matching converter
+ *    (the reference's composite-converter dispatch)
+ *
+ * Every converter yields the user schema plus optional derived
+ * `geom` (WKB from lon/lat fields) — the reference's transform step.
+ */
+object Converters {
+
+  /** One output field: `name`, extraction `spec`, and the SQL cast type. */
+  final case class Field(name: String, spec: Spec, castTo: String = "string")
+  sealed trait Spec
+  /** delimited column index (0-based, after split on the delimiter) */
+  final case class Col(i: Int) extends Spec
+  /** fixed-width slice [start, start+len) (0-based chars) */
+  final case class FixedWidth(start: Int, len: Int) extends Spec
+  /** JSON path, e.g. "$.props.k" */
+  final case class JsonPath(path: String) extends Spec
+  /** XPath over the record's XML, e.g. "/event/@id" or "/event/lon/text()" */
+  final case class XPath(path: String) extends Spec
+
+  private val xpathUdf = udf { (xml: String, path: String) =>
+    if (xml == null) null
+    else {
+      try {
+        val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+          .newDocumentBuilder()
+          .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+        val xp = javax.xml.xpath.XPathFactory.newInstance().newXPath()
+        val s = xp.evaluate(path, doc)
+        if (s == null || s.isEmpty) null else s
+      } catch { case _: Exception => null }
+    }
+  }
+
+  private def extract(line: Column, f: Field, delimiter: String): Column = {
+    val raw = f.spec match {
+      case Col(i) => element_at(split(line, java.util.regex.Pattern.quote(delimiter)), i + 1)
+      case FixedWidth(start, len) => trim(substring(line, start + 1, len))
+      case JsonPath(p) => get_json_object(line, p)
+      case XPath(p) => xpathUdf(line, lit(p))
+    }
+    raw.cast(f.castTo).as(f.name)
+  }
+
+  /**
+   * Apply a converter to a DataFrame with a single string column
+   * `lineCol`. Rows where every field is null are dropped (the
+   * reference's parse-error skip mode); add lon/lat field names to also
+   * derive a WKB `geom` column.
+   */
+  def convert(df: DataFrame, lineCol: String, fields: Seq[Field],
+              delimiter: String = ",",
+              lonField: Option[String] = None, latField: Option[String] = None): DataFrame = {
+    val cols = fields.map(f => extract(col(lineCol), f, delimiter))
+    val parsed = df.select(cols: _*)
+      .where(fields.map(f => col(f.name).isNotNull).reduce(_ || _))
+    (lonField, latField) match {
+      case (Some(lo), Some(la)) =>
+        parsed.withColumn("geom",
+          graft.functions.StFunctions.stMakePoint(col(lo).cast("double"), col(la).cast("double")))
+      case _ => parsed
+    }
+  }
+
+  /** Read a text file and convert (the usual entry point). */
+  def fromText(spark: SparkSession, path: String, fields: Seq[Field],
+               delimiter: String = ",",
+               lonField: Option[String] = None, latField: Option[String] = None): DataFrame =
+    convert(spark.read.text(path), "value", fields, delimiter, lonField, latField)
+
+  /**
+   * Composite converter: each route is (predicate on the raw line,
+   * converter fields). A line is parsed by the FIRST matching route;
+   * all routes must produce the same schema (the reference's composite
+   * converter contract). Unmatched lines are dropped.
+   */
+  def composite(df: DataFrame, lineCol: String,
+                routes: Seq[(Column => Column, Seq[Field], String)],
+                lonField: Option[String] = None, latField: Option[String] = None): DataFrame = {
+    val parts = routes.zipWithIndex.map { case ((pred, fields, delim), i) =>
+      // earlier routes win: exclude lines matched by any earlier route
+      val notEarlier = routes.take(i).map(r => !coalesce(r._1(col(lineCol)), lit(false)))
+        .foldLeft(lit(true))(_ && _)
+      convert(df.where(pred(col(lineCol)) && notEarlier), lineCol, fields, delim, lonField, latField)
+    }
+    parts.reduce(_ union _)
+  }
+}

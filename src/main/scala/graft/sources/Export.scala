@@ -18,6 +18,9 @@ import graft.functions.StFunctions
  *    (Stats.binRecords does the packing projection)
  *  - Arrow: real IPC files via the Arrow Java libraries Spark ships —
  *    see ArrowExport (one .arrow file per partition, pyarrow-readable)
+ *  - Shapefile: point .shp/.shx/.dbf from the published ESRI spec —
+ *    see Shapefile (bounded interchange export, like the reference's
+ *    tools module)
  *  - Avro: spark-avro is not on this classpath; Parquet/Arrow are the
  *    columnar exports here.
  */

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTest
+import graft.sources.Converters._
+
+/** Converter framework: delimited / fixed-width / json / xml / composite
+  * configs produce typed rows + derived geometry (the geomesa-convert
+  * module surface re-expressed as Spark projections). */
+class ConvertersSpec extends AnyFunSuite with SparkTest {
+
+  test("delimited converter: typed fields + derived geom") {
+    import spark.implicits._
+    val df = Seq("1|alice|10.5|45.25", "2|bob|-3.0|7.75").toDF("value")
+    val out = Converters.convert(df, "value",
+      Seq(Field("id", Col(0), "bigint"), Field("name", Col(1)),
+        Field("lon", Col(2), "double"), Field("lat", Col(3), "double")),
+      delimiter = "|", lonField = Some("lon"), latField = Some("lat"))
+    val rows = out.selectExpr("id", "name", "st_asText(geom) AS wkt").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "alice", "POINT (10.5 45.25)"), (2L, "bob", "POINT (-3 7.75)")))
+  }
+
+  test("fixed-width converter slices columns by position") {
+    import spark.implicits._
+    //            0123456789012345
+    val df = Seq("0042  NYC   40.7", "0007  LA    34.1").toDF("value")
+    val out = Converters.convert(df, "value",
+      Seq(Field("id", FixedWidth(0, 4), "int"), Field("city", FixedWidth(4, 6)),
+        Field("lat", FixedWidth(10, 6), "double")))
+    val m = out.collect().map(r => r.getInt(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(m == Map(42 -> ("NYC", 40.7), 7 -> ("LA", 34.1)))
+  }
+
+  test("json converter extracts paths") {
+    import spark.implicits._
+    val df = Seq("""{"id": 5, "loc": {"lon": 1.5, "lat": 2.5}}""").toDF("value")
+    val out = Converters.convert(df, "value",
+      Seq(Field("id", JsonPath("$.id"), "bigint"),
+        Field("lon", JsonPath("$.loc.lon"), "double"),
+        Field("lat", JsonPath("$.loc.lat"), "double")),
+      lonField = Some("lon"), latField = Some("lat"))
+    val r = out.selectExpr("id", "st_asText(geom)").head
+    assert(r.getLong(0) == 5L && r.getString(1) == "POINT (1.5 2.5)")
+  }
+
+  test("xml converter evaluates XPath per record") {
+    import spark.implicits._
+    val df = Seq(
+      """<event id="9"><lon>12.25</lon><lat>-4.5</lat></event>""",
+      """<event id="10"><lon>0.5</lon><lat>0.25</lat></event>""").toDF("value")
+    val out = Converters.convert(df, "value",
+      Seq(Field("id", XPath("/event/@id"), "bigint"),
+        Field("lon", XPath("/event/lon"), "double"),
+        Field("lat", XPath("/event/lat"), "double")),
+      lonField = Some("lon"), latField = Some("lat"))
+    val m = out.selectExpr("id", "st_asText(geom) AS wkt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(9L -> "POINT (12.25 -4.5)", 10L -> "POINT (0.5 0.25)"))
+  }
+
+  test("composite converter routes lines to the first matching format") {
+    import spark.implicits._
+    val df = Seq(
+      "1,7.5",                         // csv route
+      """{"id": 2, "v": 8.5}""",       // json route
+      "garbage with, no parse",        // csv route matches (id null -> kept? id not null filter)
+      "3,9.5").toDF("value")
+    val csvFields = Seq(Field("id", Col(0), "bigint"), Field("v", Col(1), "double"))
+    val jsonFields = Seq(Field("id", JsonPath("$.id"), "bigint"), Field("v", JsonPath("$.v"), "double"))
+    val out = Converters.composite(df, "value", Seq(
+      ((l: org.apache.spark.sql.Column) => l.startsWith("{"), jsonFields, ","),
+      ((l: org.apache.spark.sql.Column) => l.rlike("^[0-9]+,"), csvFields, ",")))
+    val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 7.5, 2L -> 8.5, 3L -> 9.5))
+  }
+}

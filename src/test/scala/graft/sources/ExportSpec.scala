@@ -63,6 +63,45 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     assert(a == b && a.size == 3)
   }
 
+  test("Shapefile export: .shp/.shx/.dbf parse back per the ESRI spec") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(("a", 3, 10.5, 45.25), ("b", 7, -120.0, -33.5))
+      .toDF("name", "n", "x", "y")
+      .selectExpr("name", "n", "st_makePoint(x, y) AS geom")
+    val prefix = tmp() + "/pts"
+    Shapefile.writePoints(df, "geom", prefix)
+
+    import java.nio.{ByteBuffer, ByteOrder}
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prefix + ".shp"))
+    val hb = ByteBuffer.wrap(shp)
+    hb.order(ByteOrder.BIG_ENDIAN)
+    assert(hb.getInt(0) == 9994, "file code")
+    assert(hb.getInt(24) * 2 == shp.length, "file length in 16-bit words")
+    hb.order(ByteOrder.LITTLE_ENDIAN)
+    assert(hb.getInt(28) == 1000 && hb.getInt(32) == 1, "version + point type")
+    assert(hb.getDouble(36) == -120.0 && hb.getDouble(52) == 10.5, "bbox x")
+    // record 1: header 8B @100, then shapeType + x + y little-endian
+    val rb = ByteBuffer.wrap(shp, 100, 28).order(ByteOrder.LITTLE_ENDIAN)
+    rb.getInt(); rb.getInt() // record header (big-endian, skip)
+    assert(rb.getInt() == 1)
+    assert(rb.getDouble() == 10.5 && rb.getDouble() == 45.25)
+
+    val shx = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prefix + ".shx"))
+    assert(shx.length == 100 + 2 * 8)
+    val xb = ByteBuffer.wrap(shx, 100, 8).order(ByteOrder.BIG_ENDIAN)
+    assert(xb.getInt() == 50 && xb.getInt() == 10, "first record offset/length in words")
+
+    val dbf = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prefix + ".dbf"))
+    val db = ByteBuffer.wrap(dbf).order(ByteOrder.LITTLE_ENDIAN)
+    assert(db.get(0) == 0x03, "dBASE III")
+    assert(db.getInt(4) == 2, "record count")
+    val headerSize = db.getShort(8)
+    val recSize = db.getShort(10)
+    val rec0 = new String(dbf, headerSize, recSize, "ASCII")
+    assert(rec0.charAt(0) == ' ' && rec0.contains("a") && rec0.contains("3.000000"))
+  }
+
   test("BIN export writes the packed 4-column layout") {
     import spark.implicits._
     val df = Seq(("t1", 1700000000000L, 1.5, 2.5)).toDF("track", "millis", "lon", "lat")
