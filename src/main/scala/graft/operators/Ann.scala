@@ -40,8 +40,13 @@ object Ann {
       Array.tabulate(bits, dim)((b, i) => gauss(b.toLong * 100003 + i))
     })
 
-  /** bits-wide sign signature of a vector under seeded hyperplanes. */
-  private def signature(v: Seq[Float], bits: Int): Long = {
+  /** bits-wide sign signature of a vector under seeded hyperplanes.
+    * NOTE every kernel here converts the incoming Seq to an Array first:
+    * Spark hands UDFs an immutable List for ArrayType columns, and
+    * indexed access on List is O(i) — an O(dim^2) trap that turned a
+    * 15 ms banding pass into seconds. */
+  private def signature(vs: Seq[Float], bits: Int): Long = {
+    val v = vs.toArray
     val h = hyperplanes(bits, v.length)
     var sig = 0L
     var b = 0
@@ -59,7 +64,77 @@ object Ann {
     sig
   }
 
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+  /** Per-band sign keys: `bands` independent keys of `bitsPerBand` sign
+    * bits each (bands x bitsPerBand hyperplanes total — NOT limited to
+    * 64 bits overall, unlike the packed signature). Wide band keys are
+    * what keeps LSH sub-quadratic at scale: 16-bit keys give 65k buckets
+    * per band, vs the 16 buckets a 4-bit slice of a 16-bit signature
+    * yields (where every bucket goes quadratic on big data). */
+  /** `offsets(p)` = hyperplane p dot the dataset mean — sign tests run
+    * on the MEAN-CENTERED vector (dot(v, row) - offset >= 0). Embedding
+    * spaces are routinely biased (e.g. all-positive activations push
+    * every pairwise cosine toward ~0.75), which makes raw sign bits
+    * nearly constant and every bucket quadratic; centering rebalances
+    * the bits so only genuinely close pairs collide. */
+  private def bandKeys(vs: Seq[Float], bands: Int, bitsPerBand: Int,
+                       offsets: Array[Double]): Array[Long] = {
+    val v = vs.toArray
+    val h = hyperplanes(bands * bitsPerBand, v.length)
+    Array.tabulate(bands) { b =>
+      var key = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        val p = b * bitsPerBand + i
+        val row = h(p)
+        var dot = 0.0
+        var j = 0
+        while (j < v.length) { dot += v(j) * row(j); j += 1 }
+        if (dot - offsets(p) >= 0) key |= (1L << i)
+        i += 1
+      }
+      key
+    }
+  }
+
+  /** One-pass per-dimension mean of the embedding column (driver gets a
+    * dim-sized array — bounded, like the IVF centroid sample). */
+  private def meanVector(df: DataFrame, embCol: String): Array[Double] = {
+    val rdd = df.select(col(embCol)).rdd
+      .map(_.getSeq[Float](0))
+    val (sum, n) = rdd.treeAggregate((null: Array[Double], 0L))(
+      seqOp = { case ((acc, c), v) =>
+        val a = if (acc == null) new Array[Double](v.length) else acc
+        var i = 0
+        while (i < v.length) { a(i) += v(i); i += 1 }
+        (a, c + 1)
+      },
+      combOp = { case ((a, ca), (b, cb)) =>
+        if (a == null) (b, cb)
+        else if (b == null) (a, ca)
+        else {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          (a, ca + cb)
+        }
+      })
+    if (sum == null || n == 0) Array.empty
+    else sum.map(_ / n)
+  }
+
+  /** Hyperplane-dot-mean offsets for the centered sign test. */
+  private def planeOffsets(mean: Array[Double], bands: Int, bitsPerBand: Int): Array[Double] = {
+    if (mean.isEmpty) return new Array[Double](bands * bitsPerBand)
+    val h = hyperplanes(bands * bitsPerBand, mean.length)
+    Array.tabulate(bands * bitsPerBand) { p =>
+      var dot = 0.0
+      var j = 0
+      while (j < mean.length) { dot += mean(j) * h(p)(j); j += 1 }
+      dot
+    }
+  }
+
+  private val cosineUdf = udf { (as: Seq[Float], bs: Seq[Float]) =>
+    val a = as.toArray; val b = bs.toArray
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < a.length) {
@@ -82,26 +157,26 @@ object Ann {
       .select(col(qidCol), col(idCol), col("cosine"))
   }
 
-  /** LSH-bucketed top-k: recall < 1 by construction; `bands` bands of
-    * `bits/bands` sign bits each — candidates share at least one band. */
+  /** LSH-bucketed top-k: recall < 1 by construction; `bands` independent
+    * band keys of `bitsPerBand` sign bits each — candidates share at
+    * least one exact band key. */
   def lshTopK(data: DataFrame, idCol: String, embCol: String,
               queries: DataFrame, qidCol: String, qEmbCol: String,
-              k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
-    require(bits % bands == 0)
-    val width = bits / bands
-    val sigU = udf((v: Seq[Float]) => signature(v, bits))
-    val bandKey = udf((sig: Long, b: Int) => (sig >>> (b * width)) & ((1L << width) - 1))
+              k: Int, bands: Int = 8, bitsPerBand: Int = 16): DataFrame = {
+    val offsets = planeOffsets(meanVector(data, embCol), bands, bitsPerBand)
+    val keysU = udf((v: Seq[Float]) => bandKeys(v, bands, bitsPerBand, offsets))
     def banded(df: DataFrame, id: String, emb: String) =
-      df.withColumn("__sig", sigU(col(emb)))
-        .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-        .withColumn("key", bandKey(col("__sig"), col("band")))
-    val d = banded(data, idCol, embCol).select(col("band"), col("key"), col(idCol), col(embCol))
-    val q = banded(queries, qidCol, qEmbCol).select(col("band"), col("key"), col(qidCol), col(qEmbCol))
-    // cosine before the (qid, id) dedup: the shuffle carries a scalar,
-    // not two embedding vectors
+      df.select(col(id), col(emb), posexplode(keysU(col(emb))).as(Seq("band", "key")))
+    // banding carries ids only; embeddings re-join once per UNIQUE
+    // (query, candidate) pair and the cosine is computed once per pair
+    // (not once per colliding band)
+    val d = banded(data, idCol, embCol).select(col("band"), col("key"), col(idCol))
+    val q = banded(queries, qidCol, qEmbCol).select(col("band"), col("key"), col(qidCol))
     d.join(broadcast(q), Seq("band", "key"))
+      .groupBy(qidCol, idCol).agg(count(lit(1)).as("__nb")).drop("__nb")
+      .join(data.select(col(idCol), col(embCol)), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(qEmbCol))), qidCol)
       .withColumn("cosine", cosineUdf(col(embCol), col(qEmbCol)))
-      .groupBy(qidCol, idCol).agg(first(col("cosine")).as("cosine"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(qidCol).orderBy(desc("cosine"), col(idCol))))
       .where(col("__rn") <= k)
@@ -142,7 +217,8 @@ object Ann {
       .select(col(qidCol), col(idCol), col("cosine"))
   }
 
-  private def cosineVal(a: Seq[Float], b: Seq[Float]): Double = {
+  private def cosineVal(as: Seq[Float], bs: Seq[Float]): Double = {
+    val a = as.toArray; val b = bs.toArray
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < a.length) {
@@ -154,30 +230,32 @@ object Ann {
   }
 
   /** All pairs with cosine >= minCosine via banded sign-LSH + verify —
-    * used for embedding-level near-dup detection. The cosine is computed
-    * and thresholded BEFORE the pair dedup, so the `groupBy(id1, id2)`
-    * shuffle carries ids + one double instead of two full embeddings;
-    * buckets over `maxBucket` rows are dropped (quadratic guard — see
-    * Dedup.capBuckets). */
+    * used for embedding-level near-dup detection. Scale shape: banding
+    * carries (band, key, id) only (~16 bytes/row through the bucket
+    * shuffle — embeddings never ride the explode), candidate pairs dedup
+    * on ids, then embeddings re-join once per UNIQUE pair and the cosine
+    * is computed once per pair. Buckets over `maxBucket` rows are
+    * dropped (quadratic guard — see Dedup.capBuckets). */
   def cosinePairs(df: DataFrame, idCol: String, embCol: String,
-                  minCosine: Double, bits: Int = 16, bands: Int = 4,
+                  minCosine: Double, bands: Int = 8, bitsPerBand: Int = 16,
                   maxBucket: Int = 4096): DataFrame = {
-    require(bits % bands == 0)
-    val width = bits / bands
-    val sigU = udf((v: Seq[Float]) => signature(v, bits))
-    val bandKey = udf((sig: Long, b: Int) => (sig >>> (b * width)) & ((1L << width) - 1))
+    val offsets = planeOffsets(meanVector(df, embCol), bands, bitsPerBand)
+    val keysU = udf((v: Seq[Float]) => bandKeys(v, bands, bitsPerBand, offsets))
     val banded = Dedup.capBuckets(
-      df.select(col(idCol).as("id"), col(embCol).as("emb"))
-        .withColumn("__sig", sigU(col("emb")))
-        .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-        .withColumn("key", bandKey(col("__sig"), col("band"))),
+      df.select(col(idCol).as("id"),
+          posexplode(keysU(col(embCol))).as(Seq("band", "key")))
+        .select("id", "band", "key"),
       Seq("band", "key"), maxBucket)
-    val l = banded.select(col("band"), col("key"), col("id").as("id1"), col("emb").as("emb1"))
-    val r = banded.select(col("band"), col("key"), col("id").as("id2"), col("emb").as("emb2"))
-    l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
+    val l = banded.select(col("band"), col("key"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("key"), col("id").as("id2"))
+    val pairs = l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
+      .select("id1", "id2").groupBy("id1", "id2").agg(count(lit(1)).as("__nb"))
+      .drop("__nb")
+    pairs
+      .join(df.select(col(idCol).as("id1"), col(embCol).as("emb1")), "id1")
+      .join(df.select(col(idCol).as("id2"), col(embCol).as("emb2")), "id2")
       .withColumn("cosine", cosineUdf(col("emb1"), col("emb2")))
       .where(col("cosine") >= minCosine)
-      .groupBy("id1", "id2").agg(first("cosine").as("cosine"))
       .select("id1", "id2", "cosine")
   }
 }

@@ -55,8 +55,11 @@ object Dedup {
   private def sigUdf(w: Int, numHashes: Int) =
     udf((text: String) => if (text == null) null else minhashSig(text, w, numHashes))
 
-  /** Estimated Jaccard from two signatures = fraction of equal slots. */
-  private val estJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
+  /** Estimated Jaccard from two signatures = fraction of equal slots.
+    * (toArray first: Spark hands UDFs a List for array columns, and
+    * indexed List access is O(i) — see Ann.signature.) */
+  private val estJaccard = udf { (as: Seq[Long], bs: Seq[Long]) =>
+    val a = as.toArray; val b = bs.toArray
     var eq = 0
     var i = 0
     while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
@@ -88,12 +91,18 @@ object Dedup {
    * MinHash-LSH near-duplicate pairs: shingle -> minhash -> band ->
    * bucket-join -> signature-level Jaccard estimate filter.
    *
-   * Scale shape: the estimate is computed AND thresholded before the
-   * pair dedup, so the `groupBy(id1, id2)` shuffle carries only ids + one
-   * double (~24 bytes/pair) instead of two 64-long signatures, and pairs
-   * failing the threshold never shuffle at all. Buckets over `maxBucket`
-   * rows are dropped (see capBuckets) so no degenerate key goes
-   * quadratic.
+   * Scale shape (the 100 TB-shaped plan):
+   *  1. banding carries (band, bucket, id) ONLY — ~16 bytes/row through
+   *     the bucket shuffle instead of the 64-long signature;
+   *  2. candidate pairs dedup on ids alone (`groupBy(id1, id2)`);
+   *  3. signatures re-join per UNIQUE pair and the Jaccard estimate is
+   *     computed once per pair — not once per colliding band (an exact
+   *     duplicate collides in all 16 bands; computing the metric per
+   *     collision multiplies the work 16x).
+   * The signature is recomputed for the re-join (one extra UDF pass over
+   * the corpus — cheap next to shuffling signatures x bands). Buckets
+   * over `maxBucket` rows are dropped (capBuckets) so no degenerate key
+   * goes quadratic.
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, w: Int = 3,
@@ -105,14 +114,18 @@ object Dedup {
     val banded0 = sig.select(col("id"), col("sig"),
       posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
       .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select("id", "sig", "band", "bucket")
+      .select("id", "band", "bucket") // ids only through the shuffle
     val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("band", "bucket")).where(col("id1") < col("id2"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id2"))
+    val pairs = l.join(r, Seq("band", "bucket")).where(col("id1") < col("id2"))
+      .select("id1", "id2").groupBy("id1", "id2").agg(count(lit(1)).as("__nb"))
+      .drop("__nb")
+    pairs
+      .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
       .withColumn("est_jaccard", estJaccard(col("sig1"), col("sig2")))
       .where(col("est_jaccard") >= threshold)
-      .groupBy("id1", "id2").agg(first("est_jaccard").as("est_jaccard"))
       .select("id1", "id2", "est_jaccard")
   }
 
@@ -215,6 +228,6 @@ object Dedup {
     * random-hyperplane LSH bucketing + exact cosine verify (the ANN
     * machinery, reused as a dedup operator). */
   def embeddingPairs(df: DataFrame, idCol: String, embCol: String,
-                     minCosine: Double = 0.95, bits: Int = 16, bands: Int = 4): DataFrame =
-    Ann.cosinePairs(df, idCol, embCol, minCosine, bits, bands)
+                     minCosine: Double = 0.95, bands: Int = 8, bitsPerBand: Int = 16): DataFrame =
+    Ann.cosinePairs(df, idCol, embCol, minCosine, bands, bitsPerBand)
 }

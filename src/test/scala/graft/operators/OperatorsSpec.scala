@@ -315,6 +315,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(sig.select("id1", "id2").collect().length > 19900, "default cap should keep the dense bucket")
   }
 
+  test("cosinePairs banding shuffles ids only — embeddings never ride the explode") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val n = 20000
+    val dim = 64
+    val df = (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleBytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows = Ann.cosinePairs(df, "vec_id", "embedding", minCosine = 0.9).count()
+    Thread.sleep(500) // listener bus drain
+    spark.sparkContext.removeSparkListener(listener)
+    // total shuffle across ALL stages (banding x4 bands both sides, cap
+    // counts, pair dedup, two payload re-joins). With embeddings riding
+    // the banding explode this would be >= n*bands*(dim*4B) ~ 20MB for
+    // one side alone; ids-only banding keeps the whole job far under it.
+    val bytes = shuffleBytes.get()
+    assert(bytes < 15L * 1024 * 1024,
+      s"banding shuffle too heavy: $bytes bytes — payloads are riding the explode")
+    assert(rows >= 0)
+  }
+
   test("simhash blocking finds small-hamming pairs exactly") {
     ready
     import spark.implicits._
@@ -345,7 +374,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     val queries = (0 until 4).map(c => (c.toLong, vec(c))).toDF("qid", "qemb")
     val brute = Ann.bruteForceTopK(data, "id", "emb", queries, "qid", "qemb", 5)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Ann.lshTopK(data, "id", "emb", queries, "qid", "qemb", 5, bits = 16, bands = 8)
+    val lsh = Ann.lshTopK(data, "id", "emb", queries, "qid", "qemb", 5, bands = 8, bitsPerBand = 8)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall too low")
