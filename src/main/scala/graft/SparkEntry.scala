@@ -55,6 +55,20 @@ object SparkEntry {
     s.sql(ZonesSql)
   }
 
+  /** JTS Distance.pointToSegment replicated in ANSI SQL (projection
+    * parameter r, endpoint branches, perpendicular formula) — the
+    * oracle side of the planar tube/route refines. p=(px,py), segment
+    * (x0,y0)-(x1,y1); len2 must be provided as a column named len2. */
+  private def pointToSegSql(px: String, py: String,
+                            x0: String, y0: String, x1: String, y1: String): String =
+    s"""CASE WHEN len2 = 0.0 THEN sqrt(($px-$x0)*($px-$x0)+($py-$y0)*($py-$y0))
+       | WHEN (($px-$x0)*($x1-$x0) + ($py-$y0)*($y1-$y0)) / len2 <= 0.0
+       |   THEN sqrt(($px-$x0)*($px-$x0)+($py-$y0)*($py-$y0))
+       | WHEN (($px-$x0)*($x1-$x0) + ($py-$y0)*($y1-$y0)) / len2 >= 1.0
+       |   THEN sqrt(($px-$x1)*($px-$x1)+($py-$y1)*($py-$y1))
+       | ELSE abs((($y0-$py)*($x1-$x0) - ($x0-$px)*($y1-$y0)) / len2) * sqrt(len2)
+       |END""".stripMargin.replace("\n", " ")
+
   /** DuckDB-side Morton interleave of `res`-bit tx/ty (bit-op SQL) —
     * independently recomputes our cell packing for tile-id parity. */
   private def mortonSql(tx: String, ty: String, res: Int): String = {
@@ -311,8 +325,10 @@ object SparkEntry {
     }),
 
     "q_tube_select" -> ((s, dir) => {
-      // spatio-temporal corridor join (TubeSelectProcess analog):
-      // track = user 0's positions ordered by time; features = all points
+      // spatio-temporal corridor join (TubeSelectProcess analog), planar
+      // variant: corridor membership = exact JTS point-to-segment
+      // distance, replicated formula-for-formula by the DuckDB oracle.
+      // (the haversine/buffered variant is covered by TrackOpsSpec)
       import s.implicits._
       StFunctions.register(s)
       val p = pts(s, dir)
@@ -320,15 +336,16 @@ object SparkEntry {
         .withColumn("millis", expr("unix_millis(cast(ts AS timestamp))"))
         .selectExpr("event_id", "user_id", "CAST(lon AS DOUBLE) AS lon",
           "CAST(lat AS DOUBLE) AS lat", "millis")
-      val track = p.where(col("user_id") === 1).orderBy("millis")
+      val track = p.where(col("user_id") === 1).orderBy("millis", "event_id")
         .limit(20).select("lon", "lat", "millis")
-      operators.TrackOps.tubeSelect(s, p, "event_id", "lon", "lat", "millis",
-        track, "lon", "lat", "millis", bufferMeters = 500000.0,
+      operators.TrackOps.tubeSelectPlanar(s, p, "event_id", "lon", "lat", "millis",
+        track, "lon", "lat", "millis", bufferDeg = 4.503,
         timeSlackMs = 86400000L, res = 5)
     }),
 
     "q_route_search" -> ((s, dir) => {
-      // route proximity + heading match (RouteSearchProcess analog)
+      // route proximity + heading match (RouteSearchProcess analog),
+      // planar variant for the oracle (haversine variant in TrackOpsSpec)
       import s.implicits._
       StFunctions.register(s)
       val p = pts(s, dir)
@@ -337,8 +354,10 @@ object SparkEntry {
           "CAST(lat AS DOUBLE) AS lat", "heading")
       val route = (0 until 8).map(i => (-30.0 + i * 10.0, 0.0 + i * 2.0, i))
         .toDF("rlon", "rlat", "seq")
-      operators.TrackOps.routeSearch(s, p, "event_id", "lon", "lat", "heading",
-        route, "rlon", "rlat", "seq", meters = 300000.0, headingTolDeg = 30.0, res = 5)
+      operators.TrackOps.routeSearchPlanar(s, p, "event_id", "lon", "lat", "heading",
+          route, "rlon", "rlat", "seq", distDeg = 2.9701, headingTolDeg = 30.0, res = 5)
+        .selectExpr("event_id", "round(best_heading_diff, 6) AS best_heading_diff",
+          "n_segments")
     }),
 
     "q_changelog_replay" -> ((s, dir) => {
@@ -393,10 +412,14 @@ object SparkEntry {
     }),
 
     "q_bin_records" -> ((s, dir) => {
-      // BIN export projection (BinAggregatingScan analog)
+      // BIN export projection (BinAggregatingScan analog); the track
+      // hash here is an engine-portable integer formula so DuckDB can
+      // recompute the full wire layout (Spark's murmur default is
+      // exercised by StatsSpec)
       val p = pts(s, dir).join(t(s, dir, "events").select("event_id", "user_id"), "event_id")
         .withColumn("millis", expr("unix_millis(cast(ts AS timestamp))"))
-      operators.Stats.binRecords(p, "user_id", "millis", "lon", "lat")
+        .withColumn("th", expr("CAST((user_id * 2654435761) % 2147483647 AS INT)"))
+      operators.Stats.binRecords(p, "th", "millis", "lon", "lat", hashTrack = false)
     }),
 
     "q_z3_scan" -> ((s, dir) => {
@@ -702,6 +725,56 @@ object SparkEntry {
            |latest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn FROM ev)
            |SELECT user_id, CAST(round(lon, 2) AS DOUBLE) AS lon, CAST(round(lat, 2) AS DOUBLE) AS lat
            |FROM latest WHERE rn = 1 AND kind = 'upsert'""".stripMargin,
+
+      "q_bin_records" ->
+        s"""WITH $ptsCte
+           |SELECT CAST((e.user_id * 2654435761) % 2147483647 AS INT) AS track_hash,
+           |  CAST(epoch_ms(p.ts) // 1000 AS INT) AS dtg_s,
+           |  CAST(p.lat AS REAL) AS lat, CAST(p.lon AS REAL) AS lon
+           |FROM pts p JOIN events e ON p.event_id = e.event_id""".stripMargin,
+
+      "q_tube_select" -> {
+        val d = pointToSegSql("f.lon", "f.lat", "s2.x0", "s2.y0", "s2.x1", "s2.y1")
+        s"""WITH $ptsCte,
+           |f AS (SELECT p.event_id, e.user_id, p.lon, p.lat, epoch_ms(p.ts) AS millis
+           |      FROM pts p JOIN events e ON p.event_id = e.event_id),
+           |trk AS (SELECT lon, lat, millis FROM f WHERE user_id = 1 ORDER BY millis LIMIT 20),
+           |seg AS (SELECT lag(lon) OVER (ORDER BY millis) AS x0,
+           |               lag(lat) OVER (ORDER BY millis) AS y0,
+           |               lon AS x1, lat AS y1,
+           |               lag(millis) OVER (ORDER BY millis) - 86400000 AS t0,
+           |               millis + 86400000 AS t1 FROM trk),
+           |s2 AS (SELECT *, (x1-x0)*(x1-x0) + (y1-y0)*(y1-y0) AS len2
+           |       FROM seg WHERE x0 IS NOT NULL),
+           |cand AS (SELECT f.event_id, f.millis, s2.t0, s2.t1, $d AS dist
+           |         FROM f CROSS JOIN s2)
+           |SELECT event_id, MIN(t0) AS first_window_start, MAX(t1) AS last_window_end,
+           |  COUNT(*) AS n_segments
+           |FROM cand WHERE dist < 4.503 AND millis BETWEEN t0 AND t1
+           |GROUP BY event_id""".stripMargin
+      },
+
+      "q_route_search" -> {
+        val d = pointToSegSql("f.lon", "f.lat", "s2.x0", "s2.y0", "s2.x1", "s2.y1")
+        val routeVals = (0 until 8).map(i => s"(${-30.0 + i * 10.0}, ${0.0 + i * 2.0}, $i)").mkString(", ")
+        s"""WITH $ptsCte,
+           |f AS (SELECT event_id, lon, lat, CAST((event_id * 37) % 360 AS DOUBLE) AS heading FROM pts),
+           |rt AS (SELECT * FROM (VALUES $routeVals) AS v(rlon, rlat, seq)),
+           |seg AS (SELECT lag(rlon) OVER (ORDER BY seq) AS x0,
+           |               lag(rlat) OVER (ORDER BY seq) AS y0,
+           |               rlon AS x1, rlat AS y1 FROM rt),
+           |s2 AS (SELECT x0, y0, x1, y1,
+           |         (x1-x0)*(x1-x0) + (y1-y0)*(y1-y0) AS len2,
+           |         (degrees(atan2(x1-x0, y1-y0)) + 360.0) % 360.0 AS bearing
+           |       FROM seg WHERE x0 IS NOT NULL),
+           |cand AS (SELECT f.event_id, $d AS dist,
+           |           LEAST(abs(f.heading - s2.bearing), 360.0 - abs(f.heading - s2.bearing)) AS hd
+           |         FROM f CROSS JOIN s2),
+           |c2 AS (SELECT event_id, dist, LEAST(hd, abs(hd - 180.0)) AS aligned FROM cand)
+           |SELECT event_id, round(MIN(aligned), 6) AS best_heading_diff, COUNT(*) AS n_segments
+           |FROM c2 WHERE dist < 2.9701 AND aligned <= 30.0
+           |GROUP BY event_id""".stripMargin
+      },
 
       "q_topk" ->
         """SELECT event_type, n FROM (

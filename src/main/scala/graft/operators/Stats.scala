@@ -146,11 +146,13 @@ object Stats {
 
   /** BIN-record projection (BinAggregatingScan analog): the wire-compact
     * (trackHash:int, dtgSeconds:int, lat:float, lon:float) layout as
-    * columns; writing it to Parquet/binary is the export. */
+    * columns; writing it to Parquet/binary is the export.
+    * `hashTrack=false` treats trackCol as an already-computed int hash
+    * (lets callers supply an engine-portable hash for cross-checking). */
   def binRecords(df: DataFrame, trackCol: String, millisCol: String,
-                 lonCol: String, latCol: String): DataFrame =
+                 lonCol: String, latCol: String, hashTrack: Boolean = true): DataFrame =
     df.select(
-      hash(col(trackCol)).as("track_hash"),
+      (if (hashTrack) hash(col(trackCol)) else col(trackCol).cast("int")).as("track_hash"),
       (col(millisCol) / 1000L).cast("int").as("dtg_s"),
       col(latCol).cast("float").as("lat"),
       col(lonCol).cast("float").as("lon"))

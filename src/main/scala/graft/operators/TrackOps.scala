@@ -69,6 +69,52 @@ object TrackOps {
         count(lit(1)).as("n_segments"))
   }
 
+  /**
+   * Planar tube select — corridor membership by exact point-to-segment
+   * DISTANCE (JTS Distance.pointToSegment) instead of a polygonized
+   * buffer. The distance form is ANSI-SQL-replicable (projection
+   * parameter + perpendicular formula), so this variant is the
+   * oracle-checked one; semantics match tubeSelect with an exact
+   * circular cap corridor rather than the buffer's segment-approximated
+   * cap. Buffer is in DEGREES (planar).
+   */
+  def tubeSelectPlanar(spark: SparkSession,
+                       features: DataFrame, idCol: String, lonCol: String, latCol: String, millisCol: String,
+                       track: DataFrame, trackLon: String, trackLat: String, trackMillis: String,
+                       bufferDeg: Double, timeSlackMs: Long, res: Int = 6): DataFrame = {
+    StFunctions.register(spark)
+    val w = Window.orderBy(col(trackMillis), col(trackLon), col(trackLat))
+    val segGeom = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
+      GeomOps.toWkb(GeomOps.factory.createLineString(Array(
+        new org.locationtech.jts.geom.Coordinate(x0, y0),
+        new org.locationtech.jts.geom.Coordinate(x1, y1))))
+    }
+    val segs = track
+      .withColumn("__plon", lag(col(trackLon), 1).over(w))
+      .withColumn("__plat", lag(col(trackLat), 1).over(w))
+      .withColumn("__pt", lag(col(trackMillis), 1).over(w))
+      .where(col("__plon").isNotNull)
+      .select(
+        segGeom(col("__plon"), col("__plat"), col(trackLon), col(trackLat)).as("seg_geom"),
+        (least(col("__plon"), col(trackLon)) - bufferDeg).as("__bx0"),
+        (least(col("__plat"), col(trackLat)) - bufferDeg).as("__by0"),
+        (greatest(col("__plon"), col(trackLon)) + bufferDeg).as("__bx1"),
+        (greatest(col("__plat"), col(trackLat)) + bufferDeg).as("__by1"),
+        (col("__pt") - timeSlackMs).as("t0"),
+        (col(trackMillis) + timeSlackMs).as("t1"))
+      .withColumn("__scell", explode(StFunctions.stCellCover(
+        StFunctions.stMakeBBOX(col("__bx0"), col("__by0"), col("__bx1"), col("__by1")),
+        lit(res), lit(4096))))
+    val f = features.withColumn("__fcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
+    f.join(broadcast(segs), col("__fcell") === col("__scell"))
+      .where(StFunctions.stDWithinPlanar(
+        StFunctions.stMakePoint(col(lonCol), col(latCol)), col("seg_geom"), lit(bufferDeg)) &&
+        col(millisCol).between(col("t0"), col("t1")))
+      .groupBy(idCol)
+      .agg(min("t0").as("first_window_start"), max("t1").as("last_window_end"),
+        count(lit(1)).as("n_segments"))
+  }
+
   /** Bearing in degrees [0, 360) from (x0,y0) to (x1,y1), planar. */
   private val bearing = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
     val b = math.toDegrees(math.atan2(x1 - x0, y1 - y0))
@@ -86,6 +132,40 @@ object TrackOps {
       .select(col("__plon").as("sx0"), col("__plat").as("sy0"),
         col(lonCol).as("sx1"), col(latCol).as("sy1"),
         bearing(col("__plon"), col("__plat"), col(lonCol), col(latCol)).as("seg_bearing"))
+  }
+
+  /** Planar route search: distance threshold in DEGREES with the exact
+    * point-to-segment distance (oracle-replicable; the haversine
+    * variant below keeps the reference's metric semantics). */
+  def routeSearchPlanar(spark: SparkSession,
+                        features: DataFrame, idCol: String, lonCol: String, latCol: String, headingCol: String,
+                        route: DataFrame, routeLon: String, routeLat: String, routeSeq: String,
+                        distDeg: Double, headingTolDeg: Double, res: Int = 6): DataFrame = {
+    StFunctions.register(spark)
+    val segGeom = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
+      GeomOps.toWkb(GeomOps.factory.createLineString(Array(
+        new org.locationtech.jts.geom.Coordinate(x0, y0),
+        new org.locationtech.jts.geom.Coordinate(x1, y1))))
+    }
+    val segs = routeSegments(route, routeLon, routeLat, routeSeq)
+      .withColumn("seg_geom", segGeom(col("sx0"), col("sy0"), col("sx1"), col("sy1")))
+      .withColumn("__scell", explode(StFunctions.stCellCover(
+        StFunctions.stMakeBBOX(
+          least(col("sx0"), col("sx1")) - distDeg, least(col("sy0"), col("sy1")) - distDeg,
+          greatest(col("sx0"), col("sx1")) + distDeg, greatest(col("sy0"), col("sy1")) + distDeg),
+        lit(res), lit(4096))))
+    val f = features.withColumn("__fcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
+    val headingDiff =
+      least(
+        abs(col(headingCol) - col("seg_bearing")),
+        lit(360.0) - abs(col(headingCol) - col("seg_bearing")))
+    val alignedEitherWay = least(headingDiff, abs(headingDiff - lit(180.0)))
+    f.join(broadcast(segs), col("__fcell") === col("__scell"))
+      .where(StFunctions.stDWithinPlanar(
+        StFunctions.stMakePoint(col(lonCol), col(latCol)), col("seg_geom"), lit(distDeg)) &&
+        alignedEitherWay <= headingTolDeg)
+      .groupBy(idCol)
+      .agg(min(alignedEitherWay).as("best_heading_diff"), count(lit(1)).as("n_segments"))
   }
 
   /**
