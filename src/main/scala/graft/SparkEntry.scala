@@ -318,6 +318,36 @@ object SparkEntry {
           "round(luma_mean, 4) AS luma_mean")
     }),
 
+    "q_audio_features" -> ((s, dir) => {
+      // audio modality: REAL RIFF/WAVE PCM16 decode (deterministic synth
+      // clips keyed by doc_id); signal features are not SQL-expressible
+      // -> rows-only; invariants asserted in MultimodalSpec
+      import s.implicits._
+      val clips = t(s, dir, "documents").where("doc_id < 200")
+        .select("doc_id").as[Long]
+        .map(id => (id.toString, graft.images.SyntheticMedia.wav(id)))
+        .toDF("audio_id", "bytes")
+      operators.Multimodal.audioFeatures(s, clips).toDF()
+        .selectExpr("audio_id", "sample_rate", "n_samples",
+          "round(rms, 4) AS rms", "zero_crossings", "decode_ok")
+    }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      // video frame sampling (stub decoder, real plumbing): stride +
+      // timestamp arithmetic over per-video frame counts, recomputed
+      // independently by the DuckDB oracle
+      import s.implicits._
+      val vids = t(s, dir, "documents").where("doc_id < 100")
+        .selectExpr("doc_id", "CAST(10 + doc_id % 20 AS INT) AS nf")
+        .as[(Long, Int)]
+        .map { case (id, nf) =>
+          (id.toString, graft.images.SyntheticMedia.video(id, nFrames = nf, fps = 10))
+        }
+        .toDF("video_id", "bytes")
+      operators.Multimodal.frameSample(s, vids, everyN = 3).toDF()
+        .select("video_id", "frame_idx", "ts_ms", "width", "height")
+    }),
+
     "q_phash_pairs" -> ((s, dir) => {
       // perceptual-hash near-dup pairs over the image modality
       val imgs = graft.images.SyntheticImages.table(s, 500, partitions = 8).toDF()
@@ -725,6 +755,16 @@ object SparkEntry {
            |latest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn FROM ev)
            |SELECT user_id, CAST(round(lon, 2) AS DOUBLE) AS lon, CAST(round(lat, 2) AS DOUBLE) AS lat
            |FROM latest WHERE rn = 1 AND kind = 'upsert'""".stripMargin,
+
+      "q_frame_sample" ->
+        """WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS video_id,
+          |    CAST(10 + doc_id % 20 AS INT) AS nf
+          |  FROM documents WHERE doc_id < 100),
+          |f AS (SELECT video_id, unnest(generate_series(0, nf - 1, 3)) AS frame_idx FROM v)
+          |SELECT video_id, CAST(frame_idx AS INT) AS frame_idx,
+          |  CAST(frame_idx * 1000 // 10 AS BIGINT) AS ts_ms,
+          |  64 AS width, 48 AS height
+          |FROM f""".stripMargin,
 
       "q_bin_records" ->
         s"""WITH $ptsCte

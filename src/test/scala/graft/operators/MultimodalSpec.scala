@@ -74,4 +74,46 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     val far = xz.ranges(10, 10, 400000, 11, 11, 500000)
     assert(!far.exists(r => code >= r.lower && code <= r.upper))
   }
+
+  test("audio features: real WAV PCM decode (RMS of a sine ~ amp/sqrt(2), zero crossings ~ 2*cycles)") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => (s"a$i", graft.images.SyntheticMedia.wav(i.toLong)))
+      .toDF("audio_id", "bytes")
+    val out = Multimodal.audioFeatures(spark, df).collect()
+    assert(out.length == 20 && out.forall(_.decode_ok))
+    out.foreach { f =>
+      assert(f.sample_rate == 8000 && f.channels == 1)
+      assert(math.abs(f.duration_s - 0.5) < 1e-9)
+      // amp in [0.3, 0.8]; rms of sine = amp/sqrt(2); noise floor 0.02
+      assert(f.rms > 0.3 / math.sqrt(2.0) - 0.05 && f.rms < 0.8 / math.sqrt(2.0) + 0.05, s"rms ${f.rms}")
+      assert(f.peak > 0.25 && f.peak <= 1.0)
+      // freq 200..1223 Hz over 0.5s -> ~200..1224 crossings (2 per cycle)
+      assert(f.zero_crossings > 150 && f.zero_crossings < 1400, s"zc ${f.zero_crossings}")
+    }
+    // corrupted payload is data, not an exception
+    val bad = Multimodal.audioFeatures(spark,
+      Seq(("x", Array[Byte](1, 2, 3))).toDF("audio_id", "bytes")).collect()
+    assert(bad.length == 1 && !bad.head.decode_ok)
+  }
+
+  test("video frame sampling: stride, timestamps, deterministic stub decode") {
+    import spark.implicits._
+    val df = (0 until 5).map(i => (s"v$i", graft.images.SyntheticMedia.video(i.toLong, nFrames = 30, fps = 10)))
+      .toDF("video_id", "bytes")
+    val out = Multimodal.frameSample(spark, df, everyN = 5).collect()
+    assert(out.length == 5 * 6) // frames 0,5,10,15,20,25
+    val v0 = out.filter(_.video_id == "v0").sortBy(_.frame_idx)
+    assert(v0.map(_.frame_idx).toSeq == Seq(0, 5, 10, 15, 20, 25))
+    assert(v0.map(_.ts_ms).toSeq == Seq(0L, 500L, 1000L, 1500L, 2000L, 2500L))
+    assert(v0.forall(f => f.width == 64 && f.height == 48 && f.decode_ok))
+    // deterministic: same id -> same frame hashes on a second run
+    val again = Multimodal.frameSample(spark, df, everyN = 5).collect()
+      .filter(_.video_id == "v0").sortBy(_.frame_idx).map(_.frame_hash).toSeq
+    assert(again == v0.map(_.frame_hash).toSeq)
+    // distinct frames hash differently (stub is per-frame seeded)
+    assert(v0.map(_.frame_hash).distinct.length == 6)
+    val bad = Multimodal.frameSample(spark,
+      Seq(("x", Array[Byte](9, 9))).toDF("video_id", "bytes"), everyN = 2).collect()
+    assert(bad.length == 1 && !bad.head.decode_ok)
+  }
 }
