@@ -165,6 +165,31 @@ object SpatialTable {
     spark.read.parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
       .where(col(attrCol).between(lit(lo), lit(hi)))
 
+  /**
+   * Bucketed co-located layout: persists the cell-indexed table with
+   * Spark bucketing (`bucketBy(n, "cell").sortBy("cell")`), so a join
+   * between two tables bucketed the same way plans with ZERO shuffle on
+   * either side — each bucket pair joins in place (and the sort is
+   * already on disk). This is the co-location story for repeated big
+   * spatial joins at 100 TB: pay the partitioning once at write time,
+   * never again per query. (The reference gets the same effect from
+   * both tables sharing the Accumulo Z-range partitioning.)
+   */
+  def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
+                    lonCol: String, latCol: String,
+                    res: Int = 9, buckets: Int = 32): Unit = {
+    // overwrite must also survive a fresh session whose catalog forgot
+    // the table while its warehouse directory remained
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val f = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(loc)) f.delete(loc, true)
+    df.withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+  }
+
   def metricsTable(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/_metrics")
 

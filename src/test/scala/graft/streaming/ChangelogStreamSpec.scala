@@ -89,4 +89,33 @@ class ChangelogStreamSpec extends AnyFunSuite with SparkTest {
       .collect().map(s => s.id -> (s.lon, s.lat)).toMap
     assert(merged == Map("a" -> (9.0, 9.0), "c" -> (3.0, 3.0), "d" -> (4.0, 4.0)))
   }
+
+  test("lambda end-to-end: streaming live tier union persistent tier (live wins)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // persistent tier: the long-term store
+    val persistent = Seq(
+      GeoState("a", 1.0, 1.0, Map.empty, ts(0)),
+      GeoState("c", 3.0, 3.0, Map.empty, ts(0))).toDS()
+    // live tier: a REAL stream materialized through keyed state
+    val input = MemoryStream[GeoEvent]
+    val changes = ChangelogStream.materialize(spark,
+      input.toDS().withWatermark("ts", "0 seconds"), ttlMs = 60 * 60000L)
+    val q = changes.writeStream.format("memory").queryName("lambda_live")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        GeoEvent("upsert", ts(5), "a", 9.0, 9.0, Map.empty), // overrides persistent a
+        GeoEvent("upsert", ts(6), "d", 4.0, 4.0, Map.empty)) // live-only
+      q.processAllAvailable()
+      // read-time merge: reconstruct live events from the emitted change
+      // stream, then the lambda union (LambdaQueryRunner semantics)
+      val live = spark.sql("select * from lambda_live").as[StateChange]
+        .map(c => GeoEvent(if (c.op == "delete" || c.op == "expire") "delete" else "upsert",
+          c.updated, c.id, c.lon, c.lat, Map.empty))
+      val merged = ChangelogStream.mergedView(spark, persistent, live)
+        .collect().map(s => s.id -> (s.lon, s.lat)).toMap
+      assert(merged == Map("a" -> (9.0, 9.0), "c" -> (3.0, 3.0), "d" -> (4.0, 4.0)))
+    } finally q.stop()
+  }
 }

@@ -102,4 +102,29 @@ class SpatialTableSpec extends AnyFunSuite with SparkTest {
     // idempotent resume
     SpatialTable.writeAttributeIndex(spark, root, "s1", "fmt", buckets = 16)
   }
+
+  test("bucketed co-located cell join: zero shuffle on either side, same answer") {
+    import spark.implicits._
+    def pts(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (0 until 3000).map(i => (i.toLong, r.nextDouble() * 80 - 40, r.nextDouble() * 80 - 40))
+        .toDF("id", "lon", "lat")
+    }
+    SpatialTable.writeBucketed(spark, pts(1), "graft_bkt_a", "lon", "lat", res = 5, buckets = 8)
+    SpatialTable.writeBucketed(spark, pts(2), "graft_bkt_b", "lon", "lat", res = 5, buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("graft_bkt_a").select(col("id").as("a_id"), col("cell"))
+      val b = spark.table("graft_bkt_b").select(col("id").as("b_id"), col("cell"))
+      val j = a.join(b, "cell")
+      val n = j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      // parity vs a plain (shuffled) join on the same data
+      val a2 = pts(1).withColumn("cell", expr("st_cellOfXY(lon, lat, 5)")).select(col("id").as("a_id"), col("cell"))
+      val b2 = pts(2).withColumn("cell", expr("st_cellOfXY(lon, lat, 5)")).select(col("id").as("b_id"), col("cell"))
+      assert(n == a2.join(b2, "cell").count() && n > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
