@@ -92,7 +92,10 @@ object Cells {
     val cx = ix(cell)
     val cy = iy(cell)
     if (k == 0) return Array(cell)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // once the ring is wider than half the grid, longitude wrap makes
+    // ±dx land on the same x — dedupe, or a kNN disk would emit every
+    // candidate twice (crowding true neighbors out of the top-k)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var dx = -k
     while (dx <= k) {
       var dy = -k
@@ -111,9 +114,10 @@ object Cells {
     out.toArray
   }
 
-  /** All cells within Chebyshev distance <= k (the filled disk). */
+  /** All cells within Chebyshev distance <= k (the filled disk),
+    * distinct — rings of wrapped longitudes overlap for k > 2^res / 2. */
   def disk(cell: Long, k: Int): Array[Long] =
-    (0 to k).flatMap(ring(cell, _)).toArray
+    (0 to k).flatMap(ring(cell, _)).distinct.toArray
 
   /**
    * Cells at resolution r whose envelope intersects the given lon/lat

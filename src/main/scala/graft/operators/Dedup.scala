@@ -99,10 +99,11 @@ object Dedup {
    *     computed once per pair — not once per colliding band (an exact
    *     duplicate collides in all 16 bands; computing the metric per
    *     collision multiplies the work 16x).
-   * The signature is recomputed for the re-join (one extra UDF pass over
-   * the corpus — cheap next to shuffling signatures x bands). Buckets
-   * over `maxBucket` rows are dropped (capBuckets) so no degenerate key
-   * goes quadratic.
+   * The (id, signature) projection is persisted (memory-and-disk,
+   * evictable) so the shingle+hash UDF — the dominant CPU cost — runs
+   * ONE pass over the corpus instead of once for banding plus once per
+   * re-join branch. Buckets over `maxBucket` rows are dropped
+   * (capBuckets) so no degenerate key goes quadratic.
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, w: Int = 3,
@@ -111,6 +112,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = df.select(col(idCol).as("id"), sigUdf(w, numHashes)(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded0 = sig.select(col("id"), col("sig"),
       posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
       .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))

@@ -138,12 +138,20 @@ object KnnJoin {
         math.ceil(dk / math.max(1e-9, stepEW))).toInt + 1
       math.min(maxRings, math.max(1, need))
     }
-    import spark.implicits._
-    val states = (kthOf.toSeq.map { case (q, dk) => (q.toString, dk, false) } ++
-      cappedQids.toSeq.map(q => (q.toString, 0.0, true)))
-      .toDF("__qid_s", "__dk", "__capped")
+    // per-query state joins back on the qid's NATIVE type — a cast to
+    // string diverges from Scala toString for timestamps/decimals and
+    // NPEs on nulls
+    val qidType = qs.schema(qs.schema.fieldIndex(qidCol)).dataType
+    val stateRows = (kthOf.toSeq.map { case (q, dk) => org.apache.spark.sql.Row(q, dk, false) } ++
+      cappedQids.toSeq.map(q => org.apache.spark.sql.Row(q, 0.0, true)))
+    val states = spark.createDataFrame(
+      spark.sparkContext.parallelize(stateRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__qid_s", qidType),
+        org.apache.spark.sql.types.StructField("__dk", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__capped", org.apache.spark.sql.types.BooleanType))))
     val qsProven = qs
-      .join(broadcast(states), col(qidCol).cast("string") === col("__qid_s"))
+      .join(broadcast(states), col(qidCol) === col("__qid_s"))
       .withColumn("__ring",
         when(col("__capped"), lit(maxRings))
           .otherwise(provenRing(col("__dk"), col(qLatCol))))

@@ -120,6 +120,9 @@ object Multimodal {
             while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
               val ckId = buf.getInt(pos)
               val ckLen = buf.getInt(pos + 4)
+              // corrupt negative/overflowing chunk length would stall the
+              // walk (pos advance <= 0) — bad bytes must be data, never a hang
+              require(ckLen >= 0, s"bad chunk length $ckLen")
               if (ckId == 0x20746d66) { // "fmt "
                 channels = buf.getShort(pos + 10)
                 sampleRate = buf.getInt(pos + 12)

@@ -123,9 +123,12 @@ object Stats {
   }
 
   /** Map aggregation (the reference's map-valued stats): exact
-    * value -> count as a MapType column per group. */
+    * value -> count as a MapType column per group. Null values are
+    * excluded (a map key cannot be null; dirty data must not fail the
+    * aggregation). */
   def mapCounts(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
-    df.groupBy(keyCol, valueCol).count()
+    df.where(col(valueCol).isNotNull)
+      .groupBy(keyCol, valueCol).count()
       .groupBy(keyCol)
       .agg(map_from_entries(collect_list(struct(col(valueCol), col("count")))).as("value_counts"))
 

@@ -20,6 +20,18 @@ import graft.geom.GeomOps
  */
 object TrackOps {
 
+  /** Segment covers must NEVER coarsen: a coarsened cover's packed
+    * resolution can no longer equi-join the features' fixed-res point
+    * cells (the silent-pair-loss class SpatialJoin's size split
+    * closed). Track/route segment tables are small broadcast sides, so
+    * an uncapped-in-practice budget is safe; 2^20 covers the whole
+    * world grid up to res 10 (the supported range — require below). */
+  private val CoverBudget: Int = 1 << 20
+  private def requireRes(res: Int): Unit =
+    require(res >= 0 && res <= 10, s"track ops support res 0..10 (got $res): " +
+      "the segment cover budget guarantees no coarsening only in that range")
+
+
   /** Tube segments from an ordered track: consecutive point pairs with
     * a buffered corridor geometry and a [t0, t1] time window (+/- slack).
     * NoGapFill semantics (the reference's default). */
@@ -57,8 +69,9 @@ object TrackOps {
                  track: DataFrame, trackLon: String, trackLat: String, trackMillis: String,
                  bufferMeters: Double, timeSlackMs: Long, res: Int = 8): DataFrame = {
     StFunctions.register(spark)
+    requireRes(res)
     val segs = tubeSegments(track, trackLon, trackLat, trackMillis, bufferMeters, timeSlackMs)
-      .withColumn("__scell", explode(StFunctions.stCellCover(col("tube_geom"), lit(res), lit(512))))
+      .withColumn("__scell", explode(StFunctions.stCellCover(col("tube_geom"), lit(res), lit(CoverBudget))))
     val f = features.withColumn("__fcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
     f.join(broadcast(segs), col("__fcell") === col("__scell"))
       .where(SpatialJoin.intersectsCached(
@@ -83,6 +96,7 @@ object TrackOps {
                        track: DataFrame, trackLon: String, trackLat: String, trackMillis: String,
                        bufferDeg: Double, timeSlackMs: Long, res: Int = 6): DataFrame = {
     StFunctions.register(spark)
+    requireRes(res)
     val w = Window.orderBy(col(trackMillis), col(trackLon), col(trackLat))
     val segGeom = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
       GeomOps.toWkb(GeomOps.factory.createLineString(Array(
@@ -104,7 +118,7 @@ object TrackOps {
         (col(trackMillis) + timeSlackMs).as("t1"))
       .withColumn("__scell", explode(StFunctions.stCellCover(
         StFunctions.stMakeBBOX(col("__bx0"), col("__by0"), col("__bx1"), col("__by1")),
-        lit(res), lit(4096))))
+        lit(res), lit(CoverBudget))))
     val f = features.withColumn("__fcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
     f.join(broadcast(segs), col("__fcell") === col("__scell"))
       .where(StFunctions.stDWithinPlanar(
@@ -142,6 +156,7 @@ object TrackOps {
                         route: DataFrame, routeLon: String, routeLat: String, routeSeq: String,
                         distDeg: Double, headingTolDeg: Double, res: Int = 6): DataFrame = {
     StFunctions.register(spark)
+    requireRes(res)
     val segGeom = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
       GeomOps.toWkb(GeomOps.factory.createLineString(Array(
         new org.locationtech.jts.geom.Coordinate(x0, y0),
@@ -153,7 +168,7 @@ object TrackOps {
         StFunctions.stMakeBBOX(
           least(col("sx0"), col("sx1")) - distDeg, least(col("sy0"), col("sy1")) - distDeg,
           greatest(col("sx0"), col("sx1")) + distDeg, greatest(col("sy0"), col("sy1")) + distDeg),
-        lit(res), lit(4096))))
+        lit(res), lit(CoverBudget))))
     val f = features.withColumn("__fcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
     val headingDiff =
       least(
@@ -178,6 +193,7 @@ object TrackOps {
                   route: DataFrame, routeLon: String, routeLat: String, routeSeq: String,
                   meters: Double, headingTolDeg: Double, res: Int = 8): DataFrame = {
     StFunctions.register(spark)
+    requireRes(res)
     val segGeom = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
       GeomOps.toWkb(GeomOps.factory.createLineString(Array(
         new org.locationtech.jts.geom.Coordinate(x0, y0),
@@ -194,7 +210,7 @@ object TrackOps {
       .withColumn("seg_geom", segGeom(col("sx0"), col("sy0"), col("sx1"), col("sy1")))
       .withColumn("__scell", explode(StFunctions.stCellCover(
         StFunctions.stBuffer(col("seg_geom"), bufferDeg(col("sy0"), col("sy1"), lit(meters))),
-        lit(res), lit(512))))
+        lit(res), lit(CoverBudget))))
     val f = features.withColumn("__fcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
     val headingDiff =
       least(

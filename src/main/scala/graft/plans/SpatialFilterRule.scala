@@ -134,18 +134,41 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
       case KnownNotNull(x) => unwrap(x)
       case _ => e
     }
-    val coordBounds: Seq[Expression] = unwrap(rowGeom) match {
+    val pointArgs: Option[(Expression, Expression)] = unwrap(rowGeom) match {
       case p: ScalaUDF if p.udfName.exists(_.equalsIgnoreCase("st_makePoint")) &&
           p.children.size == 2 =>
-        val lonE = unwrap(p.children(0))
-        val latE = unwrap(p.children(1))
-        Seq(
-          GreaterThanOrEqual(lonE, Literal(env.getMinX)),
-          LessThanOrEqual(lonE, Literal(env.getMaxX)),
-          GreaterThanOrEqual(latE, Literal(env.getMinY)),
-          LessThanOrEqual(latE, Literal(env.getMaxY)))
-      case _ => Nil
+        Some((unwrap(p.children(0)), unwrap(p.children(1))))
+      case _ => None
     }
+    val coordBounds: Seq[Expression] = pointArgs.toSeq.flatMap { case (lonE, latE) =>
+      Seq(
+        GreaterThanOrEqual(lonE, Literal(env.getMinX)),
+        LessThanOrEqual(lonE, Literal(env.getMaxX)),
+        GreaterThanOrEqual(latE, Literal(env.getMinY)),
+        LessThanOrEqual(latE, Literal(env.getMaxY)))
+    }
+
+    // SOUNDNESS GATE for the index-column predicates: `cell`/`cell_prefix`
+    // describe the table's INDEXED point (SpatialTable writes them from
+    // its lonCol/latCol). They may only constrain a query whose geometry
+    // IS that point — i.e. st_makePoint over attributes with the
+    // configured index coordinate names (`spark.graft.index.lonCol` /
+    // `latCol`, default lon/lat). A predicate over some other stored
+    // geometry (a polygon column, a second coordinate pair) must not be
+    // pruned by the point index: the row's polygon can intersect the
+    // query while its indexed point lies outside it.
+    val lonName = conf.getConfString("spark.graft.index.lonCol", "lon")
+    val latName = conf.getConfString("spark.graft.index.latCol", "lat")
+    val isIndexedPoint = pointArgs.exists {
+      case (lonE, latE) =>
+        def attrName(e: Expression): Option[String] = e match {
+          case a: Attribute => Some(a.name)
+          case Cast(a: Attribute, _, _, _) => Some(a.name)
+          case _ => None
+        }
+        attrName(lonE).contains(lonName) && attrName(latE).contains(latName)
+    }
+    if (!isIndexedPoint) return coordBounds
 
     // SpatialTable layout columns (cell indexes the row's point; see
     // table/SpatialTable.scala:48-66)

@@ -59,7 +59,14 @@ object ArrowExport {
       val dir = new Path(path)
       val fs = dir.getFileSystem(conf)
       fs.mkdirs(dir)
-      val out = fs.create(new Path(dir, f"part-$pid%05d.arrow"), true)
+      // task-commit protocol: write an attempt-private temp file, rename
+      // into place at the end — a retry or speculative twin must never
+      // interleave bytes into the final file
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val finalPath = new Path(dir, f"part-$pid%05d.arrow")
+      val tmpPath = new Path(dir, f".part-$pid%05d-$attempt.arrow.tmp")
+      val out = fs.create(tmpPath, true)
       val allocator = new RootAllocator(Long.MaxValue)
       val root = VectorSchemaRoot.create(arrowSchema(sparkSchema), allocator)
       val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
@@ -88,6 +95,8 @@ object ArrowExport {
       } finally {
         writer.end(); writer.close(); root.close(); allocator.close(); out.close()
       }
+      // first committer wins; a losing attempt cleans up its temp file
+      if (fs.exists(finalPath) || !fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
       Iterator.empty[Int]
     }.count() // force the write job
     val fs = new Path(path).getFileSystem(new Configuration())
@@ -131,7 +140,10 @@ object ArrowExport {
       val conf = new Configuration()
       val p = new Path(f)
       val in = p.getFileSystem(conf).open(p)
-      val len = p.getFileSystem(conf).getFileStatus(p).getLen.toInt
+      val lenL = p.getFileSystem(conf).getFileStatus(p).getLen
+      require(lenL <= Int.MaxValue - 8,
+        s"$f is ${lenL}B; per-file reads are bounded at 2GB — write with more partitions")
+      val len = lenL.toInt
       val bytes = new Array[Byte](len)
       in.readFully(bytes); in.close()
       val allocator = new RootAllocator(Long.MaxValue)

@@ -107,7 +107,10 @@ object Shapefile {
         val v = if (r.isNullAt(idx)) "" else r.get(idx).toString
         val s =
           if (kind == 'N') {
-            val num = if (v.isEmpty) "" else f"${v.toDouble}%18.6f".trim
+            // Locale.ROOT: dBASE 'N' requires '.' decimals regardless of
+            // the JVM's default (comma-decimal) locale
+            val num = if (v.isEmpty) ""
+              else String.format(java.util.Locale.ROOT, "%18.6f", Double.box(v.toDouble)).trim
             (" " * math.max(0, len - num.length)) + num.take(len) // right-justified
           } else v.padTo(len, ' ').take(len)
         rb.append(s)

@@ -212,4 +212,13 @@ class CellsSpec extends AnyFunSuite {
     assert(bin == b.bin)
     assert(Z3.invertX(z) == NormalizedDimension.lon(21).normalize(0.0))
   }
+
+  test("disk cells are distinct even when rings wrap the whole longitude range") {
+    val c = Cells.cell(0.0, 0.0, 4) // 16x16 grid
+    val d = Cells.disk(c, 16)       // radius > n/2: rings overlap via wrap
+    assert(d.length == d.distinct.length, "wrapped disk emitted duplicate cells")
+    // covers the full longitude range of the reachable latitude rows
+    val perRow = d.groupBy(Cells.iy).map { case (_, cs) => cs.map(Cells.ix).toSet.size }
+    assert(perRow.forall(_ == 16))
+  }
 }

@@ -116,4 +116,16 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       Seq(("x", Array[Byte](9, 9))).toDF("video_id", "bytes"), everyN = 2).collect()
     assert(bad.length == 1 && !bad.head.decode_ok)
   }
+
+  test("audio decode: negative chunk length is data, not a hang") {
+    import spark.implicits._
+    // RIFF/WAVE header followed by a chunk whose length is -8: the walk
+    // advance would be zero — must yield decode_ok=false, not spin
+    val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(16).put("WAVE".getBytes("ASCII"))
+    b.put("junk".getBytes("ASCII")).putInt(-8)
+    val out = Multimodal.audioFeatures(spark,
+      Seq(("evil", b.array())).toDF("audio_id", "bytes")).collect()
+    assert(out.length == 1 && !out.head.decode_ok)
+  }
 }

@@ -202,9 +202,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .toDF("id", "lon", "lat")
     val queries = Seq((0, 10.0, 10.0), (1, -170.0, 80.0)).toDF("qid", "qlon", "qlat")
     for (metric <- Seq("haversine", "planar")) {
-      val fast = KnnJoin(spark, pts, "lon", "lat", queries, "qid", "qlon", "qlat",
+      val fastRows = KnnJoin(spark, pts, "lon", "lat", queries, "qid", "qlon", "qlat",
           k = 5, res = 6, metric = metric)
-        .select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+        .select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1)))
+      // maxRings disks wrap the whole longitude range here: duplicate
+      // candidate ROWS (not just ids) would crowd out true neighbors
+      assert(fastRows.length == fastRows.distinct.length,
+        s"metric=$metric duplicate candidate rows from wrapped cell disks")
+      val fast = fastRows.toSet
       val brute = KnnJoin.bruteForce(pts, "lon", "lat", queries, "qid", "qlon", "qlat",
           k = 5, metric = metric)
         .select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet

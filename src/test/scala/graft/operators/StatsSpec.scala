@@ -120,5 +120,10 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     val out = Stats.mapCounts(df, "g", "v").collect()
       .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
     assert(out == Map("g1" -> Map("a" -> 2L, "b" -> 1L), "g2" -> Map("c" -> 1L)))
+    // null values are dirty data, not a crash (null can't be a map key)
+    val dirty = Seq(("g1", "a"), ("g1", null.asInstanceOf[String])).toDF("g", "v")
+    val m = Stats.mapCounts(dirty, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(m == Map("g1" -> Map("a" -> 1L)))
   }
 }
