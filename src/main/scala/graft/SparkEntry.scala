@@ -487,6 +487,53 @@ object SparkEntry {
         .select("zone_key")
     }),
 
+    "q_z2_scan" -> ((s, dir) => {
+      // pure-spatial scan through the Z2 index: 31-bit z2 keys + coarse
+      // z-range cover (Z2IndexKeySpace analog) + exact refine; oracle is
+      // the plain bbox predicate
+      StFunctions.register(s)
+      val win = (-45.0, -20.0, 60.0, 40.0)
+      val df = pts(s, dir).withColumn("z2", expr("st_z2(st_makePoint(lon, lat))"))
+      df.where(plans.ZQuery.z2Filter(col("z2"), win, maxRanges = 48))
+        .where(col("lon").between(win._1, win._3) && col("lat").between(win._2, win._4))
+        .select("event_id")
+    }),
+
+    "q_xz3_scan" -> ((s, dir) => {
+      // spatio-temporal EXTENT scan through the XZ3 index: zones gain
+      // deterministic time intervals (all inside one week bin), keys are
+      // (bin, xz3); the query covers a window x interval with xz3 ranges
+      // + exact rect/time-overlap refine. Oracle = the plain overlap
+      // predicate.
+      StFunctions.register(s)
+      import graft.cells.{BinnedTime, XZ3}
+      val sfc = XZ3(12, BinnedTime.Week)
+      val idx = udf { (lon0: Double, lat0: Double, ts: Long, te: Long) =>
+        val b0 = BinnedTime.toBinned(BinnedTime.Week, ts)
+        val b1 = BinnedTime.toBinned(BinnedTime.Week, te)
+        sfc.index(lon0, lat0, b0.offset, lon0 + 72.0, lat0 + 36.0,
+          if (b1.bin == b0.bin) b1.offset else BinnedTime.maxOffset(BinnedTime.Week) - 1)
+      }
+      val z = zones(s, dir)
+        // day 19698 is a week-bin boundary; starts+durations stay inside the bin
+        .withColumn("tstart", expr("CAST((19698 + zone_key % 3) AS BIGINT) * 86400000"))
+        .withColumn("tend", expr("tstart + CAST(1 + zone_key % 2 AS BIGINT) * 86400000"))
+        .withColumn("xz3", idx(col("lon0"), col("lat0"), col("tstart"), col("tend")))
+      val win = (-120.0, -40.0, -10.0, 42.0)
+      // one-day query window: zones starting on day 19700 fall outside,
+      // so the time axis of the xz3 cover is actually exercised
+      val q0 = 19698L * 86400000; val q1 = q0 + 1L * 86400000
+      val off0 = BinnedTime.toBinned(BinnedTime.Week, q0)
+      val off1 = BinnedTime.toBinned(BinnedTime.Week, q1)
+      val ranges = sfc.ranges(win._1, win._2, off0.offset, win._3, win._4, off1.offset, maxRanges = 48)
+      val coarse = ranges.map(r => col("xz3").between(lit(r.lower), lit(r.upper))).reduce(_ || _)
+      z.where(coarse)
+        .where(col("lon0") <= win._3 && col("lon0") + 72.0 >= win._1 &&
+          col("lat0") <= win._4 && col("lat0") + 36.0 >= win._2 &&
+          col("tstart") <= q1 && col("tend") >= q0)
+        .select("zone_key")
+    }),
+
     // ---- training-data ops: dedup / text / similarity ------------------
     "q_dedup_exact" -> ((s, dir) => {
       // exact dedup by content (hash-groupBy)
@@ -842,6 +889,23 @@ object SparkEntry {
            |SELECT event_id FROM pts
            |WHERE lon BETWEEN -60.0 AND 60.0 AND lat BETWEEN -30.0 AND 30.0
            |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+      "q_z2_scan" ->
+        s"""WITH $ptsCte
+           |SELECT event_id FROM pts
+           |WHERE lon BETWEEN -45.0 AND 60.0 AND lat BETWEEN -20.0 AND 40.0""".stripMargin,
+
+      "q_xz3_scan" ->
+        s"""WITH $zonesCte,
+           |z AS (SELECT zone_key, lon0, lat0,
+           |    CAST((19698 + zone_key % 3) AS BIGINT) * 86400000 AS tstart,
+           |    (CAST((19698 + zone_key % 3) AS BIGINT) * 86400000) + CAST(1 + zone_key % 2 AS BIGINT) * 86400000 AS tend
+           |  FROM zones)
+           |SELECT zone_key FROM z
+           |WHERE lon0 <= -10.0 AND lon0 + 72.0 >= -120.0
+           |  AND lat0 <= 42.0 AND lat0 + 36.0 >= -40.0
+           |  AND tstart <= (CAST(19698 AS BIGINT) * 86400000 + CAST(1 AS BIGINT) * 86400000)
+           |  AND tend >= CAST(19698 AS BIGINT) * 86400000""".stripMargin,
 
       "q_xz2_scan" ->
         s"""WITH $zonesCte
