@@ -199,7 +199,10 @@ object Ann {
     val cents: Array[(Int, Seq[Float])] = data
       .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000)))
       .where(col("__h") < lit(math.max(1, 1000 / nLists)))
-      .select(col(embCol)).limit(nLists)
+      .select(col(idCol), col(embCol))
+      .orderBy(col(idCol)) // limit without order is nondeterministic
+      .limit(nLists)
+      .select(col(embCol))
       .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
     require(cents.nonEmpty, "no centroids sampled")
     val bc = cents
