@@ -86,7 +86,22 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Top-level conjunct -> derived conjuncts. An OR tree whose every
+    * branch derives bounds composes as the OR of the branch bounds
+    * (the disjoint-OR/multi-geometry query shape: `st_intersects(p, A)
+    * OR st_intersects(p, B)` still prunes to env(A) ∪ env(B)). */
   private def derive(c: Expression, child: LogicalPlan): Seq[Expression] = c match {
+    case Or(a, b) =>
+      val left = derive(a, child)
+      val right = derive(b, child)
+      // sound only if BOTH branches constrain: a row satisfying the
+      // un-derivable branch must not be filtered
+      if (left.isEmpty || right.isEmpty) Nil
+      else Seq(Or(left.reduce(And), right.reduce(And)))
+    case other => deriveLeaf(other, child)
+  }
+
+  private def deriveLeaf(c: Expression, child: LogicalPlan): Seq[Expression] = c match {
     case s: ScalaUDF if s.children.size == 2 &&
         s.udfName.exists(n => Pushable(n.toLowerCase)) =>
       val Seq(a, b) = s.children

@@ -139,6 +139,51 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.res")
   }
 
+  test("SpatialFilterRule: st_dwithin filter derives expanded bounds; OR'd geometries " +
+    "compose as OR'd bounds; a non-derivable OR branch disables pruning") {
+    mkTables()
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    // parquet-backed (a LocalRelation would be whole-filter folded at
+    // plan time and leave nothing to assert on)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fr_pts").toString
+    (0 until 1500).map { i =>
+      (i.toLong, rnd.nextDouble() * 340 - 170, rnd.nextDouble() * 160 - 80)
+    }.toDF("id", "lon", "lat").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    df.createOrReplaceTempView("fr_pts")
+    // dwithin: bounds expanded by the conservative metric->degree radius
+    val q1 = spark.sql(
+      """SELECT id FROM fr_pts WHERE st_dwithin(st_makePoint(lon, lat),
+        |  st_geomFromWKT('POINT(10 20)'), 300000.0)""".stripMargin)
+    val p1 = q1.queryExecution.optimizedPlan.toString
+    assert("lon#\\d+ >= ".r.findFirstIn(p1).isDefined, s"dwithin bounds not derived:\n$p1")
+    val expect1 = df.where(
+      expr("st_dwithin(st_makePoint(lon, lat), st_geomFromWKT('POINT(10 20)'), 300000.0)"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(q1.as[Long].collect().sorted.toSeq == expect1 && expect1.nonEmpty)
+
+    // OR of two literals: both branches derive -> OR'd bounds conjunct
+    val q2 = spark.sql(
+      """SELECT id FROM fr_pts
+        |WHERE st_intersects(st_makePoint(lon, lat), st_makeBBOX(0, 0, 20, 20))
+        |   OR st_intersects(st_makePoint(lon, lat), st_makeBBOX(-60, -30, -40, -10))""".stripMargin)
+    val p2 = q2.queryExecution.optimizedPlan.toString
+    assert("lon#\\d+ >= ".r.findFirstIn(p2).isDefined, s"OR bounds not derived:\n$p2")
+    val expect2 = df.where(col("lon").between(0, 20) && col("lat").between(0, 20) ||
+      (col("lon").between(-60, -40) && col("lat").between(-30, -10)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(q2.as[Long].collect().sorted.toSeq == expect2 && expect2.nonEmpty)
+
+    // OR with a non-spatial branch: pruning must NOT fire (rows matching
+    // only the other branch would be lost)
+    val q3 = spark.sql(
+      """SELECT id FROM fr_pts
+        |WHERE st_intersects(st_makePoint(lon, lat), st_makeBBOX(0, 0, 10, 10)) OR id < 5""".stripMargin)
+    assert(q3.count() == df.where(col("lon").between(0, 10) && col("lat").between(0, 10) ||
+      col("id") < 5).count())
+  }
+
   test("SQL st_dwithinPlanar join is rewritten to a cell equi-join and matches brute force") {
     mkTables()
     val q = spark.sql(
