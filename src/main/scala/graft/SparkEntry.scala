@@ -632,9 +632,12 @@ object SparkEntry {
     }),
 
     "q_emb_pairs" -> ((s, dir) => {
+      // moderate-similarity pair mining: narrower band keys (6 bits)
+      // trade bucket selectivity for recall at this low 0.35 threshold;
+      // the defaults (16-bit bands) are tuned for >=0.9 near-dup use
       operators.Ann.cosinePairs(
           t(s, dir, "embeddings").where("vec_id < 2000"), "vec_id", "embedding",
-          minCosine = 0.35)
+          minCosine = 0.35, bands = 8, bitsPerBand = 6)
         .selectExpr("id1", "id2", "round(cosine, 6) AS cosine")
     }),
 
