@@ -200,11 +200,25 @@ object SparkEntry {
       val root = s"/tmp/graft_rule_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.table.SpatialTable.write(s, pts(s, dir), root, "s1", "event_id", "lon", "lat",
         res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      // session-global conf: set only for the optimization+materialization
+      // of THIS query, then restored — leaking res=9 into later queries in
+      // the same session was the cross-table hazard SpatialFilterRule's
+      // scaladoc warns about (now also self-guarded by the res band escape)
+      val prevRes = s.conf.getOption("spark.graft.index.res")
       s.conf.set("spark.graft.index.res", "9")
-      graft.table.SpatialTable.read(s, root, "s1").createOrReplaceTempView("graft_rule_tbl")
-      s.sql("""SELECT event_id FROM graft_rule_tbl
+      try {
+        graft.table.SpatialTable.read(s, root, "s1").createOrReplaceTempView("graft_rule_tbl")
+        val df = s.sql("""SELECT event_id FROM graft_rule_tbl
               |WHERE st_intersects(st_makePoint(lon, lat),
               |  st_geomFromWKT('POLYGON((-50 -20, 30 -20, 30 25, -50 25, -50 -20))'))""".stripMargin)
+        df.cache().count() // optimize + execute while the conf is set
+        df
+      } finally {
+        prevRes match {
+          case Some(v) => s.conf.set("spark.graft.index.res", v)
+          case None => s.conf.unset("spark.graft.index.res")
+        }
+      }
     }),
 
     "q_attr_scan" -> ((s, dir) => {

@@ -99,18 +99,25 @@ object Ann {
   /** One-pass per-dimension mean of the embedding column (driver gets a
     * dim-sized array — bounded, like the IVF centroid sample). */
   private def meanVector(df: DataFrame, embCol: String): Array[Double] = {
+    // null / empty / dimension-mismatched rows are skipped (they carry no
+    // usable signal for the mean; the banding UDF handles them per row),
+    // so one bad row cannot fail the whole lshTopK/cosinePairs job here
     val rdd = df.select(col(embCol)).rdd
-      .map(_.getSeq[Float](0))
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Float](0))
     val (sum, n) = rdd.treeAggregate((null: Array[Double], 0L))(
       seqOp = { case ((acc, c), v) =>
-        val a = if (acc == null) new Array[Double](v.length) else acc
-        var i = 0
-        while (i < v.length) { a(i) += v(i); i += 1 }
-        (a, c + 1)
+        if (v == null || v.isEmpty || (acc != null && v.length != acc.length)) (acc, c)
+        else {
+          val a = if (acc == null) new Array[Double](v.length) else acc
+          var i = 0
+          while (i < v.length) { a(i) += v(i); i += 1 }
+          (a, c + 1)
+        }
       },
       combOp = { case ((a, ca), (b, cb)) =>
         if (a == null) (b, cb)
         else if (b == null) (a, ca)
+        else if (a.length != b.length) { if (ca >= cb) (a, ca) else (b, cb) }
         else {
           var i = 0
           while (i < a.length) { a(i) += b(i); i += 1 }
@@ -159,7 +166,11 @@ object Ann {
 
   /** LSH-bucketed top-k: recall < 1 by construction; `bands` independent
     * band keys of `bitsPerBand` sign bits each — candidates share at
-    * least one exact band key. */
+    * least one exact band key.
+    *
+    * Precondition: `idCol`/`qidCol` uniquely identify rows — the banding
+    * carries ids only and re-joins the embeddings per unique id, so a
+    * duplicated id fans out into duplicate candidate rows. */
   def lshTopK(data: DataFrame, idCol: String, embCol: String,
               queries: DataFrame, qidCol: String, qEmbCol: String,
               k: Int, bands: Int = 8, bitsPerBand: Int = 16): DataFrame = {
@@ -238,7 +249,10 @@ object Ann {
     * shuffle — embeddings never ride the explode), candidate pairs dedup
     * on ids, then embeddings re-join once per UNIQUE pair and the cosine
     * is computed once per pair. Buckets over `maxBucket` rows are
-    * dropped (quadratic guard — see Dedup.capBuckets). */
+    * dropped (quadratic guard — see Dedup.capBuckets).
+    *
+    * Precondition: `idCol` uniquely identifies rows (the id-only re-join
+    * fans out duplicated ids into duplicate pair rows). */
   def cosinePairs(df: DataFrame, idCol: String, embCol: String,
                   minCosine: Double, bands: Int = 8, bitsPerBand: Int = 16,
                   maxBucket: Int = 4096): DataFrame = {

@@ -53,8 +53,13 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
     * fixpoint-termination requirement. */
   private[plans] val prefixIntersectsFn: (Long, Double, Double, Double, Double) => Boolean =
     (prefix, lo, loY, hi, hiY) => {
-      val (x0, y0, x1, y1) = Cells.envelope(prefix)
-      x1 >= lo && x0 <= hi && y1 >= loY && y0 <= hiY
+      // Self-guarding: a value whose top 6 bits are not a valid packed
+      // resolution is not a graft cell id — never prune on it.
+      if ((prefix >>> 58) > Cells.MaxRes) true
+      else {
+        val (x0, y0, x1, y1) = Cells.envelope(prefix)
+        x1 >= lo && x0 <= hi && y1 >= loY && y0 <= hiY
+      }
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -200,12 +205,29 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
       val resConf = conf.getConfString("spark.graft.index.res", "")
       if (resConf.isEmpty) Nil
       else child.output.find(a => a.name == "cell" && a.dataType == LongType).toSeq.flatMap { attr =>
+        val res = resConf.toInt
         val ranges = ZQuery.cellRanges(
-          (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY), resConf.toInt, maxRanges = 32)
+          (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY), res, maxRanges = 32)
+        // Self-guarding against a res mismatch between the session conf
+        // and the table's packed cells (the conf is session-global; a
+        // second table written at a different res must not be emptied by
+        // ranges built at the wrong res-base). All res-R ids live in the
+        // contiguous band [R<<58, (R+1)<<58): OR in "cell outside the
+        // band" escapes — plain literal comparisons, so the whole
+        // disjunction stays Parquet-pushable, and for a correctly-packed
+        // table the escapes are false per row group and pruning is
+        // decided by the range disjuncts alone.
+        val bandLo = res.toLong << 58
+        val bandHi = (res.toLong + 1) << 58 // exclusive; res<=29 so no overflow
+        val escape: Seq[Expression] = Seq(
+          LessThan(attr, Literal(bandLo)),
+          GreaterThanOrEqual(attr, Literal(bandHi)))
         ranges.map(r => And(
             GreaterThanOrEqual(attr, Literal(r.lower)),
             LessThanOrEqual(attr, Literal(r.upper))): Expression)
-          .reduceOption(Or).toSeq
+          .reduceOption(Or)
+          .map(rangeOr => (escape :+ rangeOr).reduce(Or))
+          .toSeq
       }
     }
 

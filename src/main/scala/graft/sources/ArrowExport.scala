@@ -179,8 +179,12 @@ object ArrowExport {
       case x: VarBinaryVector => x.get(r)
       case x: BitVector => x.get(r) == 1
       case x: TimeStampMicroTZVector =>
+        // full microsecond round-trip; floorDiv/floorMod keep pre-epoch
+        // values exact (integer division would truncate toward zero)
         val micros = x.get(r)
-        new java.sql.Timestamp(micros / 1000) // millis precision round-trip
+        val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+        t.setNanos(Math.floorMod(micros, 1000000L).toInt * 1000)
+        t
       case other => throw new IllegalStateException(s"unexpected vector $other")
     }
   }

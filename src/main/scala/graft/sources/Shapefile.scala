@@ -1,93 +1,214 @@
 package graft.sources
 
-import java.io.{DataOutputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream, RandomAccessFile}
 import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.DataFrame
-import org.locationtech.jts.geom.Point
+import org.locationtech.jts.geom._
+import org.locationtech.jts.algorithm.Orientation
 import graft.geom.GeomOps
 
 /**
- * Minimal ESRI Shapefile writer (point shapes) from the published
- * format specification ("ESRI Shapefile Technical Description", 1998):
- * .shp (geometry), .shx (record index), .dbf (dBASE III attributes).
- * The reference exposes shapefile export in its tools module
- * (geomesa-tools export -F shp); like there, this is the small-result
- * interchange path — the writer collects (bounded, `maxRows` guard)
- * because the format has a single global header with file length and
- * bbox. Scale exports use Parquet/Arrow/GeoJSON.
+ * ESRI Shapefile writer (Point / MultiPoint / PolyLine / Polygon) from
+ * the published format specification ("ESRI Shapefile Technical
+ * Description", 1998): .shp (geometry), .shx (record index), .dbf
+ * (dBASE III attributes). The reference exposes shapefile export in its
+ * tools module (geomesa-tools export -F shp, ShapefileExporter.scala);
+ * like there, this is the small-result interchange path — the format
+ * has a single global header (file length + bbox) and a 2 GB cap, so it
+ * can never be a 100-TB output. Scale exports use Parquet/Arrow/GeoJSON.
  *
- * Attributes: string columns as 'C' (width 64), numeric as 'N'
- * (width 18, 6 decimals) — the classic dBASE encodings.
+ * The writer STREAMS: rows arrive partition-at-a-time via
+ * `toLocalIterator` (never a whole-DataFrame collect), records are
+ * written incrementally to all three files, and the headers (which need
+ * total length / bbox / record count) are patched afterwards via
+ * RandomAccessFile. `maxRows` is enforced incrementally — exceeding it
+ * fails fast mid-stream instead of OOM-ing the driver first.
+ *
+ * Attributes: string columns as 'C' (width 64), integral numerics as
+ * 'N' (width 18, 0 decimals), fractional as 'N' (width 18, 6 decimals)
+ * — the classic dBASE encodings. A numeric whose fixed-point rendering
+ * exceeds the field width falls back to scientific notation at reduced
+ * precision (never silently truncated; if even "%.0e" cannot fit, the
+ * export fails).
  */
 object Shapefile {
 
+  /** Geometry family -> ESRI shape type (spec table 1). */
+  private def shapeTypeOf(g: Geometry): Int = g match {
+    case _: Point => 1
+    case _: LineString | _: MultiLineString => 3
+    case _: Polygon | _: MultiPolygon => 5
+    case _: MultiPoint => 8
+    case other => throw new IllegalArgumentException(
+      s"unsupported shapefile geometry: ${other.getGeometryType}")
+  }
+
+  /** Backwards-compatible points entry (validates the Point family —
+    * non-point geometries are an error now, not a silent centroid). */
   def writePoints(df: DataFrame, geomCol: String, pathPrefix: String,
-                  maxRows: Int = 1000000): Unit = {
+                  maxRows: Int = 1000000): Unit =
+    write(df, geomCol, pathPrefix, maxRows)
+
+  def write(df: DataFrame, geomCol: String, pathPrefix: String,
+            maxRows: Int = 1000000): Unit = {
     val attrs = df.schema.fields.filterNot(_.name == geomCol)
-    val rows = df.collect()
-    require(rows.length <= maxRows,
-      s"shapefile export capped at $maxRows rows (got ${rows.length}); use Parquet/Arrow for scale")
     val geomIdx = df.schema.fieldIndex(geomCol)
-    val pts = rows.map { r =>
-      GeomOps.fromWkb(r.getAs[Array[Byte]](geomIdx)) match {
-        case p: Point => (p.getX, p.getY)
-        case g => val c = g.getCentroid; (c.getX, c.getY)
-      }
-    }
-    val (xs, ys) = (pts.map(_._1), pts.map(_._2))
-    val bbox =
-      if (pts.isEmpty) (0.0, 0.0, 0.0, 0.0)
-      else (xs.min, ys.min, xs.max, ys.max)
+    val attrIdx = attrs.map(f => df.schema.fieldIndex(f.name))
 
-    // ---- .shp ---------------------------------------------------------
-    val recContentWords = 10 // shapeType(4) + x(8) + y(8) = 20 bytes
-    val shpLenWords = 50 + rows.length * (4 + recContentWords) // header 100B = 50 words
-    def header(lenWords: Int): Array[Byte] = {
-      val b = ByteBuffer.allocate(100)
-      b.order(ByteOrder.BIG_ENDIAN)
-      b.putInt(9994); b.position(24); b.putInt(lenWords)
-      b.order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(1000) // version
-      b.putInt(1)    // shape type: point
-      b.putDouble(bbox._1); b.putDouble(bbox._2); b.putDouble(bbox._3); b.putDouble(bbox._4)
-      b.putDouble(0); b.putDouble(0); b.putDouble(0); b.putDouble(0)
-      b.array()
-    }
-    val shp = new DataOutputStream(new FileOutputStream(pathPrefix + ".shp"))
-    shp.write(header(shpLenWords))
-    pts.zipWithIndex.foreach { case ((x, y), i) =>
-      val b = ByteBuffer.allocate(8 + 20)
-      b.order(ByteOrder.BIG_ENDIAN); b.putInt(i + 1); b.putInt(recContentWords)
-      b.order(ByteOrder.LITTLE_ENDIAN); b.putInt(1); b.putDouble(x); b.putDouble(y)
-      shp.write(b.array())
-    }
-    shp.close()
-
-    // ---- .shx ---------------------------------------------------------
-    val shx = new DataOutputStream(new FileOutputStream(pathPrefix + ".shx"))
-    shx.write(header(50 + rows.length * 4))
-    var offsetWords = 50
-    pts.indices.foreach { _ =>
-      val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
-      b.putInt(offsetWords); b.putInt(recContentWords)
-      shx.write(b.array())
-      offsetWords += 4 + recContentWords
-    }
-    shx.close()
-
-    // ---- .dbf (dBASE III) --------------------------------------------
     val fieldDefs = attrs.map { f =>
+      import org.apache.spark.sql.types._
       f.dataType match {
-        case _: org.apache.spark.sql.types.NumericType => (f.name.take(10), 'N', 18, 6)
+        case ByteType | ShortType | IntegerType | LongType => (f.name.take(10), 'N', 18, 0)
+        case _: NumericType => (f.name.take(10), 'N', 18, 6)
         case _ => (f.name.take(10), 'C', 64, 0)
       }
     }
     val recSize = 1 + fieldDefs.map(_._3).sum
-    val headerSize = 32 + fieldDefs.length * 32 + 1
-    val dbf = new DataOutputStream(new FileOutputStream(pathPrefix + ".dbf"))
+    val dbfHeaderSize = 32 + fieldDefs.length * 32 + 1
+
+    val shp = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(pathPrefix + ".shp")))
+    val shx = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(pathPrefix + ".shx")))
+    val dbf = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(pathPrefix + ".dbf")))
+
+    // placeholder main headers — patched at the end (length/bbox/type)
+    shp.write(new Array[Byte](100))
+    shx.write(new Array[Byte](100))
+    dbf.write(dbfHeader(fieldDefs, nRecords = 0, dbfHeaderSize, recSize))
+
+    var n = 0
+    var shapeType = 0 // 0 until the first non-null geometry fixes it
+    var offsetWords = 50
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+
+    val it = df.toLocalIterator()
+    try {
+      while (it.hasNext) {
+        val r = it.next()
+        n += 1
+        require(n <= maxRows,
+          s"shapefile export capped at $maxRows rows; use Parquet/Arrow for scale")
+        val geom =
+          if (r.isNullAt(geomIdx)) null
+          else GeomOps.fromWkb(r.getAs[Array[Byte]](geomIdx))
+        val content: Array[Byte] =
+          if (geom == null || geom.isEmpty) nullShape()
+          else {
+            val t = shapeTypeOf(geom)
+            if (shapeType == 0) shapeType = t
+            else require(t == shapeType,
+              s"mixed geometry types in one shapefile: ${geom.getGeometryType} after type $shapeType")
+            val env = geom.getEnvelopeInternal
+            minX = math.min(minX, env.getMinX); minY = math.min(minY, env.getMinY)
+            maxX = math.max(maxX, env.getMaxX); maxY = math.max(maxY, env.getMaxY)
+            shapeContent(geom, t)
+          }
+        val contentWords = content.length / 2
+        val rh = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+        rh.putInt(n); rh.putInt(contentWords)
+        shp.write(rh.array()); shp.write(content)
+        val xb = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+        xb.putInt(offsetWords); xb.putInt(contentWords)
+        shx.write(xb.array())
+        offsetWords += 4 + contentWords
+        dbf.write(dbfRecord(r, attrs, attrIdx, fieldDefs))
+      }
+      dbf.write(0x1a) // EOF
+    } finally { shp.close(); shx.close(); dbf.close() }
+
+    if (n == 0) { minX = 0; minY = 0; maxX = 0; maxY = 0 }
+    if (shapeType == 0) shapeType = 1 // all-null/empty file: point per convention
+    patchMainHeader(pathPrefix + ".shp", offsetWords, shapeType, minX, minY, maxX, maxY)
+    patchMainHeader(pathPrefix + ".shx", 50 + n * 4, shapeType, minX, minY, maxX, maxY)
+    val raf = new RandomAccessFile(pathPrefix + ".dbf", "rw")
+    try {
+      raf.seek(4)
+      val cb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN); cb.putInt(n)
+      raf.write(cb.array())
+    } finally raf.close()
+  }
+
+  private def nullShape(): Array[Byte] = {
+    val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0)
+    b.array()
+  }
+
+  /** Record content for one geometry (shape type already validated). */
+  private def shapeContent(g: Geometry, shapeType: Int): Array[Byte] = shapeType match {
+    case 1 =>
+      val p = g.asInstanceOf[Point]
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1); b.putDouble(p.getX); b.putDouble(p.getY)
+      b.array()
+    case 8 =>
+      val mp = g.asInstanceOf[MultiPoint]
+      val pts = (0 until mp.getNumGeometries).map(i => mp.getGeometryN(i).asInstanceOf[Point])
+      val b = ByteBuffer.allocate(40 + 16 * pts.length).order(ByteOrder.LITTLE_ENDIAN)
+      val env = g.getEnvelopeInternal
+      b.putInt(8)
+      b.putDouble(env.getMinX); b.putDouble(env.getMinY)
+      b.putDouble(env.getMaxX); b.putDouble(env.getMaxY)
+      b.putInt(pts.length)
+      pts.foreach(p => { b.putDouble(p.getX); b.putDouble(p.getY) })
+      b.array()
+    case 3 | 5 =>
+      // PolyLine and Polygon share the parts/points layout; polygon rings
+      // follow ESRI winding: outer rings clockwise, holes counter-clockwise
+      val parts: Seq[Array[Coordinate]] =
+        if (shapeType == 3) {
+          (0 until g.getNumGeometries)
+            .map(i => g.getGeometryN(i).asInstanceOf[LineString].getCoordinates)
+        } else {
+          (0 until g.getNumGeometries).flatMap { i =>
+            val poly = g.getGeometryN(i).asInstanceOf[Polygon]
+            val shell = ringCoords(poly.getExteriorRing, wantCCW = false)
+            val holes = (0 until poly.getNumInteriorRing)
+              .map(h => ringCoords(poly.getInteriorRingN(h), wantCCW = true))
+            shell +: holes
+          }
+        }
+      val nPts = parts.map(_.length).sum
+      val b = ByteBuffer.allocate(44 + 4 * parts.length + 16 * nPts)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      val env = g.getEnvelopeInternal
+      b.putInt(shapeType)
+      b.putDouble(env.getMinX); b.putDouble(env.getMinY)
+      b.putDouble(env.getMaxX); b.putDouble(env.getMaxY)
+      b.putInt(parts.length); b.putInt(nPts)
+      var start = 0
+      parts.foreach { p => b.putInt(start); start += p.length }
+      parts.foreach(_.foreach(c => { b.putDouble(c.x); b.putDouble(c.y) }))
+      b.array()
+  }
+
+  private def ringCoords(ring: LineString, wantCCW: Boolean): Array[Coordinate] = {
+    val cs = ring.getCoordinates
+    if (Orientation.isCCW(cs) == wantCCW) cs else cs.reverse
+  }
+
+  private def patchMainHeader(path: String, lenWords: Int, shapeType: Int,
+                              minX: Double, minY: Double, maxX: Double, maxY: Double): Unit = {
+    val b = ByteBuffer.allocate(100)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(9994); b.position(24); b.putInt(lenWords)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(1000) // version
+    b.putInt(shapeType)
+    b.putDouble(minX); b.putDouble(minY); b.putDouble(maxX); b.putDouble(maxY)
+    b.putDouble(0); b.putDouble(0); b.putDouble(0); b.putDouble(0)
+    val raf = new RandomAccessFile(path, "rw")
+    try { raf.seek(0); raf.write(b.array()) } finally raf.close()
+  }
+
+  private def dbfHeader(fieldDefs: Array[(String, Char, Int, Int)], nRecords: Int,
+                        headerSize: Int, recSize: Int): Array[Byte] = {
     val hb = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
     hb.put(0x03.toByte); hb.put(124.toByte); hb.put(1.toByte); hb.put(1.toByte) // version + YMD
-    hb.putInt(rows.length); hb.putShort(headerSize.toShort); hb.putShort(recSize.toShort)
+    hb.putInt(nRecords); hb.putShort(headerSize.toShort); hb.putShort(recSize.toShort)
     hb.position(32)
     fieldDefs.foreach { case (name, kind, len, dec) =>
       val fb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
@@ -98,26 +219,49 @@ object Shapefile {
       hb.put(fb.array())
     }
     hb.put(0x0d.toByte) // header terminator
-    dbf.write(hb.array())
-    rows.foreach { r =>
-      val rb = new StringBuilder
-      rb.append(' ') // not deleted
-      attrs.zip(fieldDefs).foreach { case (f, (_, kind, len, dec)) =>
-        val idx = df.schema.fieldIndex(f.name)
-        val v = if (r.isNullAt(idx)) "" else r.get(idx).toString
-        val s =
-          if (kind == 'N') {
-            // Locale.ROOT: dBASE 'N' requires '.' decimals regardless of
-            // the JVM's default (comma-decimal) locale
-            val num = if (v.isEmpty) ""
-              else String.format(java.util.Locale.ROOT, "%18.6f", Double.box(v.toDouble)).trim
-            (" " * math.max(0, len - num.length)) + num.take(len) // right-justified
-          } else v.padTo(len, ' ').take(len)
-        rb.append(s)
-      }
-      dbf.write(rb.toString.getBytes("ASCII"))
+    hb.array()
+  }
+
+  private def dbfRecord(r: org.apache.spark.sql.Row,
+                        attrs: Array[org.apache.spark.sql.types.StructField],
+                        attrIdx: Array[Int],
+                        fieldDefs: Array[(String, Char, Int, Int)]): Array[Byte] = {
+    val rb = new StringBuilder
+    rb.append(' ') // not deleted
+    var i = 0
+    while (i < attrs.length) {
+      val (_, kind, len, dec) = fieldDefs(i)
+      val idx = attrIdx(i)
+      val v = if (r.isNullAt(idx)) "" else r.get(idx).toString
+      val s =
+        if (kind == 'N') {
+          val num = if (v.isEmpty) "" else formatNumeric(v.toDouble, len, dec)
+          (" " * math.max(0, len - num.length)) + num // right-justified
+        } else v.padTo(len, ' ').take(len)
+      rb.append(s)
+      i += 1
     }
-    dbf.write(0x1a) // EOF
-    dbf.close()
+    rb.toString.getBytes("ASCII")
+  }
+
+  /** dBASE 'N' rendering — Locale.ROOT ('.' decimals regardless of the
+    * JVM locale). Never silently truncates: fixed-point first, then
+    * scientific at decreasing precision, then a hard error. */
+  private def formatNumeric(d: Double, len: Int, dec: Int): String = {
+    val fixed =
+      if (dec == 0) String.format(java.util.Locale.ROOT, "%d", Long.box(d.toLong))
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
+    if (fixed.length <= len) fixed
+    else {
+      var p = math.max(0, len - 7) // sign + mantissa digit + '.' + 'e+XXX'
+      var s = String.format(java.util.Locale.ROOT, s"%.${p}e", Double.box(d))
+      while (s.length > len && p > 0) {
+        p -= 1
+        s = String.format(java.util.Locale.ROOT, s"%.${p}e", Double.box(d))
+      }
+      require(s.length <= len,
+        s"numeric value $d does not fit dBASE 'N' field of width $len")
+      s
+    }
   }
 }

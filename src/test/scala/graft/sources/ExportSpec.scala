@@ -99,7 +99,77 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     val headerSize = db.getShort(8)
     val recSize = db.getShort(10)
     val rec0 = new String(dbf, headerSize, recSize, "ASCII")
-    assert(rec0.charAt(0) == ' ' && rec0.contains("a") && rec0.contains("3.000000"))
+    // 'C' name field padded, integral 'N' field right-justified width 18
+    assert(rec0.charAt(0) == ' ' && rec0.contains("a"))
+    assert(rec0.endsWith(" " * 17 + "3"), s"integral N field: '$rec0'")
+  }
+
+  test("Shapefile export: polygons stream (no collect), ESRI winding, parse back") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    // polygon with a hole: shell CCW in WKT (must flip to CW), hole CW
+    // in WKT (must flip to CCW)
+    val df = Seq(
+      ("poly1", 1.25,
+        "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"),
+      ("poly2", -2.5, "POLYGON((20 20, 30 20, 25 28, 20 20))")
+    ).toDF("name", "v", "wkt")
+      .selectExpr("name", "v", "st_geomFromWKT(wkt) AS geom")
+      .repartition(2) // exercise the partition-at-a-time local iterator
+    val prefix = tmp() + "/polys"
+    Shapefile.write(df, "geom", prefix)
+
+    import java.nio.{ByteBuffer, ByteOrder}
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prefix + ".shp"))
+    val hb = ByteBuffer.wrap(shp)
+    hb.order(ByteOrder.BIG_ENDIAN)
+    assert(hb.getInt(0) == 9994 && hb.getInt(24) * 2 == shp.length)
+    hb.order(ByteOrder.LITTLE_ENDIAN)
+    assert(hb.getInt(32) == 5, "polygon shape type")
+    assert(hb.getDouble(36) == 0.0 && hb.getDouble(52) == 30.0, "global bbox x")
+
+    // walk both records via the .shx index; identify by part/point counts
+    val shx = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prefix + ".shx"))
+    assert(shx.length == 100 + 2 * 8)
+    var sawHolePoly = false
+    var sawTri = false
+    (0 until 2).foreach { i =>
+      val xb = ByteBuffer.wrap(shx, 100 + i * 8, 8).order(ByteOrder.BIG_ENDIAN)
+      val off = xb.getInt() * 2
+      val rb = ByteBuffer.wrap(shp, off + 8, shp.length - off - 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      assert(rb.getInt() == 5)
+      rb.position(rb.position() + 32) // skip record bbox
+      val nParts = rb.getInt(); val nPts = rb.getInt()
+      if (nParts == 2) {
+        sawHolePoly = true
+        assert(nPts == 10, "5-pt shell + 5-pt hole")
+        assert(rb.getInt() == 0 && rb.getInt() == 5, "part offsets")
+        // shell must be CW per ESRI: signed area of first ring < 0
+        val cs = Array.fill(5)((rb.getDouble(), rb.getDouble()))
+        val area2 = cs.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+          x1 * y2 - x2 * y1 }.sum
+        assert(area2 < 0, s"shell winding must be clockwise, area2=$area2")
+      } else { sawTri = true; assert(nParts == 1 && nPts == 4) }
+    }
+    assert(sawHolePoly && sawTri)
+  }
+
+  test("Shapefile export: maxRows guard fails fast; mixed geometry types rejected") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val big = spark.range(10).selectExpr("CAST(id AS STRING) AS name",
+      "st_makePoint(CAST(id AS DOUBLE), 0.0) AS geom")
+    val e = intercept[IllegalArgumentException] {
+      Shapefile.write(big, "geom", tmp() + "/guard", maxRows = 5)
+    }
+    assert(e.getMessage.contains("capped"))
+    val mixed = Seq(("a", "POINT(1 2)"), ("b", "POLYGON((0 0,1 0,1 1,0 0))"))
+      .toDF("name", "wkt").selectExpr("name", "st_geomFromWKT(wkt) AS geom").coalesce(1)
+    val e2 = intercept[IllegalArgumentException] {
+      Shapefile.write(mixed, "geom", tmp() + "/mixed")
+    }
+    assert(e2.getMessage.contains("mixed geometry"))
   }
 
   test("BIN export writes the packed 4-column layout") {
