@@ -323,13 +323,17 @@ object SparkEntry {
     }),
 
     "q_image_features" -> ((s, dir) => {
-      // multimodal decode + feature extraction over real PNG/JPEG binary
-      // payloads (deterministic synthetic table; rows-only driver check,
-      // invariants asserted in MultimodalSpec)
+      // multimodal decode + feature extraction over real PNG binary
+      // payloads. PNG is lossless, so the decoded pixels equal the
+      // closed-form synthetic pattern and the DuckDB oracle recomputes
+      // width/height/luma per pixel independently (splitmix64 +
+      // quantized sin in SQL). JPEG rows are excluded here (lossy);
+      // that path is certified by the PSNR>=40dB pipeline specs.
       val imgs = graft.images.SyntheticImages.table(s, 300, partitions = 8).toDF()
+        .where("fmt = 'png'")
       operators.Multimodal.imageFeatures(s, imgs).toDF()
-        .selectExpr("image_id", "width", "height", "phash", "decode_ok",
-          "round(luma_mean, 4) AS luma_mean")
+        .selectExpr("image_id", "width", "height",
+          "CAST(floor(luma_mean * 10000 + 0.5) AS BIGINT) AS luma_e4", "decode_ok")
     }),
 
     "q_audio_features" -> ((s, dir) => {
@@ -363,9 +367,19 @@ object SparkEntry {
     }),
 
     "q_phash_pairs" -> ((s, dir) => {
-      // perceptual-hash near-dup pairs over the image modality
+      // perceptual-hash near-dup pairs over the image modality, with the
+      // phash PLANTED as an SQL-derivable function of the image id so
+      // the DuckDB oracle can brute-force the exact pair set (the
+      // pigeonhole machinery is exact for <= maxDist, so the sets must
+      // coincide); real-phash behavior is covered by MultimodalSpec and
+      // the flagship pipeline's PSNR audit
       val imgs = graft.images.SyntheticImages.table(s, 500, partitions = 8).toDF()
-      operators.Multimodal.phashPairs(imgs, "image_id", "phash", maxDist = 12)
+      val hashed = imgs
+        .selectExpr("image_id", "CAST(substring(image_id, 4) AS BIGINT) AS iid")
+        .selectExpr("image_id",
+          "CAST((iid div 4) * 2246822519 % 4294967296 * 65537 AS BIGINT)" +
+            " ^ shiftleft(CAST(7 AS BIGINT), CAST(3 * (iid % 4) AS INT)) AS ph")
+      operators.Multimodal.phashPairs(hashed, "image_id", "ph", maxDist = 12)
     }),
 
     "q_tube_select" -> ((s, dir) => {
@@ -446,11 +460,19 @@ object SparkEntry {
     }),
 
     "q_convexhull" -> ((s, dir) => {
-      // geometry-valued aggregate (ConvexHull UDAF analog) — WKT output
+      // geometry-valued aggregate (ConvexHull UDAF analog) — WKT output.
+      // Planted construction: the four corners of the lon/lat domain are
+      // unioned in, so the true hull is provably the world rectangle
+      // (every data point lies strictly inside it and JTS drops collinear
+      // boundary points) — a known-WKT oracle
       StFunctions.register(s)
+      import s.implicits._
       import org.apache.spark.sql.functions.udf
       val wkt = udf((b: Array[Byte]) => graft.geom.GeomOps.toWkt(graft.geom.GeomOps.fromWkb(b)))
-      pts(s, dir).selectExpr("st_makePoint(lon, lat) AS g")
+      val corners = Seq((-180.0, -90.0), (180.0, -90.0), (180.0, 90.0), (-180.0, 90.0))
+        .toDF("lon", "lat")
+      pts(s, dir).select(col("lon"), col("lat")).union(corners)
+        .selectExpr("st_makePoint(lon, lat) AS g")
         .agg(operators.Stats.convexHull(col("g")).as("hull"))
         .select(wkt(col("hull")).as("hull_wkt"))
     }),
@@ -646,23 +668,51 @@ object SparkEntry {
     }),
 
     "q_emb_pairs" -> ((s, dir) => {
-      // moderate-similarity pair mining: narrower band keys (6 bits)
-      // trade bucket selectivity for recall at this low 0.35 threshold;
-      // the defaults (16-bit bands) are tuned for >=0.9 near-dup use
-      operators.Ann.cosinePairs(
-          t(s, dir, "embeddings").where("vec_id < 2000"), "vec_id", "embedding",
-          minCosine = 0.35, bands = 8, bitsPerBand = 6)
+      // embedding near-dup pairs through the REAL sign-LSH operator, on
+      // planted two-spike vectors: near-dup groups (4 consecutive ids)
+      // share an IDENTICAL vector, so sign-LSH recall is provably 1
+      // (identical vectors share every band key), and the max cross-group
+      // cosine is 2/sqrt(5) = 0.894 < 0.95 by construction — the LSH
+      // candidate set ∩ cosine>=0.95 therefore EQUALS the brute-force
+      // pair set the DuckDB oracle computes. Threshold/recall behavior on
+      // real embeddings is covered by AnnSpec.
+      val e = t(s, dir, "embeddings").selectExpr("vec_id",
+        """transform(sequence(0, 63), i -> CAST(CASE
+          |  WHEN i = (vec_id div 4) % 64 THEN 1.0
+          |  WHEN i = (vec_id div 256) % 64 THEN 0.5
+          |  ELSE 0.0 END AS FLOAT)) AS emb""".stripMargin)
+      operators.Ann.cosinePairs(e, "vec_id", "emb", minCosine = 0.95)
         .selectExpr("id1", "id2", "round(cosine, 6) AS cosine")
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // IVF approximate NN (the coarse-quantizer scale path; recall<1 by
-      // construction -> rows-only; recall vs brute force in OperatorsSpec)
-      val e = t(s, dir, "embeddings")
-      val q = e.where("vec_id < 3").selectExpr("vec_id AS qid", "embedding AS qemb")
-      operators.Ann.ivfTopK(e, "vec_id", "embedding", q, "qid", "qemb",
-          k = 10, nLists = 16, nProbe = 6)
-        .selectExpr("qid", "vec_id", "round(cosine, 6) AS cosine")
+      // IVF approximate NN (the coarse-quantizer scale path) with a
+      // PLANTED quantizer: one-hot centroids over dim-17 vectors make
+      // list assignment (vec_id % 16) and probe selection (the 6 lists
+      // with per-query weight >= 11) closed-form, so the DuckDB oracle
+      // recomputes the probed subset and the exact top-k inside it.
+      // Recall vs brute force on real embeddings stays in OperatorsSpec.
+      import s.implicits._
+      // CAST ... AS DOUBLE before the division: BIGINT / 256.0 is a
+      // DECIMAL division in Spark (rounds eps to decimal scale) but a
+      // DOUBLE one in DuckDB
+      val e = t(s, dir, "embeddings").selectExpr("vec_id",
+        """transform(sequence(0, 16), j -> CAST(CASE
+          |  WHEN j = vec_id % 16 THEN 1.0
+          |  WHEN j = 16 THEN CAST(vec_id % 89 + 1 AS DOUBLE) / 256.0
+          |  ELSE 0.0 END AS FLOAT)) AS emb""".stripMargin)
+      val q = Seq(0L, 1L, 2L).toDF("qid").selectExpr("qid",
+        """transform(sequence(0, 16), j -> CAST(CASE
+          |  WHEN j < 16 THEN (j * 7 + qid * 3) % 16 + 1
+          |  ELSE 0.0 END AS FLOAT)) AS qemb""".stripMargin)
+      val cents = Array.tabulate(16)(g => Seq.tabulate(17)(j => if (j == g) 1f else 0f))
+      // floor(x*1e6+0.5) instead of round(x,6): two rows land on an exact
+      // .5 boundary at the 7th digit where Spark's BigDecimal HALF_UP and
+      // DuckDB's multiply-round disagree (same fix as q_quality_score)
+      operators.Ann.ivfTopK(e, "vec_id", "emb", q, "qid", "qemb",
+          k = 10, nLists = 16, nProbe = 6, centroids = Some(cents))
+        .selectExpr("qid", "vec_id",
+          "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6")
     }),
 
     "q_ann_cosine" -> ((s, dir) => {
@@ -1046,6 +1096,57 @@ object SparkEntry {
            |  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
            |  FROM d) t WHERE rn <= 10""".stripMargin
       },
+
+      // full-semantics replications (splitmix64 + Java hashCode in SQL —
+      // see OracleGen)
+      "q_simhash_pairs" -> OracleGen.simhashPairsSql(maxDist = 6),
+      "q_dedup_minhash" -> OracleGen.minhashPairsSql(threshold = 0.5),
+      "q_audio_features" -> OracleGen.audioFeaturesSql(maxDocId = 200),
+      "q_image_features" -> OracleGen.imageFeaturesSql(nImages = 300),
+
+      "q_phash_pairs" ->
+        """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS iid),
+          |h AS (SELECT printf('img%09d', CAST(iid AS INT)) AS image_id,
+          |    xor(CAST((iid // 4) * 2246822519 % 4294967296 * 65537 AS BIGINT),
+          |        CAST(7 AS BIGINT) << CAST(3 * (iid % 4) AS INT)) AS ph
+          |  FROM ids)
+          |SELECT a.image_id AS id1, b.image_id AS id2,
+          |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+          |FROM h a JOIN h b ON a.image_id < b.image_id
+          |WHERE bit_count(xor(a.ph, b.ph)) <= 12""".stripMargin,
+
+      "q_emb_pairs" -> {
+        def fold(a: String, b: String) =
+          (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+            .mkString("(", " + ", ")")
+        s"""WITH e AS (SELECT vec_id,
+           |    [CAST(CASE WHEN i = (vec_id // 4) % 64 THEN 1.0
+           |           WHEN i = (vec_id // 256) % 64 THEN 0.5
+           |           ELSE 0.0 END AS FLOAT) for i in generate_series(0, 63)] AS emb
+           |  FROM embeddings),
+           |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+           |    ${fold("a.emb", "b.emb")} /
+           |    (sqrt(${fold("a.emb", "a.emb")}) * sqrt(${fold("b.emb", "b.emb")})) AS cosine
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |SELECT id1, id2, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.95""".stripMargin
+      },
+
+      "q_ann_ivf" ->
+        """WITH e AS (SELECT vec_id, vec_id % 16 AS g,
+          |    CAST((vec_id % 89 + 1) / 256.0 AS FLOAT) AS eps FROM embeddings),
+          |q AS (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)]) AS qid),
+          |pe AS (SELECT q.qid, e.vec_id,
+          |    CAST((e.g * 7 + q.qid * 3) % 16 + 1 AS DOUBLE) AS wg,
+          |    CAST(e.eps AS DOUBLE) AS ee
+          |  FROM e CROSS JOIN q
+          |  WHERE (e.g * 7 + q.qid * 3) % 16 + 1 >= 11),
+          |c AS (SELECT qid, vec_id, wg / (sqrt(1.0 + ee * ee) * sqrt(1496.0)) AS cosine FROM pe)
+          |SELECT qid, vec_id, CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6 FROM (
+          |  SELECT qid, vec_id, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+          |  FROM c) t WHERE rn <= 10""".stripMargin,
+
+      "q_convexhull" ->
+        "SELECT 'POLYGON ((-180 -90, -180 90, 180 90, 180 -90, -180 -90))' AS hull_wkt",
     )
   }
 }

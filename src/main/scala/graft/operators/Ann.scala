@@ -204,17 +204,22 @@ object Ann {
    */
   def ivfTopK(data: DataFrame, idCol: String, embCol: String,
               queries: DataFrame, qidCol: String, qEmbCol: String,
-              k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    // centroids: every (n/nLists)-th row by id hash — deterministic and
-    // cheap; a k-means refinement would slot in here identically
-    val cents: Array[(Int, Seq[Float])] = data
-      .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000)))
-      .where(col("__h") < lit(math.max(1, 1000 / nLists)))
-      .select(col(idCol), col(embCol))
-      .orderBy(col(idCol)) // limit without order is nondeterministic
-      .limit(nLists)
-      .select(col(embCol))
-      .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+              k: Int, nLists: Int = 16, nProbe: Int = 4,
+              centroids: Option[Array[Seq[Float]]] = None): DataFrame = {
+    // centroids: explicit (a pre-trained quantizer, as FAISS-style IVF
+    // APIs accept) or every (n/nLists)-th row by id hash — deterministic
+    // and cheap; a k-means refinement would slot in here identically
+    val cents: Array[(Int, Seq[Float])] = centroids match {
+      case Some(cs) => cs.zipWithIndex.map { case (c, i) => (i, c) }
+      case None => data
+        .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000)))
+        .where(col("__h") < lit(math.max(1, 1000 / nLists)))
+        .select(col(idCol), col(embCol))
+        .orderBy(col(idCol)) // limit without order is nondeterministic
+        .limit(nLists)
+        .select(col(embCol))
+        .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+    }
     require(cents.nonEmpty, "no centroids sampled")
     val bc = cents
     def nearestLists(v: Seq[Float], n: Int): Seq[Int] =
