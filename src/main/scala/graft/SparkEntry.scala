@@ -237,6 +237,20 @@ object SparkEntry {
         .select("event_id")
     }),
 
+    "q_id_scan" -> ((s, dir) => {
+      // ID-index lookup (IdIndex analog): direct feature-id fetch through
+      // the id-bucketed sorted layout — bucket-directory pruning + sorted
+      // row-group skipping instead of a full scan (pruning asserted in
+      // SpatialTableSpec); a missing id matches nothing
+      val root = s"/tmp/graft_idix_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.table.SpatialTable.write(s, pts(s, dir), root, "s1", "event_id", "lon", "lat",
+        res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      graft.table.SpatialTable.writeIdIndex(s, root, "s1", "event_id", buckets = 8)
+      graft.table.SpatialTable.readByIds(s, root, "s1", "event_id",
+          Seq(5L, 77L, 1234L, 4321L, 999999999L), buckets = 8)
+        .selectExpr("event_id")
+    }),
+
     "q_dwithin_join" -> ((s, dir) => {
       // SQL proximity join through the injected SpatialJoinRewrite:
       // st_dwithinPlanar plans as a cell equi-join with distance-expanded
@@ -301,14 +315,17 @@ object SparkEntry {
     }),
 
     "q_disjoint_scan" -> ((s, dir) => {
-      // disjoint-OR multi-scan (FilterSplitter.makeDisjoint analog):
-      // overlapping predicates -> disjoint branches -> dedup-free union
+      // disjoint-OR (FilterSplitter.makeDisjoint analog) in SINGLE-SCAN
+      // form: these attribute branches cannot prune storage ranges, so
+      // one pass with an OR'd pushed filter + first-match branch tag
+      // replaces the k-scan union (identical row multiset; plan shows
+      // one FileScan — asserted in ExtensionsSpec)
       val li = t(s, dir, "lineitem")
-      plans.Disjoint.unionScans(li, Seq(
+      plans.Disjoint.taggedScan(li, Seq(
           col("l_quantity") < 10.0,
           col("l_extendedprice") > 50000.0,
           col("l_returnflag") === "R"))
-        .selectExpr("l_orderkey", "l_linenumber")
+        .selectExpr("l_orderkey", "l_linenumber", "branch")
     }),
 
     "q_json_extract" -> ((s, dir) => {
@@ -436,6 +453,16 @@ object SparkEntry {
         .toDF()
         .selectExpr("CAST(id AS BIGINT) AS user_id",
           "CAST(round(lon, 2) AS DOUBLE) AS lon", "CAST(round(lat, 2) AS DOUBLE) AS lat")
+    }),
+
+    "q_stat_dsl" -> ((s, dir) => {
+      // the reference's PRIMARY stats surface: a composable grammar
+      // string (StatParser.scala) -> one grouped aggregation pass;
+      // cardinality (HLL) is part of MinMax but engine-specific, so the
+      // oracle-checked projection is min/max/count
+      operators.StatDsl.parse(t(s, dir, "events"),
+          "GroupBy(event_type,MinMax(value);Count())")
+        .selectExpr("event_type", "value_min", "value_max", "count")
     }),
 
     "q_topk" -> ((s, dir) => {
@@ -852,7 +879,11 @@ object SparkEntry {
       },
 
       "q_disjoint_scan" ->
-        """SELECT l_orderkey, l_linenumber FROM lineitem
+        """SELECT l_orderkey, l_linenumber,
+          |  CASE WHEN l_quantity < 10.0 THEN 0
+          |       WHEN l_extendedprice > 50000.0 THEN 1
+          |       WHEN l_returnflag = 'R' THEN 2 ELSE -1 END AS branch
+          |FROM lineitem
           |WHERE l_quantity < 10.0 OR l_extendedprice > 50000.0 OR l_returnflag = 'R'""".stripMargin,
 
       "q_json_extract" ->
@@ -1096,6 +1127,14 @@ object SparkEntry {
            |  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
            |  FROM d) t WHERE rn <= 10""".stripMargin
       },
+
+      "q_id_scan" ->
+        "SELECT event_id FROM events WHERE event_id IN (5, 77, 1234, 4321, 999999999)",
+
+      "q_stat_dsl" ->
+        """SELECT event_type, min(value) AS value_min, max(value) AS value_max,
+          |  count(*) AS count
+          |FROM events GROUP BY event_type""".stripMargin,
 
       // full-semantics replications (splitmix64 + Java hashCode in SQL —
       // see OracleGen)

@@ -166,6 +166,35 @@ object SpatialTable {
       .where(col(attrCol).between(lit(lo), lit(hi)))
 
   /**
+   * ID-index layout — the analog of the reference's IdIndex
+   * (geomesa-index-api/.../index/id/IdIndex.scala: rows keyed by feature
+   * id for direct lookup). Same physical shape as the attribute index:
+   * a copy of the snapshot bucketed by hash(id) and SORTED by id inside
+   * each file, so an id lookup is one bucket directory + row-group
+   * min/max skipping on the sorted id — never a full scan of the
+   * cell-ordered primary layout.
+   */
+  def writeIdIndex(spark: SparkSession, root: String, snapshotId: String,
+                   idCol: String, buckets: Int = 16): Unit =
+    writeAttributeIndex(spark, root, snapshotId, idCol, buckets)
+
+  /** Direct multi-id lookup through the id index. Each id contributes a
+    * `(bucket = hash(id) AND id = v)` disjunct; the bucket equalities are
+    * plan-time constants, so partition pruning keeps only the touched
+    * bucket directories and the sorted-id row-group stats skip inside
+    * them. Missing ids simply match nothing. */
+  def readByIds(spark: SparkSession, root: String, snapshotId: String,
+                idCol: String, values: Seq[Any], buckets: Int = 16): DataFrame = {
+    require(values.nonEmpty, "readByIds needs at least one id")
+    val idx = spark.read.parquet(s"$root/index_$idCol/snapshot=$snapshotId")
+    val pred = values.map { v =>
+      col("attr_bucket") === pmod(xxhash64(lit(v)), lit(buckets)).cast("int") &&
+        col(idCol) === lit(v)
+    }.reduce(_ || _)
+    idx.where(pred)
+  }
+
+  /**
    * Bucketed co-located layout: persists the cell-indexed table with
    * Spark bucketing (`bucketBy(n, "cell").sortBy("cell")`), so a join
    * between two tables bucketed the same way plans with ZERO shuffle on

@@ -36,4 +36,33 @@ class DisjointSpec extends AnyFunSuite with SparkTest {
     // (1,10) via A; (None,10) via B even though A is NULL; (1,99) via A
     assert(viaOr == 3)
   }
+
+  test("taggedScan: one FileScan, same multiset as unionScans, first-match tag") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_disjoint").toString + "/t"
+    (1 to 1000).map(i => (i, i % 7)).toDF("v", "m").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val branches = Seq(col("v") < 400, col("m") === 3, col("v") > 900)
+    val viaUnion = Disjoint.unionScans(df, branches).select("v").as[Int].collect().sorted
+    val tagged = Disjoint.taggedScan(df, branches)
+    val viaTag = tagged.select("v").as[Int].collect().sorted
+    assert(viaTag.toSeq == viaUnion.toSeq)
+    // the tag is the FIRST satisfied branch
+    val r = tagged.where(col("v") === 353).head // v<400 and m=3 both true
+    assert(r.getAs[Int]("branch") == 0)
+    assert(tagged.where(col("v") === 903).head.getAs[Int]("branch") == 2)
+    // single-scan plan: exactly ONE file scan vs unionScans' k
+    def scans(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collectLeaves().count {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case _ => false
+      }
+    assert(scans(tagged) == 1, "taggedScan must read the table once")
+    assert(scans(Disjoint.unionScans(df, branches)) == branches.size)
+    // nulls: a NULL branch never tags, null-safely
+    val nd = Seq((Some(1), Some(10)), (None, Some(10))).toDF("a", "b")
+    val t2 = Disjoint.taggedScan(nd, Seq(col("a") < 3, col("b") < 50))
+    assert(t2.count() == 2)
+    assert(t2.where(col("a").isNull).head.getAs[Int]("branch") == 1)
+  }
 }

@@ -103,6 +103,24 @@ class SpatialTableSpec extends AnyFunSuite with SparkTest {
     SpatialTable.writeAttributeIndex(spark, root, "s1", "fmt", buckets = 16)
   }
 
+  test("id index: direct multi-id lookup equals full-scan filter and prunes buckets") {
+    SpatialTable.writeIdIndex(spark, root, "s1", "image_id", buckets = 16)
+    val ids = Seq("img000000007", "img000000123", "img_missing")
+    val full = SpatialTable.read(spark, root, "s1").where(col("image_id").isin(ids: _*))
+      .select("image_id").collect().map(_.getString(0)).sorted.toSeq
+    val q = SpatialTable.readByIds(spark, root, "s1", "image_id", ids, buckets = 16)
+    val viaIdx = q.select("image_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(viaIdx == full && viaIdx.size == 2) // missing id matches nothing
+    // bucket-directory pruning: at most one bucket per looked-up id
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned >= 1 && scanned <= ids.size, s"expected <= ${ids.size} pruned buckets, scanned $scanned")
+    // idempotent resume
+    SpatialTable.writeIdIndex(spark, root, "s1", "image_id", buckets = 16)
+  }
+
   test("bucketed co-located cell join: zero shuffle on either side, same answer") {
     import spark.implicits._
     def pts(seed: Int) = {
