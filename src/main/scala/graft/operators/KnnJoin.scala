@@ -45,6 +45,10 @@ object KnnJoin {
   private val MetersPerDegLat = 110574.0
   private val MetersPerDegLon = 111320.0
 
+  /** Test instrumentation: growth rounds (candidate passes before the
+    * final exact pass) of the most recent apply() on this driver. */
+  @volatile private[operators] var lastGrowthRounds: Int = 0
+
   def apply(spark: SparkSession,
             points: DataFrame, lonCol: String, latCol: String,
             queries: DataFrame, qidCol: String, qLonCol: String, qLatCol: String,
@@ -66,8 +70,6 @@ object KnnJoin {
 
     val pts = points.withColumn("__pcell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
     val qs = queries.withColumn("__qcell", StFunctions.stCellOfXY(col(qLonCol), col(qLatCol), lit(res)))
-    qs.cache()
-    val nq = qs.count()
 
     def candidates(ringOf: DataFrame): DataFrame =
       pts.join(
@@ -83,40 +85,45 @@ object KnnJoin {
     val ring0 = math.max(1, math.min(maxRings,
       math.ceil((math.sqrt(4.0 * k / math.max(perCell, 1e-12)) - 1) / 2).toInt))
 
-    // -- growth with per-query state -----------------------------------
-    // qid -> (ring to use in the final pass, observed kth distance or
-    // None when the query is short of k and capped at maxRings)
-    val kthOf = scala.collection.mutable.Map.empty[Any, Double]
-    val cappedQids = scala.collection.mutable.Set.empty[Any]
-    var activeQs = qs.withColumn("__ring", lit(ring0))
+    // -- growth with per-query state AS A DATAFRAME ---------------------
+    // state carries every query column plus (__ring, __dk, __capped,
+    // __done). Each round: candidates for the still-active queries, a
+    // per-qid (count, kth-distance) aggregate, then ONE left join back —
+    // no driver-side qid map, no `isin` literal list, no per-round plan
+    // that grows with the number of satisfied queries. The driver sees
+    // only a remaining-count per round, so 10^5-10^6 query points stream
+    // through exactly like 10. localCheckpoint truncates the iterative
+    // lineage (same trick as iterative MLlib algorithms).
+    var state = qs
+      .withColumn("__ring", lit(ring0))
+      .withColumn("__dk", lit(null).cast("double"))
+      .withColumn("__capped", lit(false))
+      .withColumn("__done", lit(false))
+      .localCheckpoint()
     var ring = ring0
-    var remaining = nq
+    var remaining = state.where(!col("__done")).count()
+    lastGrowthRounds = 0
     while (remaining > 0) {
-      val cand = candidates(activeQs).withColumn("__dist", distExpr)
-      val stats = cand
+      lastGrowthRounds += 1
+      val active = state.where(!col("__done"))
+      val stats = candidates(active).withColumn("__dist", distExpr)
         .withColumn("__rn", row_number().over(Window.partitionBy(qidCol).orderBy(col("__dist"))))
         .where(col("__rn") <= k)
-        .groupBy(qidCol).agg(count(lit(1)).as("__n"), max("__dist").as("__dk"))
-        .collect()
-      val satisfied = stats.filter(_.getAs[Long]("__n") >= k)
-      satisfied.foreach(r => kthOf(r.get(0)) = r.getAs[Double]("__dk"))
-      remaining -= satisfied.length
-      if (remaining > 0) {
-        if (ring >= maxRings) {
-          // sparse queries: fewer than k points within the whole budget —
-          // keep them at the maxRings disk instead of dropping them
-          val sat = satisfied.map(_.get(0)).toSet
-          qs.select(qidCol).collect().map(_.get(0))
-            .filterNot(q => kthOf.contains(q) || sat.contains(q))
-            .foreach(cappedQids += _)
-          remaining = 0
-        } else {
-          ring = math.min(maxRings, ring * 2)
-          val done = kthOf.keySet.toSeq
-          activeQs = qs.withColumn("__ring", lit(ring))
-            .where(!col(qidCol).isin(done: _*))
-        }
-      }
+        .groupBy(qidCol).agg(count(lit(1)).as("__n"), max("__dist").as("__dk_new"))
+      val atCap = ring >= maxRings
+      val nextRing = math.min(maxRings, ring * 2)
+      state = state.join(stats, Seq(qidCol), "left")
+        .withColumn("__sat", !col("__done") && coalesce(col("__n") >= k, lit(false)))
+        .withColumn("__dk", when(col("__sat"), col("__dk_new")).otherwise(col("__dk")))
+        // at the ring budget, short queries keep the maxRings disk
+        // instead of disappearing (sparse-data semantics)
+        .withColumn("__capped", col("__capped") || (!col("__done") && !col("__sat") && lit(atCap)))
+        .withColumn("__done", col("__done") || col("__sat") || lit(atCap))
+        .withColumn("__ring", when(col("__done"), col("__ring")).otherwise(lit(nextRing)))
+        .drop("__n", "__dk_new", "__sat")
+        .localCheckpoint()
+      ring = nextRing
+      remaining = state.where(!col("__done")).count()
     }
 
     // -- proof: observed kth distance -> proven disk radius ------------
@@ -138,24 +145,11 @@ object KnnJoin {
         math.ceil(dk / math.max(1e-9, stepEW))).toInt + 1
       math.min(maxRings, math.max(1, need))
     }
-    // per-query state joins back on the qid's NATIVE type — a cast to
-    // string diverges from Scala toString for timestamps/decimals and
-    // NPEs on nulls
-    val qidType = qs.schema(qs.schema.fieldIndex(qidCol)).dataType
-    val stateRows = (kthOf.toSeq.map { case (q, dk) => org.apache.spark.sql.Row(q, dk, false) } ++
-      cappedQids.toSeq.map(q => org.apache.spark.sql.Row(q, 0.0, true)))
-    val states = spark.createDataFrame(
-      spark.sparkContext.parallelize(stateRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__qid_s", qidType),
-        org.apache.spark.sql.types.StructField("__dk", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("__capped", org.apache.spark.sql.types.BooleanType))))
-    val qsProven = qs
-      .join(broadcast(states), col(qidCol) === col("__qid_s"))
+    val qsProven = state
       .withColumn("__ring",
-        when(col("__capped"), lit(maxRings))
+        when(col("__capped") || col("__dk").isNull, lit(maxRings))
           .otherwise(provenRing(col("__dk"), col(qLatCol))))
-      .drop("__qid_s", "__dk", "__capped")
+      .drop("__dk", "__capped", "__done")
 
     // -- final exact pass ----------------------------------------------
     candidates(qsProven)

@@ -4,8 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import graft.cells.Cells
-import graft.geom.GeomOps
-import graft.functions.{EnvCoverWkb, IntersectsWkb, OwnerCellWkb, StFunctions}
+import graft.functions.{IntersectsWkb, OwnerCellWkb, StFunctions}
 
 /**
  * Cell-partitioned spatial join — the Spark-native replacement for the
@@ -54,27 +53,21 @@ object SpatialJoin {
     ExpressionUtils.column(IntersectsWkb(
       ExpressionUtils.expression(l), ExpressionUtils.expression(r)))
 
-  /** Envelope-based cover (NO exact-geometry refinement of the cell set).
-    * The ownership dedup's uniqueness proof needs the envelope-
-    * intersection corner cell to be present in BOTH sides' covers; a
-    * cover filtered to exactly-intersecting cells can drop that cell for
-    * concave geometries (the corner of two envelopes' intersection need
-    * not touch either geometry), silently losing pairs. Envelope covers
-    * always contain it. The exact predicate still refines the PAIRS. */
-  private def envCover(wkb: Column, res: Column, maxCells: Column): Column =
-    ExpressionUtils.column(EnvCoverWkb(
-      ExpressionUtils.expression(wkb), ExpressionUtils.expression(res),
-      ExpressionUtils.expression(maxCells)))
-
-  /** True when the row's envelope would overflow the cover budget at
-    * `res` — i.e. the rows coverBBox used to coarsen. Null-safe (null
-    * geometry -> small branch, where the explode drops it). */
-  private[operators] val isHuge = udf { (wkb: Array[Byte], res: Int, maxCells: Int) =>
-    wkb != null && {
-      val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
-      Cells.coverCountBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res) > maxCells
-    }
-  }
+  /** Fused join-routing expression (native codegen, ONE WKB parse):
+    * struct(huge, cells) where `cells` is the ENVELOPE-based cover (NO
+    * exact-geometry refinement of the cell set — the ownership dedup's
+    * uniqueness proof needs the envelope-intersection corner cell to be
+    * present in BOTH sides' covers; a cover filtered to
+    * exactly-intersecting cells can drop that cell for concave
+    * geometries, silently losing pairs) and `huge` marks rows whose
+    * envelope would overflow the cover budget at `res` (empty `cells`,
+    * so the grid branch's explode drops them without a separate filter).
+    * Replaces the r2-era isHuge ScalaUDF + envCover double evaluation. */
+  private def coverHuge(wkb: Column, res: Int, maxCells: Int): Column =
+    ExpressionUtils.column(graft.functions.CoverHugeWkb(
+      ExpressionUtils.expression(wkb), ExpressionUtils.expression(lit(res)),
+      ExpressionUtils.expression(lit(maxCells)),
+      ExpressionUtils.expression(lit(0.0)), ExpressionUtils.expression(lit(false))))
 
   /**
    * General spatial join on a predicate refined after the cell equi-join.
@@ -93,21 +86,22 @@ object SpatialJoin {
            leftPoint: Boolean = false,
            maxCells: Int = 256,
            broadcastRight: Boolean = false): DataFrame = {
-    val lHuge = isHuge(col(leftGeom), lit(res), lit(maxCells))
-    val rHuge = isHuge(col(rightGeom), lit(res), lit(maxCells))
-    val smallL = if (leftPoint) left else left.where(!lHuge)
-    val smallR = right.where(!rHuge)
-    val hugeR = right.where(rHuge)
+    val lCh = coverHuge(col(leftGeom), res, maxCells)
+    val rCh = coverHuge(col(rightGeom), res, maxCells)
+    val smallR = right.where(!rCh.getField("huge"))
+    val hugeR = right.where(rCh.getField("huge"))
 
-    // -- grid branch: small x small, covers never coarsen ---------------
+    // -- grid branch: small x small, covers never coarsen. Huge rows
+    // have EMPTY fused covers, so the explode drops them — the left side
+    // needs no separate hugeness filter (one expression evaluation).
     val lc =
-      if (leftPoint) smallL.withColumn("__lcell", StFunctions.stCell(col(leftGeom), lit(res)))
-      else smallL.withColumn("__lcell", explode(envCover(col(leftGeom), lit(res), lit(maxCells))))
+      if (leftPoint) left.withColumn("__lcell", StFunctions.stCell(col(leftGeom), lit(res)))
+      else left.withColumn("__lcell", explode(lCh.getField("cells")))
     val rc0 =
       if (leftPoint) // point probe: refined cover is sound (p in b => p's cell hits b)
         smallR.withColumn("__rcell", explode(StFunctions.stCellCover(col(rightGeom), lit(res), lit(maxCells))))
       else
-        smallR.withColumn("__rcell", explode(envCover(col(rightGeom), lit(res), lit(maxCells))))
+        right.withColumn("__rcell", explode(rCh.getField("cells")))
     val rc = if (broadcastRight) broadcast(rc0) else rc0
     val joined = lc.join(rc, col("__lcell") === col("__rcell"))
       .where(predicate(col(leftGeom), col(rightGeom)))
@@ -124,7 +118,7 @@ object SpatialJoin {
     val result = grid.union(allHugeRight)
     if (leftPoint) result
     else {
-      val hugeLvsSmallR = broadcast(left.where(lHuge))
+      val hugeLvsSmallR = broadcast(left.where(lCh.getField("huge")))
         .join(smallR, predicate(col(leftGeom), col(rightGeom)))
       result.union(hugeLvsSmallR)
     }

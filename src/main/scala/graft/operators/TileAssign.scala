@@ -20,14 +20,14 @@ import graft.functions.StFunctions
  */
 object TileAssign {
 
-  /** Adaptive resolution from the extent's max dimension (XZ rule). */
-  val adaptiveRes = udf { (wkb: Array[Byte], minRes: Int, maxRes: Int) =>
-    val env = graft.geom.GeomOps.fromWkb(wkb).getEnvelopeInternal
-    val maxDim = math.max(env.getWidth / 360.0, env.getHeight / 180.0)
-    val r =
-      if (maxDim <= 0) maxRes
-      else math.floor(-math.log(maxDim) / math.log(2.0)).toInt
-    math.max(minRes, math.min(maxRes, r))
+  /** Adaptive resolution from the extent's max dimension (XZ rule) —
+    * native codegen expression (graft.functions.AdaptiveResWkb), not a
+    * boxed ScalaUDF: this runs once per footprint on the 10^12-row
+    * ingest path. */
+  def adaptiveRes(wkb: Column, minRes: Column, maxRes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
+    EU.column(graft.functions.AdaptiveResWkb(
+      EU.expression(wkb), EU.expression(minRes.cast("int")), EU.expression(maxRes.cast("int"))))
   }
 
   /** One output row per (input row, covering tile) at fixed resolution. */

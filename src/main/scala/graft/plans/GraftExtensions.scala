@@ -7,8 +7,6 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
-import graft.cells.Cells
-import graft.geom.GeomOps
 
 /**
  * Catalyst extensions — the engine's analog of the reference's injected
@@ -87,103 +85,52 @@ object GeometryLiteralFolding extends Rule[org.apache.spark.sql.catalyst.plans.l
   * equi-join). */
 object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
-  // raw kernels invoked from constructed ScalaUDF nodes.
-  // ENVELOPE cover (no exact-geometry cell filtering): the ownership
-  // dedup below requires the envelope-intersection corner cell to be in
-  // both covers — see SpatialJoin.envCover for the concave-geometry
-  // counterexample a refined cover would hit. Rows routed here are
-  // pre-filtered small, so the maxCells cap never actually coarsens.
-  private val coverFn: (Array[Byte], Int, Int) => Array[Long] = (wkb, res, maxCells) => {
-    if (wkb == null) Array.empty[Long]
-    else {
-      val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
-      Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
-    }
-  }
-
-  private val ownerFn: (Array[Byte], Array[Byte], Int) => Long = (a, b, res) => {
-    val ea = GeomOps.fromWkb(a).getEnvelopeInternal
-    val eb = GeomOps.fromWkb(b).getEnvelopeInternal
-    Cells.cell(math.max(ea.getMinX, eb.getMinX), math.max(ea.getMinY, eb.getMinY), res)
-  }
-
-  private val hugeFn: (Array[Byte], Int, Int) => Boolean = (wkb, res, maxCells) => {
-    wkb != null && {
-      val env = GeomOps.fromWkb(wkb).getEnvelopeInternal
-      Cells.coverCountBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res) > maxCells
-    }
-  }
-
-  // dwithin variants: the right side's envelope is expanded by the
-  // distance radius (conservative metric->degree conversion, or plain
-  // degrees for the planar predicate) before covering — any pair within
-  // the distance then meets at a shared cell, with the owner corner
-  // taken on the expanded-envelope intersection.
-  private def expand(env: org.locationtech.jts.geom.Envelope, radius: Double,
-                     planar: Boolean): org.locationtech.jts.geom.Envelope =
-    if (radius <= 0) env
-    else if (planar) GeomOps.expandEnvelopeDeg(env, radius)
-    else GeomOps.expandEnvelopeMeters(env, radius)
-
-  private val coverExpFn: (Array[Byte], Int, Int, Double, Boolean) => Array[Long] =
-    (wkb, res, maxCells, radius, planar) => {
-      if (wkb == null) Array.empty[Long]
-      else {
-        val env = expand(GeomOps.fromWkb(wkb).getEnvelopeInternal, radius, planar)
-        Cells.coverBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res, maxCells)
-      }
-    }
-
-  private val ownerExpFn: (Array[Byte], Array[Byte], Int, Double, Boolean) => Long =
-    (a, b, res, radius, planar) => {
-      val ea = GeomOps.fromWkb(a).getEnvelopeInternal
-      val eb = expand(GeomOps.fromWkb(b).getEnvelopeInternal, radius, planar)
-      Cells.cell(math.max(ea.getMinX, eb.getMinX), math.max(ea.getMinY, eb.getMinY), res)
-    }
-
-  private val hugeExpFn: (Array[Byte], Int, Int, Double, Boolean) => Boolean =
-    (wkb, res, maxCells, radius, planar) => {
-      wkb != null && {
-        val env = expand(GeomOps.fromWkb(wkb).getEnvelopeInternal, radius, planar)
-        Cells.coverCountBBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res) > maxCells
-      }
-    }
-
-  private def udf(fn: AnyRef, dt: DataType, children: Seq[Expression], name: String): ScalaUDF =
-    ScalaUDF(fn, dt, children, Nil, None, Some(name), nullable = true, udfDeterministic = true)
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if j.resolved && hint == JoinHint.NONE &&
           !hasEquiKeys(cond, left, right) &&
           findSpatialPred(cond, left, right).isDefined &&
           !left.output.exists(_.name == "__graft_lcell") =>
-      val SpatialPredInfo(lg, rg, radius, planar) = findSpatialPred(cond, left, right).get
+      val info = findSpatialPred(cond, left, right).get
+      val SpatialPredInfo(lg, rg, radius, planar, pred) = info
       val res = GraftExtensions.JoinRes
       val maxCells = Literal(GraftExtensions.MaxCoverCells)
       val rad = Literal(radius)
       val pl = Literal(planar)
-      // the distance expansion (dwithin) applies to the RIGHT side only:
-      // the pair then meets at a cell of env(l) intersect expandedEnv(r)
-      def hugeOfL(g: Expression) =
-        udf(hugeFn, BooleanType, Seq(g, Literal(res), maxCells), "graft_huge")
-      def hugeOfR(g: Expression) =
-        udf(hugeExpFn, BooleanType, Seq(g, Literal(res), maxCells, rad, pl), "graft_huge_r")
+      // fused native routing expression (graft.functions.CoverHugeWkb):
+      // ONE WKB parse per evaluation emits (huge flag, envelope cover).
+      // The distance expansion (dwithin) applies to the RIGHT side only:
+      // the pair then meets at a cell of env(l) intersect expandedEnv(r).
+      def chOfL(g: Expression) = graft.functions.CoverHugeWkb(
+        g, Literal(res), maxCells, Literal(0.0), Literal(false))
+      def chOfR(g: Expression) = graft.functions.CoverHugeWkb(
+        g, Literal(res), maxCells, rad, pl)
+      def hugeOfL(g: Expression) = GetStructField(chOfL(g), 0, Some("huge"))
+      def hugeOfR(g: Expression) = GetStructField(chOfR(g), 0, Some("huge"))
       val outAttrs = left.output ++ right.output
 
-      // grid branch: small x small through the cell equi-join
-      val smallL = Filter(Not(hugeOfL(lg)), left)
-      val smallR = Filter(Not(hugeOfR(rg)), right)
-      val lCover = udf(coverFn, ArrayType(LongType, containsNull = false),
-        Seq(lg, Literal(res), maxCells), "graft_cover")
-      val rCover = udf(coverExpFn, ArrayType(LongType, containsNull = false),
-        Seq(rg, Literal(res), maxCells, rad, pl), "graft_cover_r")
+      // grid refine: when the user predicate is plain st_intersects, swap
+      // the boxed ScalaUDF for the native prepared-geometry expression —
+      // prep side = the repeated/broadcast side of each branch
+      def refined(prepRight: Boolean): Expression =
+        if (!pred.udfName.exists(_.equalsIgnoreCase("st_intersects"))) cond
+        else splitConjuncts(cond).map { c =>
+          if (c fastEquals pred) {
+            if (prepRight) graft.functions.IntersectsWkb(lg, rg): Expression
+            else graft.functions.IntersectsWkb(rg, lg): Expression
+          } else c
+        }.reduce(And)
+
+      // grid branch through the cell equi-join: a huge row's fused cover
+      // is EMPTY, so the non-outer Generate drops it with no extra filter
       val lCell = AttributeReference("__graft_lcell", LongType, nullable = true)()
       val rCell = AttributeReference("__graft_rcell", LongType, nullable = true)()
-      val genL = Generate(Explode(lCover), Nil, outer = false, None, Seq(lCell), smallL)
-      val genR = Generate(Explode(rCover), Nil, outer = false, None, Seq(rCell), smallR)
-      val owner = udf(ownerExpFn, LongType, Seq(lg, rg, Literal(res), rad, pl), "graft_owner")
-      val newCond = And(And(EqualTo(lCell, rCell), cond), EqualTo(lCell, owner))
+      val genL = Generate(Explode(GetStructField(chOfL(lg), 1, Some("cells"))),
+        Nil, outer = false, None, Seq(lCell), left)
+      val genR = Generate(Explode(GetStructField(chOfR(rg), 1, Some("cells"))),
+        Nil, outer = false, None, Seq(rCell), right)
+      val owner = graft.functions.OwnerCellExpWkb(lg, rg, Literal(res), rad, pl)
+      val newCond = And(And(EqualTo(lCell, rCell), refined(prepRight = true)), EqualTo(lCell, owner))
       val grid = Project(outAttrs, Join(genL, genR, Inner, Some(newCond), hint))
 
       // huge branches: exact-predicate joins with the rare oversized rows
@@ -193,14 +140,16 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
       val bcRight = JoinHint(None, Some(HintInfo(Some(BROADCAST))))
       val bcLeft = JoinHint(Some(HintInfo(Some(BROADCAST))), None)
       val hugeR = Project(outAttrs,
-        Join(left, Filter(hugeOfR(rg), right), Inner, Some(cond), bcRight))
+        Join(left, Filter(hugeOfR(rg), right), Inner, Some(refined(prepRight = true)), bcRight))
       val hugeLvsSmallR = Project(outAttrs,
-        Join(Filter(hugeOfL(lg), left), Filter(Not(hugeOfR(rg)), right), Inner, Some(cond), bcLeft))
+        Join(Filter(hugeOfL(lg), left), Filter(Not(hugeOfR(rg)), right), Inner,
+          Some(refined(prepRight = false)), bcLeft))
       Union(Seq(grid, hugeR, hugeLvsSmallR))
   }
 
   private[plans] case class SpatialPredInfo(
-    leftGeom: Expression, rightGeom: Expression, radius: Double, planar: Boolean)
+    leftGeom: Expression, rightGeom: Expression, radius: Double, planar: Boolean,
+    pred: ScalaUDF)
 
   /** Extract the spatial predicate when the whole condition (or a
     * top-level conjunct) is a recognized spatial ScalaUDF with one side
@@ -220,7 +169,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     conjuncts.iterator.flatMap {
       case s: ScalaUDF if s.udfName.exists(GraftExtensions.isSpatialName) && s.children.size == 2 =>
         val Seq(a, b) = s.children
-        sides(a, b).map { case (l, r) => SpatialPredInfo(l, r, 0.0, planar = false) }
+        sides(a, b).map { case (l, r) => SpatialPredInfo(l, r, 0.0, planar = false, s) }
       case s: ScalaUDF if s.children.size == 3 &&
           s.udfName.exists(n => n.equalsIgnoreCase("st_dwithin") ||
             n.equalsIgnoreCase("st_dwithinPlanar")) && s.children(2).foldable =>
@@ -232,7 +181,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
         }
         radius match {
           case Some(r) if r > 0 =>
-            sides(a, b).map { case (l, rr) => SpatialPredInfo(l, rr, r, planar) }
+            sides(a, b).map { case (l, rr) => SpatialPredInfo(l, rr, r, planar, s) }
           case _ => None
         }
       case _ => None

@@ -234,6 +234,36 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(fast == brute && brute.size == 14)
   }
 
+  test("kNN many-query regime: 10^4 query points, DataFrame state (no IN-list), " +
+    "few candidate passes, matches brute force") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val pts = (0 until 5000).map(i => (i.toLong, rnd.nextDouble() * 60 - 30, rnd.nextDouble() * 60 - 30))
+      .toDF("id", "lon", "lat")
+    val queries = (0 until 10000)
+      .map(i => (i.toLong, rnd.nextDouble() * 50 - 25, rnd.nextDouble() * 50 - 25))
+      .toDF("qid", "qlon", "qlat")
+    val fastDf = KnnJoin(spark, pts, "lon", "lat", queries, "qid", "qlon", "qlat",
+      k = 3, res = 5, metric = "planar", tieBreakCols = Seq("id"))
+    // the growth loop keeps per-query state as a DataFrame: the final
+    // plan must not carry a literal qid IN-list
+    val inLists = fastDf.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In => i
+        case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+      })
+    }.flatten
+    assert(inLists.isEmpty, s"driver IN-list leaked into the kNN plan: $inLists")
+    val fast = fastDf.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(KnnJoin.lastGrowthRounds <= 3,
+      s"density seeding should resolve dense data in few passes, took ${KnnJoin.lastGrowthRounds}")
+    val brute = KnnJoin.bruteForce(pts, "lon", "lat", queries, "qid", "qlon", "qlat",
+        k = 3, metric = "planar")
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute && brute.size == 30000)
+  }
+
   test("tile assignment: adaptive resolution follows the XZ size rule") {
     ready
     import spark.implicits._

@@ -276,6 +276,43 @@ class ExtensionsSpec extends AnyFunSuite {
       s"native refine missing from plan:\n${plan.take(2000)}")
   }
 
+  test("join routing is UDF-free: fused CoverHugeWkb + native refine everywhere " +
+    "(no ScalaUDF survives the st_intersects join rewrite)") {
+    mkTables()
+    val q = spark.sql(
+      "SELECT p_id, z_id FROM pts JOIN polys ON st_intersects(p_geom, z_geom)")
+    val optimized = q.queryExecution.optimizedPlan
+    val udfs = optimized.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.ScalaUDF => s.udfName.getOrElse("?")
+      })
+    }.flatten
+    assert(udfs.isEmpty, s"ScalaUDFs left in the rewritten join plan: $udfs")
+    val planStr = optimized.toString
+    assert(planStr.contains("coverhugewkb") || planStr.contains("CoverHugeWkb") ||
+      planStr.toLowerCase.contains("cover_huge") || planStr.contains("huge"),
+      s"fused routing expression missing:\n${planStr.take(1500)}")
+    // the DataFrame-API operator is equally UDF-free on the extent path
+    val a = spark.sql("SELECT z_id AS a_id, z_geom AS a_geom FROM polys")
+    val b = spark.sql("SELECT z_id AS b_id, z_geom AS b_geom FROM polys")
+    val op = graft.operators.SpatialJoin.intersects(a, "a_geom", b, "b_geom", res = 6)
+    val opUdfs = op.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.ScalaUDF => s.udfName.getOrElse("?")
+      })
+    }.flatten
+    assert(opUdfs.isEmpty, s"ScalaUDFs left in the operator plan: $opUdfs")
+    // TileAssign's adaptive res is native too
+    val t = graft.operators.TileAssign.adaptive(a, "a_geom", minRes = 2, maxRes = 8)
+    val tUdfs = t.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+          s.udfName.getOrElse("?")
+      })
+    }.flatten
+    assert(!tUdfs.exists(_.contains("adaptive")), s"adaptiveRes still a UDF: $tUdfs")
+  }
+
   test("constant st_* expressions fold to literals at plan time") {
     mkTables()
     val q = spark.sql(
