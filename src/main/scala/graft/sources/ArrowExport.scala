@@ -6,11 +6,13 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
-import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema}
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, count, desc, lit}
 import org.apache.spark.sql.types._
 
 /**
@@ -51,9 +53,33 @@ object ArrowExport {
   def arrowSchema(schema: StructType): Schema =
     new Schema(schema.fields.map(arrowField).toSeq.asJava)
 
-  /** Write the DataFrame as a directory of Arrow IPC files. */
-  def write(df: DataFrame, path: String, batchRows: Int = 4096): Unit = {
+  /**
+   * Write the DataFrame as a directory of Arrow IPC files.
+   *
+   * `dictColumns` requests dictionary encoding for string columns — the
+   * analog of the reference's TopK-seeded dictionaries (ArrowScan
+   * .scala:115, `geomesa.arrow.dictionary.top` = 1000): a GLOBAL
+   * dictionary (shared ids across every file/batch, ordered by
+   * frequency desc then value — the TopK order) is computed in one
+   * aggregation pass and broadcast to the writers. A requested column
+   * whose cardinality exceeds `maxDictSize` falls back to plain UTF8
+   * (encoding stays lossless); the returned set names the columns
+   * actually dictionary-encoded.
+   */
+  def write(df: DataFrame, path: String, batchRows: Int = 4096,
+            dictColumns: Seq[String] = Nil, maxDictSize: Int = 1000): Set[String] = {
     val sparkSchema = df.schema
+    // global dictionaries (small by construction: <= maxDictSize values)
+    val dicts: Map[String, Array[String]] = dictColumns.flatMap { c =>
+      require(sparkSchema(c).dataType == StringType, s"dictionary column $c must be string")
+      val top = df.where(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .orderBy(desc("__n"), col(c)).limit(maxDictSize + 1)
+        .collect().map(_.getString(0))
+      if (top.length > maxDictSize) None else Some(c -> top)
+    }.toMap
+    val dictIds: Map[String, Long] =
+      dicts.keys.toSeq.sorted.zipWithIndex.map { case (c, i) => c -> i.toLong }.toMap
+
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val conf = new Configuration()
       val dir = new Path(path)
@@ -68,12 +94,32 @@ object ArrowExport {
       val tmpPath = new Path(dir, f".part-$pid%05d-$attempt.arrow.tmp")
       val out = fs.create(tmpPath, true)
       val allocator = new RootAllocator(Long.MaxValue)
-      val root = VectorSchemaRoot.create(arrowSchema(sparkSchema), allocator)
-      val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
+
+      // dictionary-encoded fields carry int32 indices; the dictionary
+      // vectors are registered with the provider and written once per file
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val lookups = scala.collection.mutable.Map.empty[Int, Map[String, Int]]
+      val fieldsArrow = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+        dicts.get(f.name) match {
+          case Some(values) =>
+            val enc = new DictionaryEncoding(dictIds(f.name), false, new ArrowType.Int(32, true))
+            val dictVec = new VarCharVector(s"${f.name}_dict", allocator)
+            dictVec.allocateNew(values.length)
+            values.zipWithIndex.foreach { case (s, j) =>
+              dictVec.setSafe(j, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            dictVec.setValueCount(values.length)
+            provider.put(new Dictionary(dictVec, enc))
+            lookups(i) = values.zipWithIndex.toMap
+            new Field(f.name, new FieldType(f.nullable, new ArrowType.Int(32, true), enc), null)
+          case None => arrowField(f)
+        }
+      }
+      val root = VectorSchemaRoot.create(new Schema(fieldsArrow.toSeq.asJava), allocator)
+      val writer = new ArrowFileWriter(root, provider, Channels.newChannel(out))
       writer.start()
       try {
         val fields = sparkSchema.fields
-        var batch = 0
         while (it.hasNext) {
           root.allocateNew()
           var r = 0
@@ -83,17 +129,21 @@ object ArrowExport {
             while (c < fields.length) {
               val v = root.getVector(c)
               if (row.isNullAt(c)) setNull(v, r)
-              else setValue(v, r, row, c, fields(c).dataType)
+              else lookups.get(c) match {
+                case Some(dict) => v.asInstanceOf[IntVector].setSafe(r, dict(row.getString(c)))
+                case None => setValue(v, r, row, c, fields(c).dataType)
+              }
               c += 1
             }
             r += 1
           }
           root.setRowCount(r)
           writer.writeBatch()
-          batch += 1
         }
       } finally {
-        writer.end(); writer.close(); root.close(); allocator.close(); out.close()
+        writer.end(); writer.close(); root.close()
+        provider.getDictionaryIds.asScala.foreach(id => provider.lookup(id).getVector.close())
+        allocator.close(); out.close()
       }
       // first committer wins; a losing attempt cleans up its temp file
       if (fs.exists(finalPath) || !fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
@@ -101,6 +151,7 @@ object ArrowExport {
     }.count() // force the write job
     val fs = new Path(path).getFileSystem(new Configuration())
     fs.create(new Path(path, "_SUCCESS"), true).close()
+    dicts.keySet
   }
 
   private def setNull(v: FieldVector, r: Int): Unit = v match {
@@ -156,7 +207,17 @@ object ArrowExport {
           var r = 0
           while (r < n) {
             val vals = (0 until root.getFieldVectors.size()).map { c =>
-              getValue(root.getVector(c), r)
+              val v = root.getVector(c)
+              val enc = v.getField.getDictionary
+              if (enc == null) getValue(v, r)
+              else if (v.isNull(r)) null
+              else {
+                // dictionary-encoded column: index -> dictionary value
+                val dictVec = reader.getDictionaryVectors.get(enc.getId)
+                  .getVector.asInstanceOf[VarCharVector]
+                new String(dictVec.get(v.asInstanceOf[IntVector].get(r)),
+                  java.nio.charset.StandardCharsets.UTF_8)
+              }
             }
             out += Row.fromSeq(vals)
             r += 1

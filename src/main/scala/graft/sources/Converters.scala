@@ -55,7 +55,9 @@ object Converters {
 
   private def extract(line: Column, f: Field, delimiter: String): Column = {
     val raw = f.spec match {
-      case Col(i) => element_at(split(line, java.util.regex.Pattern.quote(delimiter)), i + 1)
+      // try_element_at: a line with too few fields is a parse error to
+      // skip (null), not an ANSI INVALID_ARRAY_INDEX job failure
+      case Col(i) => try_element_at(split(line, java.util.regex.Pattern.quote(delimiter)), lit(i + 1))
       case FixedWidth(start, len) => trim(substring(line, start + 1, len))
       case JsonPath(p) => get_json_object(line, p)
       case XPath(p) => xpathUdf(line, lit(p))
@@ -88,6 +90,17 @@ object Converters {
                delimiter: String = ",",
                lonField: Option[String] = None, latField: Option[String] = None): DataFrame =
     convert(spark.read.text(path), "value", fields, delimiter, lonField, latField)
+
+  /** Streaming entry point — the StreamDataStore analog (the reference's
+    * generic stream source runs a converter over an arriving feed;
+    * geomesa-stream): the SAME declarative field specs over
+    * `readStream.text`, so a delimited/json/fixed-width line feed parses
+    * inside a Structured Streaming scan and can flow straight into
+    * ChangelogStream.materialize (demo: ChangelogStreamSpec). */
+  def fromTextStream(spark: SparkSession, path: String, fields: Seq[Field],
+                     delimiter: String = ",",
+                     lonField: Option[String] = None, latField: Option[String] = None): DataFrame =
+    convert(spark.readStream.text(path), "value", fields, delimiter, lonField, latField)
 
   /**
    * Composite converter: each route is (predicate on the raw line,

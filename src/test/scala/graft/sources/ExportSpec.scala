@@ -63,6 +63,40 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     assert(a == b && a.size == 3)
   }
 
+  test("Arrow dictionary encoding: global TopK-ordered dictionary, pyarrow-readable") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, Seq("png", "jpg", "webp")(i % 3), i * 1.5))
+      .toDF("id", "fmt", "v").repartition(2)
+    val dir = tmp() + "/arrowdict"
+    val encoded = ArrowExport.write(df, dir, batchRows = 64, dictColumns = Seq("fmt"))
+    assert(encoded == Set("fmt"))
+    // JVM read decodes the dictionary back to strings
+    val back = ArrowExport.read(spark, dir, df.schema)
+    assert(back.groupBy("fmt").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("png" -> 100L, "jpg" -> 100L, "webp" -> 100L))
+    // high-cardinality request falls back to plain UTF8 (lossless)
+    val dir2 = tmp() + "/arrowdict2"
+    val wide = (0 until 50).map(i => (i.toLong, s"val_$i")).toDF("id", "s")
+    assert(ArrowExport.write(wide, dir2, dictColumns = Seq("s"), maxDictSize = 10).isEmpty)
+    assert(ArrowExport.read(spark, dir2, wide.schema).count() == 50)
+    // pyarrow (driver-side tooling) must see a dictionary-typed column;
+    // skipped when pyarrow is not importable in this environment
+    val probe = scala.sys.process.Process(Seq("python3", "-c", "import pyarrow")).!
+    if (probe == 0) {
+      val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+      val py =
+        s"""import pyarrow.ipc as ipc
+           |t = ipc.open_file('${f.getAbsolutePath}').read_all()
+           |assert str(t.schema.field('fmt').type).startswith('dictionary'), t.schema
+           |assert t.column('fmt').to_pylist().count('png') > 0
+           |print('PYARROW_OK')""".stripMargin
+      val outBuf = new StringBuilder
+      val rc = scala.sys.process.Process(Seq("python3", "-c", py))
+        .!(scala.sys.process.ProcessLogger(l => outBuf.append(l), l => outBuf.append(l)))
+      assert(rc == 0 && outBuf.toString.contains("PYARROW_OK"), s"pyarrow check failed: $outBuf")
+    } else cancel("pyarrow not available in this environment")
+  }
+
   test("Shapefile export: .shp/.shx/.dbf parse back per the ESRI spec") {
     StFunctions.register(spark)
     import spark.implicits._

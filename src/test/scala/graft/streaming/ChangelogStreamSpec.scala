@@ -118,4 +118,49 @@ class ChangelogStreamSpec extends AnyFunSuite with SparkTest {
       assert(merged == Map("a" -> (9.0, 9.0), "c" -> (3.0, 3.0), "d" -> (4.0, 4.0)))
     } finally q.stop()
   }
+
+  test("generic stream source (StreamDataStore analog): delimited lines arrive " +
+    "as files, a Converter parses them in-stream, the changelog materializes") {
+    import spark.implicits._
+    import graft.sources.Converters
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve(name), // atomic visibility
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    writeBatch("b0.csv", Seq(
+      s"upsert|${ts(0)}|a|1.5|2.5",
+      s"upsert|${ts(1)}|b|3.0|4.0",
+      "garbage line with no delimiters")) // parse-error skip mode
+    val fields = Seq(
+      Converters.Field("kind", Converters.Col(0)),
+      Converters.Field("ts", Converters.Col(1), castTo = "timestamp"),
+      Converters.Field("id", Converters.Col(2)),
+      Converters.Field("lon", Converters.Col(3), castTo = "double"),
+      Converters.Field("lat", Converters.Col(4), castTo = "double"))
+    val parsed = Converters.fromTextStream(spark, dir.toString, fields, delimiter = "|")
+    assert(parsed.isStreaming, "converter must run inside the streaming scan")
+    val events = parsed
+      .where($"kind".isNotNull && $"ts".isNotNull && $"id".isNotNull)
+      .withColumn("attrs", org.apache.spark.sql.functions.expr("map()"))
+      .selectExpr("kind", "ts", "id", "lon", "lat",
+        "CAST(attrs AS MAP<STRING,STRING>) AS attrs")
+      .as[GeoEvent]
+      .withWatermark("ts", "0 seconds")
+    val changes = ChangelogStream.materialize(spark, events.as[GeoEvent], ttlMs = 60 * 60000L)
+    val q = changes.writeStream.format("memory").queryName("conv_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b1.csv", Seq(s"delete|${ts(2)}|a|0.0|0.0"))
+      q.processAllAvailable()
+      val out = spark.sql("select id, op from conv_stream").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(out.count(_ == ("a", "upsert")) == 1)
+      assert(out.count(_ == ("b", "upsert")) == 1)
+      assert(out.count(_ == ("a", "delete")) == 1)
+    } finally q.stop()
+  }
 }
