@@ -1,0 +1,100 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Config-driven converter definitions — the surface analog of
+ * geomesa-convert's config-defined converters (geomesa-convert/README
+ * .md:1-5: a converter is DATA, loaded from config, not code). The
+ * reference parses HOCON; this parses the JSON subset of HOCON (every
+ * JSON document is valid HOCON) with Spark's bundled Jackson —
+ * HOCON-only sugar (substitutions, includes, unquoted keys) is out of
+ * scope and recorded in SURVEY §8. The parsed config compiles to the
+ * same `Converters.Field` specs the programmatic API uses, so the
+ * execution path (codegen column extraction) is identical.
+ *
+ * Config shape:
+ * {{{
+ * { "type": "delimited",            // delimited | fixed-width | json | xml | composite
+ *   "delimiter": "|",               // delimited only
+ *   "fields": [
+ *     {"name": "id",  "col": 0, "type": "bigint"},
+ *     {"name": "tag", "fixed": {"start": 0, "len": 5}},
+ *     {"name": "k",   "json-path": "$.props.k"},
+ *     {"name": "x",   "xpath": "/e/@x", "type": "double"}
+ *   ],
+ *   "lon-field": "lon", "lat-field": "lat",   // optional geom derivation
+ *   "routes": [                                // composite only
+ *     {"when-matches": "^\\{", "converter": { ...nested config... }}
+ *   ] }
+ * }}}
+ */
+object ConverterConfig {
+
+  final case class Parsed(
+    typ: String,
+    delimiter: String,
+    fields: Seq[Converters.Field],
+    lonField: Option[String],
+    latField: Option[String],
+    routes: Seq[(String, Parsed)])
+
+  private val mapper = new ObjectMapper()
+
+  def parse(configJson: String): Parsed = parseNode(mapper.readTree(configJson))
+
+  private def parseNode(n: JsonNode): Parsed = {
+    val typ = Option(n.get("type")).map(_.asText).getOrElse(
+      throw new IllegalArgumentException("converter config needs a 'type'"))
+    require(Set("delimited", "fixed-width", "json", "xml", "composite")(typ),
+      s"unknown converter type '$typ'")
+    val delimiter = Option(n.get("delimiter")).map(_.asText).getOrElse(",")
+    val fields = Option(n.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { f =>
+      val name = Option(f.get("name")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException("field needs a 'name'"))
+      val castTo = Option(f.get("type")).map(_.asText).getOrElse("string")
+      val spec: Converters.Spec =
+        if (f.has("col")) Converters.Col(f.get("col").asInt)
+        else if (f.has("fixed")) Converters.FixedWidth(
+          f.get("fixed").get("start").asInt, f.get("fixed").get("len").asInt)
+        else if (f.has("json-path")) Converters.JsonPath(f.get("json-path").asText)
+        else if (f.has("xpath")) Converters.XPath(f.get("xpath").asText)
+        else throw new IllegalArgumentException(
+          s"field '$name' needs one of col | fixed | json-path | xpath")
+      Converters.Field(name, spec, castTo)
+    }
+    val routes = Option(n.get("routes")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { r =>
+      (r.get("when-matches").asText, parseNode(r.get("converter")))
+    }
+    if (typ == "composite") require(routes.nonEmpty, "composite converter needs 'routes'")
+    else require(fields.nonEmpty, s"converter type '$typ' needs 'fields'")
+    Parsed(typ, delimiter,
+      fields,
+      Option(n.get("lon-field")).map(_.asText),
+      Option(n.get("lat-field")).map(_.asText),
+      routes)
+  }
+
+  /** Apply a parsed config to a one-string-column DataFrame. */
+  def apply(df: DataFrame, lineCol: String, cfg: Parsed): DataFrame = cfg.typ match {
+    case "composite" =>
+      val rs: Seq[(Column => Column, Seq[Converters.Field], String)] =
+        cfg.routes.map { case (re, sub) =>
+          ((line: Column) => line.rlike(re), sub.fields, sub.delimiter)
+        }
+      Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
+    case _ =>
+      Converters.convert(df, lineCol, cfg.fields, cfg.delimiter, cfg.lonField, cfg.latField)
+  }
+
+  /** Config string + text path -> converted DataFrame (the CLI shape). */
+  def fromText(spark: SparkSession, path: String, configJson: String): DataFrame =
+    apply(spark.read.text(path), "value", parse(configJson))
+
+  /** Streaming variant over readStream.text. */
+  def fromTextStream(spark: SparkSession, path: String, configJson: String): DataFrame =
+    apply(spark.readStream.text(path), "value", parse(configJson))
+}

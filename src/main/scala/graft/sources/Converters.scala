@@ -62,7 +62,9 @@ object Converters {
       case JsonPath(p) => get_json_object(line, p)
       case XPath(p) => xpathUdf(line, lit(p))
     }
-    raw.cast(f.castTo).as(f.name)
+    // try_cast: a malformed value under ANSI mode is a parse error to
+    // skip (null), not a CAST_INVALID_INPUT job failure
+    raw.try_cast(f.castTo).as(f.name)
   }
 
   /**

@@ -75,4 +75,85 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(m == Map(1L -> 7.5, 2L -> 8.5, 3L -> 9.5))
   }
+
+  test("config-driven converter (JSON subset of HOCON) equals the programmatic spec") {
+    import spark.implicits._
+    val df = Seq("1|alice|10.5|45.25", "2|bob|-3.0|7.75", "short").toDF("value")
+    val cfg =
+      """{ "type": "delimited", "delimiter": "|",
+        |  "fields": [
+        |    {"name": "id",   "col": 0, "type": "bigint"},
+        |    {"name": "name", "col": 1},
+        |    {"name": "lon",  "col": 2, "type": "double"},
+        |    {"name": "lat",  "col": 3, "type": "double"}],
+        |  "lon-field": "lon", "lat-field": "lat" }""".stripMargin
+    val out = ConverterConfig(df, "value", ConverterConfig.parse(cfg))
+    val prog = Converters.convert(df, "value",
+      Seq(Field("id", Col(0), "bigint"), Field("name", Col(1)),
+        Field("lon", Col(2), "double"), Field("lat", Col(3), "double")),
+      delimiter = "|", lonField = Some("lon"), latField = Some("lat"))
+    def render(d: org.apache.spark.sql.DataFrame) =
+      d.selectExpr("id", "name", "st_asText(geom) AS wkt").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(render(out) == render(prog))
+    assert(out.where($"id".isNotNull).count() == 2)
+  }
+
+  test("config-driven composite converter routes by regex") {
+    import spark.implicits._
+    val df = Seq("""{"id": 1, "v": 7.5}""", "2,8.5", "noise").toDF("value")
+    val cfg =
+      """{ "type": "composite", "routes": [
+        |  {"when-matches": "^\\{",
+        |   "converter": {"type": "json", "fields": [
+        |     {"name": "id", "json-path": "$.id", "type": "bigint"},
+        |     {"name": "v",  "json-path": "$.v",  "type": "double"}]}},
+        |  {"when-matches": "^[0-9]+,",
+        |   "converter": {"type": "delimited", "delimiter": ",", "fields": [
+        |     {"name": "id", "col": 0, "type": "bigint"},
+        |     {"name": "v",  "col": 1, "type": "double"}]}}
+        |] }""".stripMargin
+    val out = ConverterConfig(df, "value", ConverterConfig.parse(cfg))
+    val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 7.5, 2L -> 8.5))
+  }
+
+  test("config parse errors are explicit") {
+    intercept[IllegalArgumentException](ConverterConfig.parse("""{"fields": []}"""))
+    intercept[IllegalArgumentException](ConverterConfig.parse("""{"type": "bogus"}"""))
+    intercept[IllegalArgumentException](
+      ConverterConfig.parse("""{"type": "delimited", "fields": [{"name": "x"}]}"""))
+    intercept[IllegalArgumentException](ConverterConfig.parse("""{"type": "composite"}"""))
+  }
+
+  test("Avro container export round-trips all supported types via the stock avro lib") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10, 1.5, 2.5f, "hello", true),
+      (2L, 20, -3.25, 0.5f, null.asInstanceOf[String], false)
+    ).toDF("id", "n", "d", "f", "s", "b")
+      .selectExpr("id", "n", "d", "f", "s", "b",
+        "st_makePoint(d, d) AS geom",
+        "CAST('2024-03-04 10:00:00.123456' AS TIMESTAMP) AS ts")
+      .repartition(2)
+    graft.functions.StFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString + "/avro"
+    AvroExport.write(df, dir)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length == 2)
+    // container magic "Obj\x01"
+    val head = java.nio.file.Files.readAllBytes(files.head.toPath).take(4)
+    assert(head.sameElements(Array[Byte]('O', 'b', 'j', 1)))
+    val back = AvroExport.read(spark, dir, df.schema)
+    assert(back.schema == df.schema)
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq; case x => x
+      }).toSet
+    assert(norm(back) == norm(df) && norm(df).size == 2)
+    // sub-millisecond timestamp precision survives
+    assert(back.selectExpr("CAST(ts AS STRING)").collect()
+      .forall(_.getString(0).endsWith("10:00:00.123456")))
+  }
 }
