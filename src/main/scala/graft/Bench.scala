@@ -31,8 +31,17 @@ object Bench {
     spark.range(1000).selectExpr("st_cellOfXY(CAST(id AS DOUBLE) / 100, 1.0, 9) AS c")
       .groupBy("c").count().count()
 
+    // one-time snapshot ingest for the index-layout queries, timed as its
+    // own line item so q_rule_scan/q_attr_scan/q_id_scan measure the scan
+    // path against a built index (the reference benchmarks against an
+    // already-ingested Accumulo table the same way)
+    val tIngest = System.nanoTime()
+    val ingestErr = try { SparkEntry.prepareTables(spark, sfDir); None }
+                    catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+    val ingest = ("ingest_tables", (System.nanoTime() - tIngest) / 1e9, ingestErr)
+
     // a failing query must not masquerade as a wall time: record ok/error
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ingest +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }

