@@ -675,15 +675,20 @@ object SparkEntry {
     }),
 
     "q_knn_ring" -> ((s, dir) => {
-      // the scalable kNN operator (cell-ring expansion, haversine —
-      // no DuckDB oracle because of libm trig; OperatorsSpec proves it
-      // equal to brute force)
+      // the scalable kNN operator (cell-ring expansion, haversine).
+      // Oracled since r3: the haversine is replicated term-for-term in
+      // DuckDB and the output rounded to millimeters — libm sin/cos
+      // differ by ~1 ulp (1e-16 relative), six orders of magnitude
+      // inside the rounding margin; event_id tiebreak matches the
+      // oracle's ORDER BY (no coordinate ties exist at sf0.01 anyway:
+      // all 10k event lats are distinct). OperatorsSpec additionally
+      // proves the operator equal to brute force.
       import s.implicits._
       StFunctions.register(s)
       val queries = Seq((0, 0.0, 0.0), (1, 100.05, 30.05), (2, -74.0, 40.7))
         .toDF("qid", "qx", "qy")
       operators.KnnJoin(s, pts(s, dir), "lon", "lat", queries, "qid", "qx", "qy",
-          k = 5, res = 6)
+          k = 5, res = 6, tieBreakCols = Seq("event_id"))
         .selectExpr("qid", "event_id", "round(dist, 3) AS dist_m")
     }),
 
@@ -878,6 +883,21 @@ object SparkEntry {
            |    sqrt((p.lon - q.qx)*(p.lon - q.qx) + (p.lat - q.qy)*(p.lat - q.qy)) AS dist
            |  FROM pts p CROSS JOIN qs q)
            |SELECT qid, event_id, round(dist, 6) AS dist FROM (
+           |  SELECT qid, event_id, dist, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, event_id) AS rn
+           |  FROM d) t WHERE rn <= 5""".stripMargin,
+
+      // GeomOps.haversineMeters replicated term-for-term (operand order
+      // included: dLat = qy - lat, cos(lat)*cos(qy)); millimeter rounding
+      // absorbs the ~1-ulp Spark/DuckDB libm divergence
+      "q_knn_ring" ->
+        s"""WITH $ptsCte,
+           |qs AS (SELECT * FROM (VALUES (0, 0.0, 0.0), (1, 100.05, 30.05), (2, -74.0, 40.7)) AS v(qid, qx, qy)),
+           |d AS (SELECT q.qid, p.event_id,
+           |    2 * 6371008.7714 * asin(least(1.0, sqrt(
+           |      pow(sin(radians(q.qy - p.lat) / 2), 2) +
+           |      cos(radians(p.lat)) * cos(radians(q.qy)) * pow(sin(radians(q.qx - p.lon) / 2), 2)))) AS dist
+           |  FROM pts p CROSS JOIN qs q)
+           |SELECT qid, event_id, round(dist, 3) AS dist_m FROM (
            |  SELECT qid, event_id, dist, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, event_id) AS rn
            |  FROM d) t WHERE rn <= 5""".stripMargin,
 

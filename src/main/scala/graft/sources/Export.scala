@@ -18,11 +18,16 @@ import graft.functions.StFunctions
  *    (Stats.binRecords does the packing projection)
  *  - Arrow: real IPC files via the Arrow Java libraries Spark ships —
  *    see ArrowExport (one .arrow file per partition, pyarrow-readable)
- *  - Shapefile: point .shp/.shx/.dbf from the published ESRI spec —
- *    see Shapefile (bounded interchange export, like the reference's
- *    tools module)
- *  - Avro: spark-avro is not on this classpath; Parquet/Arrow are the
- *    columnar exports here.
+ *  - Shapefile: .shp/.shx/.dbf (Point/MultiPoint/PolyLine/Polygon) from
+ *    the published ESRI spec — see Shapefile (bounded interchange
+ *    export, like the reference's tools module)
+ *  - Avro: Object Container Files via the stock Apache Avro library
+ *    (spark-avro is not on this classpath) — see AvroExport
+ *  - GML: WFS 1.0 / GML 2 FeatureCollection documents, one per
+ *    partition — see Gml
+ *  - Leaflet: self-contained index.html (GeoJSON layer + heat layer),
+ *    bounded visualization like the reference's LeafletMapExporter —
+ *    see Leaflet
  */
 object Export {
 

@@ -215,4 +215,64 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     assert(back.columns.toSeq == Seq("track_hash", "dtg_s", "lat", "lon"))
     assert(back.count() == 1)
   }
+
+  test("GML export writes well-formed WFS FeatureCollections parsed back by the JDK") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a&b<c>", "POINT (10 20)"),
+      (2L, null.asInstanceOf[String], "LINESTRING (0 0, 1 1, 2 0)"),
+      (3L, "poly", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+      (4L, "multi", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"))
+      .toDF("id", "name", "wkt")
+      .selectExpr("id", "name", "st_geomFromWKT(wkt) AS geom")
+      .repartition(2)
+    val dir = tmp() + "/gml"
+    Gml.write(df, "geom", dir, typeName = "obs", fidCol = Some("id"))
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gml"))
+    assert(files.length == 2)
+    // every part file is a standalone well-formed XML document
+    val docs = files.map { f =>
+      javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder().parse(f)
+    }
+    def all(tag: String): Seq[org.w3c.dom.Element] = docs.flatMap { d =>
+      val ns = d.getElementsByTagName(tag)
+      (0 until ns.getLength).map(ns.item(_).asInstanceOf[org.w3c.dom.Element])
+    }
+    assert(all("gml:featureMember").size == 4)
+    assert(all("graft:obs").map(_.getAttribute("fid")).toSet == Set("1", "2", "3", "4"))
+    // XML escaping round-trips through a real parser
+    assert(all("graft:name").map(_.getTextContent).toSet == Set("a&b<c>", "poly", "multi"))
+    // null attribute omitted: feature 2 has no name element
+    assert(all("graft:name").size == 3)
+    // geometry encodings: point coords, polygon inner ring, multipolygon members
+    assert(all("gml:Point").head.getTextContent.trim == "10.0,20.0")
+    assert(all("gml:innerBoundaryIs").size == 1)
+    assert(all("gml:polygonMember").size == 2)
+    val e = intercept[org.apache.spark.SparkException] {
+      Gml.write(df.selectExpr("id",
+        "st_geomFromWKT('GEOMETRYCOLLECTION (POINT (1 1))') AS geom"), "geom", tmp() + "/bad")
+    }
+    assert(e.getMessage.contains("unsupported geometry") ||
+      e.getCause != null && e.getCause.getMessage.contains("unsupported geometry"))
+  }
+
+  test("Leaflet export writes a bounded self-contained html map") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, 10.0, 20.0), (2L, 10.0, 20.0), (3L, -30.0, 40.0))
+      .toDF("id", "x", "y").selectExpr("id", "st_makePoint(x, y) AS geom")
+    val file = tmp() + "/index.html"
+    Leaflet.write(df, "geom", file)
+    val html = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(html.contains("L.geoJSON") && html.contains("L.heatLayer"))
+    // all three features embedded; duplicate coordinate gets max heat weight 1.0
+    assert("\"type\":\"Feature\"".r.findAllIn(html).size == 3)
+    assert(html.contains("[20.0,10.0,1.0]"))
+    // the cap guards the driver
+    val e = intercept[IllegalArgumentException](Leaflet.write(df, "geom", file, maxFeatures = 2))
+    assert(e.getMessage.contains("bounded"))
+  }
 }
