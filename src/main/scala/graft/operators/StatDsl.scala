@@ -93,7 +93,10 @@ object StatDsl {
           require(args.nonEmpty, "DescriptiveStats(a,b,...)"); DescriptiveSpec(args)
         case "Histogram" =>
           require(args.size == 4, "Histogram(attribute,bins,lower,upper)")
-          HistogramSpec(args(0), args(1).toInt, args(2).toDouble, args(3).toDouble)
+          val (bins, lo, hi) = (args(1).toInt, args(2).toDouble, args(3).toDouble)
+          require(bins > 0, s"Histogram bins must be positive, got $bins")
+          require(lo < hi, s"Histogram needs lower < upper, got [$lo, $hi)")
+          HistogramSpec(args(0), bins, lo, hi)
         case "Frequency" =>
           args.size match {
             case 2 => FrequencySpec(args(0), None, args(1).toInt)
@@ -216,6 +219,9 @@ object StatDsl {
 
   /** Parse a stat string and run it as one aggregation pass. */
   def parse(df: DataFrame, stat: String): DataFrame = parseSpecs(stat) match {
+    case Seq() =>
+      throw new IllegalArgumentException(
+        s"stat string '$stat' contains no stats — expected e.g. \"MinMax(a);Count()\"")
     case Seq(GroupBySpec(attr, nested)) =>
       val cs = columns(nested)
       df.groupBy(col(attr)).agg(cs.head, cs.tail: _*)

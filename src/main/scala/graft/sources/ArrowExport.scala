@@ -130,7 +130,17 @@ object ArrowExport {
               val v = root.getVector(c)
               if (row.isNullAt(c)) setNull(v, r)
               else lookups.get(c) match {
-                case Some(dict) => v.asInstanceOf[IntVector].setSafe(r, dict(row.getString(c)))
+                case Some(dict) =>
+                  val s = row.getString(c)
+                  // the dictionary was built in a separate driver pass; a
+                  // value appearing only now means the input is
+                  // non-deterministic between the two jobs — name it
+                  // instead of an opaque NoSuchElementException
+                  val code = dict.getOrElse(s, throw new IllegalStateException(
+                    s"ArrowExport: value '$s' in dictionary column '${fields(c).name}' was not " +
+                      "present when the dictionary was built — the input DataFrame is " +
+                      "non-deterministic across jobs; cache() it or drop the column from dictColumns"))
+                  v.asInstanceOf[IntVector].setSafe(r, code)
                 case None => setValue(v, r, row, c, fields(c).dataType)
               }
               c += 1

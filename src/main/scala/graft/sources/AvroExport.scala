@@ -51,6 +51,10 @@ object AvroExport {
 
   /** Write the DataFrame as a directory of Avro container files. */
   def write(df: DataFrame, path: String, codec: String = "deflate"): Unit = {
+    // validate on the driver: an unknown codec must fail before the job
+    // launches, not per-task through spark.task.maxFailures retries
+    require(codec == "deflate" || codec == "null",
+      s"unsupported avro codec '$codec' (supported: deflate, null)")
     val sparkSchema = df.schema
     val schemaJson = avroSchema(sparkSchema).toString // Schema is not serializable pre-1.9 style; ship JSON
     df.rdd.mapPartitionsWithIndex { (pid, it) =>

@@ -67,7 +67,14 @@ object ConverterConfig {
       Converters.Field(name, spec, castTo)
     }
     val routes = Option(n.get("routes")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { r =>
-      (r.get("when-matches").asText, parseNode(r.get("converter")))
+      val re = Option(r.get("when-matches")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException("composite route needs 'when-matches'"))
+      val sub = Option(r.get("converter")).map(parseNode).getOrElse(
+        throw new IllegalArgumentException("composite route needs a 'converter'"))
+      require(sub.typ != "composite", "composite routes cannot nest another composite")
+      require(sub.lonField.isEmpty && sub.latField.isEmpty,
+        "put 'lon-field'/'lat-field' on the top-level composite, not on a route")
+      (re, sub)
     }
     if (typ == "composite") require(routes.nonEmpty, "composite converter needs 'routes'")
     else require(fields.nonEmpty, s"converter type '$typ' needs 'fields'")

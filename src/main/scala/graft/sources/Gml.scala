@@ -108,7 +108,14 @@ object Gml {
     val fidIdx = fidCol.map(schema.fieldIndex)
     val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
       .map { case (f, i) => (f.name, i) }
-    require(typeName.matches("[A-Za-z_][A-Za-z0-9_.-]*"), s"invalid GML type name '$typeName'")
+    val XmlName = "[A-Za-z_][A-Za-z0-9_.-]*"
+    require(typeName.matches(XmlName), s"invalid GML type name '$typeName'")
+    // unaliased expressions produce column names like "round(d, 3)" which
+    // are not well-formed XML element names — fail here, not in a reader
+    (attrs.map(_._1) :+ geomCol).foreach { name =>
+      require(name.matches(XmlName),
+        s"column name '$name' is not a valid XML element name — alias it before GML export")
+    }
 
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val conf = new Configuration()

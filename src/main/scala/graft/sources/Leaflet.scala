@@ -28,7 +28,8 @@ object Leaflet {
 
   def write(df: DataFrame, geomCol: String, path: String, maxFeatures: Int = 10000): Unit = {
     val props = df.columns.filterNot(_ == geomCol)
-    val features = df.select(
+    val features = df.where(col(geomCol).isNotNull) // null geometries have no place on a map
+      .select(
         StFunctions.stAsGeoJSON(col(geomCol)).as("g"),
         to_json(struct(props.map(col): _*)).as("p"),
         StFunctions.stX(StFunctions.stCentroid(col(geomCol))).as("x"),
@@ -39,8 +40,11 @@ object Leaflet {
       s"Leaflet export is a bounded visualization format: result exceeds " +
         s"$maxFeatures features — aggregate or filter first (or raise maxFeatures)")
 
+    // JSON-in-<script>: '<' must be escaped or a string property containing
+    // "</script>" terminates the script element and injects markup
+    def inlineJson(s: String): String = s.replace("<", "\\u003c")
     val geojson = features.iterator.map { r =>
-      s"""{"type":"Feature","geometry":${r.getString(0)},"properties":${r.getString(1)}}"""
+      s"""{"type":"Feature","geometry":${inlineJson(r.getString(0))},"properties":${inlineJson(r.getString(1))}}"""
     }.mkString("[", ",\n", "]")
 
     // heat layer: weight = count per rounded coordinate, normalized to [0,1]

@@ -58,7 +58,10 @@ object Shapefile {
     val fieldDefs = attrs.map { f =>
       import org.apache.spark.sql.types._
       f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => (f.name.take(10), 'N', 18, 0)
+        // width 20 fits any Long incl. sign (ESRI allows N up to 33);
+        // integral values render from their exact decimal string, never
+        // through Double (2^53 cliff)
+        case ByteType | ShortType | IntegerType | LongType => (f.name.take(10), 'N', 20, 0)
         case _: NumericType => (f.name.take(10), 'N', 18, 6)
         case _ => (f.name.take(10), 'C', 64, 0)
       }
@@ -235,8 +238,16 @@ object Shapefile {
       val v = if (r.isNullAt(idx)) "" else r.get(idx).toString
       val s =
         if (kind == 'N') {
-          val num = if (v.isEmpty) "" else formatNumeric(v.toDouble, len, dec)
-          (" " * math.max(0, len - num.length)) + num // right-justified
+          // dec == 0 means an integral column: its decimal string is
+          // already exact and (at width 20) always fits — routing it
+          // through Double would corrupt values above 2^53
+          val num =
+            if (v.isEmpty) ""
+            else if (dec == 0) v
+            else formatNumeric(v.toDouble, len, dec)
+          require(num.length <= len,
+            s"dBASE 'N' value '$num' exceeds field width $len")
+          (" " * (len - num.length)) + num // right-justified
         } else v.padTo(len, ' ').take(len)
       rb.append(s)
       i += 1

@@ -156,9 +156,17 @@ object SpatialTable {
                       attrCol: String, value: Any, buckets: Int = 16): DataFrame = {
     val idx = spark.read.parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
     idx.where(col("attr_bucket") ===
-        pmod(xxhash64(lit(value)), lit(buckets)).cast("int"))
+        pmod(xxhash64(typedLit(idx, attrCol, value)), lit(buckets)).cast("int"))
       .where(col(attrCol) === lit(value))
   }
+
+  /** xxhash64 hashes by the literal's TYPE (an Int literal hashes
+    * differently from the Long column it targets), so the write-time
+    * bucket — computed from the column — only matches if the probe
+    * literal is cast to the column's exact dataType first. Without this,
+    * a caller passing `5` against a BIGINT id silently finds nothing. */
+  private def typedLit(idx: DataFrame, targetCol: String, value: Any) =
+    lit(value).cast(idx.schema(targetCol).dataType)
 
   def readAttributeRange(spark: SparkSession, root: String, snapshotId: String,
                          attrCol: String, lo: Any, hi: Any): DataFrame =
@@ -188,7 +196,7 @@ object SpatialTable {
     require(values.nonEmpty, "readByIds needs at least one id")
     val idx = spark.read.parquet(s"$root/index_$idCol/snapshot=$snapshotId")
     val pred = values.map { v =>
-      col("attr_bucket") === pmod(xxhash64(lit(v)), lit(buckets)).cast("int") &&
+      col("attr_bucket") === pmod(xxhash64(typedLit(idx, idCol, v)), lit(buckets)).cast("int") &&
         col(idCol) === lit(v)
     }.reduce(_ || _)
     idx.where(pred)
