@@ -85,6 +85,10 @@ class StatDslSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](StatDsl.parse(df, "MinMax(value"))
     intercept[IllegalArgumentException](StatDsl.parse(df, "Count(x)"))
     intercept[IllegalArgumentException](StatDsl.parse(df, "Frequency(name,week,7)"))
+    // empty stat string and degenerate histogram bounds fail loudly
+    intercept[IllegalArgumentException](StatDsl.parse(df, ""))
+    intercept[IllegalArgumentException](StatDsl.parse(df, "Histogram(value,0,0.0,8.0)"))
+    intercept[IllegalArgumentException](StatDsl.parse(df, "Histogram(value,4,8.0,8.0)"))
   }
 
   test("nested GroupBy stats can be map-valued (Enumeration per group)") {

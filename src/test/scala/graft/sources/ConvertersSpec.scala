@@ -124,6 +124,19 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](
       ConverterConfig.parse("""{"type": "delimited", "fields": [{"name": "x"}]}"""))
     intercept[IllegalArgumentException](ConverterConfig.parse("""{"type": "composite"}"""))
+    // composite route validation: missing pieces, nesting, misplaced geom fields
+    val leaf = """{"type": "delimited", "fields": [{"name": "x", "col": 0}]}"""
+    intercept[IllegalArgumentException](ConverterConfig.parse(
+      s"""{"type": "composite", "routes": [{"converter": $leaf}]}"""))
+    intercept[IllegalArgumentException](ConverterConfig.parse(
+      """{"type": "composite", "routes": [{"when-matches": "^a"}]}"""))
+    intercept[IllegalArgumentException](ConverterConfig.parse(
+      s"""{"type": "composite", "routes": [{"when-matches": "^a",
+         |  "converter": {"type": "composite", "routes": [{"when-matches": "^b", "converter": $leaf}]}}]}""".stripMargin))
+    intercept[IllegalArgumentException](ConverterConfig.parse(
+      """{"type": "composite", "routes": [{"when-matches": "^a",
+        |  "converter": {"type": "delimited", "lon-field": "x",
+        |                "fields": [{"name": "x", "col": 0}]}}]}""".stripMargin))
   }
 
   test("Avro container export round-trips all supported types via the stock avro lib") {

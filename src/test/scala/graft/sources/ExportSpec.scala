@@ -206,6 +206,43 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     assert(e2.getMessage.contains("mixed geometry"))
   }
 
+  test("Shapefile: integral dBASE columns are exact past 2^53 (no Double round-trip)") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val big = 9007199254740993L // 2^53 + 1: corrupted if formatted via Double
+    val df = Seq(("a", big), ("b", Long.MinValue)).toDF("name", "n")
+      .selectExpr("name", "n", "st_makePoint(1.0, 2.0) AS geom")
+    val prefix = tmp() + "/bigint"
+    Shapefile.write(df, "geom", prefix)
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dbf = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prefix + ".dbf"))
+    val db = ByteBuffer.wrap(dbf).order(ByteOrder.LITTLE_ENDIAN)
+    val headerSize = db.getShort(8)
+    val recSize = db.getShort(10)
+    val recs = (0 until 2).map(i => new String(dbf, headerSize + i * recSize, recSize, "ASCII"))
+    assert(recs.exists(_.contains("9007199254740993")), recs)
+    // Long.MinValue is exactly 20 chars — the widest value the field holds
+    assert(recs.exists(_.contains("-9223372036854775808")), recs)
+  }
+
+  test("GML export rejects column names that are not XML element names") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, 1.5)).toDF("id", "v")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.col("v"), 3),
+        org.apache.spark.sql.functions.expr("st_makePoint(v, v)").as("geom"))
+    val e = intercept[IllegalArgumentException](Gml.write(df, "geom", tmp() + "/badname"))
+    assert(e.getMessage.contains("XML element name"))
+  }
+
+  test("Avro export validates the codec on the driver before launching the job") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException](AvroExport.write(df, tmp() + "/av", codec = "snappy"))
+    assert(e.getMessage.contains("codec"))
+  }
+
   test("BIN export writes the packed 4-column layout") {
     import spark.implicits._
     val df = Seq(("t1", 1700000000000L, 1.5, 2.5)).toDF("track", "millis", "lon", "lat")
@@ -274,5 +311,23 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     // the cap guards the driver
     val e = intercept[IllegalArgumentException](Leaflet.write(df, "geom", file, maxFeatures = 2))
     assert(e.getMessage.contains("bounded"))
+  }
+
+  test("Leaflet: </script> in a property cannot terminate the inline script; null geoms dropped") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val payload = "</script><script>alert(1)"
+    val df = Seq((1L, Some(payload), Some(10.0)), (2L, Some("ok"), None))
+      .toDF("id", "note", "x")
+      .selectExpr("id", "note",
+        "CASE WHEN x IS NOT NULL THEN st_makePoint(x, x) END AS geom")
+    val file = tmp() + "/esc.html"
+    Leaflet.write(df, "geom", file)
+    val html = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!html.contains(payload), "raw </script> payload must not reach the document")
+    assert(html.contains("\\u003c/script"), "the '<' must be JSON-escaped instead")
+    // the null-geometry row is dropped rather than NPE-ing the export
+    assert("\"type\":\"Feature\"".r.findAllIn(html).size == 1)
   }
 }

@@ -121,6 +121,18 @@ class SpatialTableSpec extends AnyFunSuite with SparkTest {
     SpatialTable.writeIdIndex(spark, root, "s1", "image_id", buckets = 16)
   }
 
+  test("index probe with a differently-typed literal still hashes to the right bucket") {
+    // xxhash64 hashes by the literal's TYPE: probing an IntegerType
+    // column with a Long value must still find the write-time bucket
+    SpatialTable.writeAttributeIndex(spark, root, "s1", "w", buckets = 16)
+    val some = SpatialTable.read(spark, root, "s1").select("w").head.getInt(0)
+    val full = SpatialTable.read(spark, root, "s1").where(col("w") === some).count()
+    val viaLong = SpatialTable.readByAttribute(spark, root, "s1", "w", some.toLong, buckets = 16).count()
+    assert(viaLong == full && full > 0, s"full=$full viaLong=$viaLong")
+    val viaIds = SpatialTable.readByIds(spark, root, "s1", "w", Seq(some.toLong), buckets = 16).count()
+    assert(viaIds == full)
+  }
+
   test("bucketed co-located cell join: zero shuffle on either side, same answer") {
     import spark.implicits._
     def pts(seed: Int) = {
