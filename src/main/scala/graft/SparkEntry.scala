@@ -783,6 +783,44 @@ object SparkEntry {
         .where(col("rn") <= 10)
         .selectExpr("qid", "vec_id", "round(cos, 6) AS cos_sim")
     }),
+
+    "q_visibility" -> ((s, dir) => {
+      // row-level visibility security (geomesa-security
+      // VisibilityEvaluator + scan-time VisibilityFilter analog):
+      // per-row labels from a fixed policy set, scanned with auths
+      // {admin,user,alpha}; the cached-parse predicate pipelines inside
+      // the scan filter, so pruning/pushdown still apply
+      val labels = array(lit(""), lit("admin"), lit("user&system"),
+        lit("admin|user"), lit("secret&(alpha|beta)"), lit("user&(admin|ops)"))
+      val vis = t(s, dir, "events")
+        .withColumn("vis", element_at(labels, (pmod(col("event_id"), lit(6)) + 1).cast("int")))
+      graft.security.Visibility.filterAuthorized(vis, "vis", Seq("admin", "user", "alpha"))
+        .select(col("event_id"), col("vis"))
+    }),
+
+    "q_geojson_query" -> ((s, dir) => {
+      // geomesa-geojson analog: events serialized as line-delimited
+      // GeoJSON features, parsed back (st_geomFromGeoJSON exactly
+      // inverts st_asGeoJSON, so the lattice doubles round-trip
+      // bitwise), then filtered with a mongo-style query compiled to
+      // ONE Catalyst predicate (bbox + property equality + $gte)
+      StFunctions.register(s)
+      val lines = pts(s, dir)
+        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+        .selectExpr("""concat('{"type":"Feature","geometry":',
+          st_asGeoJSON(st_makePoint(lon, lat)),
+          ',"properties":',
+          to_json(named_struct('event_id', event_id, 'event_type', event_type, 'value', value)),
+          '}') AS value""")
+      val parsed = sources.GeoJsonQuery.parse(lines, "value", "geometry")
+      sources.GeoJsonQuery.query(parsed,
+        """{"geometry":{"$bbox":[-120.005,-60.005,100.005,80.005]},
+          |"event_type":"click","value":{"$gte":5}}""".stripMargin)
+        .select(
+          get_json_object(col("properties"), "$.event_id").cast("long").as("event_id"),
+          expr("CAST(round(st_x(geometry), 2) AS DOUBLE)").as("lon"),
+          expr("CAST(round(st_y(geometry), 2) AS DOUBLE)").as("lat"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1175,6 +1213,31 @@ object SparkEntry {
         """SELECT event_type, min(value) AS value_min, max(value) AS value_max,
           |  count(*) AS count
           |FROM events GROUP BY event_type""".stripMargin,
+
+      // the six planted labels are evaluated against auths
+      // {admin,user,alpha} by hand: '' and 'admin' and 'admin|user' and
+      // 'user&(admin|ops)' pass; 'user&system' (no system) and
+      // 'secret&(alpha|beta)' (no secret) do not
+      "q_visibility" ->
+        """WITH v AS (SELECT event_id,
+          |    (['', 'admin', 'user&system', 'admin|user',
+          |      'secret&(alpha|beta)', 'user&(admin|ops)'])[(event_id % 6) + 1] AS vis
+          |  FROM events)
+          |SELECT event_id, vis FROM v
+          |WHERE vis IN ('', 'admin', 'admin|user', 'user&(admin|ops)')""".stripMargin,
+
+      // GeoJSON round-trip is bitwise on the lattice doubles, so the
+      // oracle filters the source columns directly; bbox bounds sit at
+      // .005 offsets no lattice value can hit
+      "q_geojson_query" ->
+        s"""WITH v AS (SELECT event_id, $LonExpr AS lon, $LatExpr AS lat,
+           |    value, event_type FROM events)
+           |SELECT event_id, CAST(round(lon, 2) AS DOUBLE) AS lon,
+           |  CAST(round(lat, 2) AS DOUBLE) AS lat
+           |FROM v
+           |WHERE lon >= -120.005 AND lon <= 100.005
+           |  AND lat >= -60.005 AND lat <= 80.005
+           |  AND event_type = 'click' AND value >= 5""".stripMargin,
 
       // full-semantics replications (splitmix64 + Java hashCode in SQL —
       // see OracleGen)

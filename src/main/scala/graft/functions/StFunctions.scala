@@ -33,6 +33,7 @@ object StFunctions {
   // -- constructors -----------------------------------------------------
   val stGeomFromWKT: UserDefinedFunction = udf((s: String) => nn(s)(x => w(G.fromWkt(x))).asInstanceOf[Array[Byte]])
   val stGeomFromWKB: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(g(x))).asInstanceOf[Array[Byte]])
+  val stGeomFromGeoJSON: UserDefinedFunction = udf((s: String) => nn(s)(x => w(graft.geom.GeoJson.read(x))).asInstanceOf[Array[Byte]])
   val stMakePoint: UserDefinedFunction = udf((x: Double, y: Double) => w(G.point(x, y)))
   val stMakePointM: UserDefinedFunction = udf((x: Double, y: Double, m: Double) => w(G.point(x, y)))
   val stMakeBBOX: UserDefinedFunction = udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) => w(G.bbox(xmin, ymin, xmax, ymax)))
@@ -223,6 +224,7 @@ object StFunctions {
   val all: Seq[(String, UserDefinedFunction)] = Seq(
     "st_geomFromWKT" -> stGeomFromWKT, "st_geomFromText" -> stGeomFromWKT,
     "st_geometryFromText" -> stGeomFromWKT, "st_geomFromWKB" -> stGeomFromWKB,
+    "st_geomFromGeoJSON" -> stGeomFromGeoJSON,
     "st_makePoint" -> stMakePoint, "st_point" -> stMakePoint, "st_makePointM" -> stMakePointM,
     "st_makeBBOX" -> stMakeBBOX, "st_makeBox2D" -> stMakeBox2D,
     "st_makePolygon" -> stMakePolygon, "st_polygon" -> stCastToPolygon,

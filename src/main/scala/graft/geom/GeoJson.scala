@@ -2,8 +2,45 @@ package graft.geom
 
 import org.locationtech.jts.geom._
 
-/** Minimal GeoJSON geometry serializer (RFC 7946) for st_asGeoJSON. */
+/** Minimal GeoJSON geometry serializer + parser (RFC 7946) for
+  * st_asGeoJSON / st_geomFromGeoJSON. The parser is the exact inverse of
+  * `write` (JTS ships no GeoJSON IO on this classpath). */
 object GeoJson {
+
+  private val gf = new GeometryFactory()
+
+  /** Parse an RFC 7946 geometry object into JTS. */
+  def read(json: String): Geometry =
+    fromNode(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+
+  private def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Geometry = {
+    require(n != null && n.isObject, s"not a GeoJSON geometry object: $n")
+    val typ = Option(n.get("type")).map(_.asText).getOrElse(
+      throw new IllegalArgumentException("GeoJSON geometry needs a 'type'"))
+    def cs = n.get("coordinates")
+    def coord(c: com.fasterxml.jackson.databind.JsonNode) =
+      new Coordinate(c.get(0).asDouble, c.get(1).asDouble)
+    def line(c: com.fasterxml.jackson.databind.JsonNode): Array[Coordinate] =
+      (0 until c.size).map(i => coord(c.get(i))).toArray
+    def poly(c: com.fasterxml.jackson.databind.JsonNode): Polygon = {
+      val rings = (0 until c.size).map(i => gf.createLinearRing(line(c.get(i))))
+      gf.createPolygon(rings.head, rings.tail.toArray)
+    }
+    typ match {
+      case "Point" => gf.createPoint(coord(cs))
+      case "LineString" => gf.createLineString(line(cs))
+      case "Polygon" => poly(cs)
+      case "MultiPoint" => gf.createMultiPointFromCoords(line(cs))
+      case "MultiLineString" =>
+        gf.createMultiLineString((0 until cs.size).map(i => gf.createLineString(line(cs.get(i)))).toArray)
+      case "MultiPolygon" =>
+        gf.createMultiPolygon((0 until cs.size).map(i => poly(cs.get(i))).toArray)
+      case "GeometryCollection" =>
+        val gs = n.get("geometries")
+        gf.createGeometryCollection((0 until gs.size).map(i => fromNode(gs.get(i))).toArray)
+      case other => throw new IllegalArgumentException(s"unsupported GeoJSON type: $other")
+    }
+  }
 
   def write(g: Geometry): String = g match {
     case p: Point => s"""{"type":"Point","coordinates":${coord(p.getCoordinate)}}"""

@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTest
+import graft.functions.StFunctions
+
+/** GeoJSON store + mongo-style query language — semantics cases from the
+  * reference's GeoJsonQueryTest / GeoJsonGtIndexTest shapes
+  * (geomesa-geojson-api). */
+class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_geojson").toString
+
+  test("geometry parser inverts the writer for every geometry type") {
+    import graft.geom.{GeoJson, GeomOps => G}
+    val wkts = Seq(
+      "POINT (10 20)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    for (wkt <- wkts) {
+      val g = G.fromWkt(wkt)
+      val back = GeoJson.read(GeoJson.write(g))
+      assert(back.equalsExact(g), s"round-trip failed for $wkt")
+    }
+    intercept[IllegalArgumentException](GeoJson.read("""{"type":"Nope","coordinates":[]}"""))
+    intercept[IllegalArgumentException](GeoJson.read("""[1,2]"""))
+  }
+
+  test("Export.geoJson -> GeoJsonQuery.read round-trips features") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0, 20.0), (2L, "b", -30.0, 40.0))
+      .toDF("id", "name", "x", "y")
+      .selectExpr("id", "name", "st_makePoint(x, y) AS geom")
+    val dir = tmp() + "/docs"
+    Export.geoJson(df, "geom", dir)
+    val back = GeoJsonQuery.read(spark, dir)
+    assert(back.columns.toSeq == Seq("geometry", "properties"))
+    val rows = back.select(
+      get_json_object(col("properties"), "$.id").cast("long").as("id"),
+      StFunctions.stX(col("geometry")).as("x")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows == Map(1L -> 10.0, 2L -> -30.0))
+  }
+
+  test("query language: equality, comparisons, $or, implicit and") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click", 5.0, 10.0, 20.0), (2L, "view", 15.0, 30.0, 40.0),
+      (3L, "click", 25.0, 50.0, 60.0), (4L, "error", 7.5, 10.0, 21.0))
+      .toDF("id", "kind", "score", "x", "y")
+      .selectExpr("id", "kind", "score", "st_makePoint(x, y) AS geom")
+    val dir = tmp() + "/q"
+    Export.geoJson(docs, "geom", dir)
+    val parsed = GeoJsonQuery.read(spark, dir).cache()
+    def ids(q: String): Seq[Long] =
+      GeoJsonQuery.query(parsed, q)
+        .select(get_json_object(col("properties"), "$.id").cast("long"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids("{}") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("""{"kind":"click"}""") == Seq(1L, 3L))
+    assert(ids("""{"score":{"$lt":10}}""") == Seq(1L, 4L))
+    assert(ids("""{"score":{"$gte":15}}""") == Seq(2L, 3L))
+    assert(ids("""{"kind":"click","score":{"$gt":10}}""") == Seq(3L))
+    assert(ids("""{"$or":[{"kind":"error"},{"score":{"$gt":20}}]}""") == Seq(3L, 4L))
+    // json-path property form, like the reference's checkJsonPaths
+    assert(ids("""{"$.kind":"view"}""") == Seq(2L))
+    intercept[IllegalArgumentException](GeoJsonQuery.compile("""{"score":{"$bogus":1}}"""))
+  }
+
+  test("query language: spatial predicates over the geometry member") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0), (3L, 50.0, 60.0))
+      .toDF("id", "x", "y").selectExpr("id", "st_makePoint(x, y) AS geom")
+    val dir = tmp() + "/sp"
+    Export.geoJson(docs, "geom", dir)
+    val parsed = GeoJsonQuery.read(spark, dir).cache()
+    def ids(q: String): Seq[Long] =
+      GeoJsonQuery.query(parsed, q)
+        .select(get_json_object(col("properties"), "$.id").cast("long"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids("""{"geometry":{"$bbox":[0,0,35,45]}}""") == Seq(1L, 2L))
+    assert(ids("""{"geometry":{"$intersects":{"$geometry":{"type":"Point","coordinates":[30,40]}}}}""") == Seq(2L))
+    assert(ids("""{"geometry":{"$within":{"$geometry":
+      {"type":"Polygon","coordinates":[[[5,15],[15,15],[15,25],[5,25],[5,15]]]}}}}""") == Seq(1L))
+    // $contains: row geometry contains the query geometry (points contain themselves)
+    assert(ids("""{"geometry":{"$contains":{"$geometry":{"type":"Point","coordinates":[50,60]}}}}""") == Seq(3L))
+    // $dwithin in kilometers: ~111 km per degree at the equator scale used here
+    assert(ids("""{"geometry":{"$dwithin":{"$geometry":{"type":"Point","coordinates":[10,20]},
+      "$dist":200,"$unit":"kilometers"}}}""") == Seq(1L))
+    intercept[IllegalArgumentException](
+      GeoJsonQuery.compile("""{"name":{"$bbox":[0,0,1,1]}}"""))
+    intercept[IllegalArgumentException](
+      GeoJsonQuery.compile("""{"geometry":{"$dwithin":{"$geometry":{"type":"Point","coordinates":[0,0]},
+        "$dist":1,"$unit":"parsecs"}}}"""))
+  }
+}
