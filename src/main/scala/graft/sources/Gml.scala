@@ -83,6 +83,10 @@ object Gml {
       val members = (0 until m.getNumGeometries)
         .map(i => s"<gml:polygonMember>${geometryGml(m.getGeometryN(i))}</gml:polygonMember>").mkString
       s"""<gml:MultiPolygon srsName="$Srs">$members</gml:MultiPolygon>"""
+    case gc: GeometryCollection => // heterogeneous collection: GML 2 MultiGeometry
+      val members = (0 until gc.getNumGeometries)
+        .map(i => s"<gml:geometryMember>${geometryGml(gc.getGeometryN(i))}</gml:geometryMember>").mkString
+      s"""<gml:MultiGeometry srsName="$Srs">$members</gml:MultiGeometry>"""
     case other => throw new IllegalArgumentException(
       s"GML export: unsupported geometry type ${other.getGeometryType}")
   }

@@ -287,12 +287,15 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     assert(all("gml:Point").head.getTextContent.trim == "10.0,20.0")
     assert(all("gml:innerBoundaryIs").size == 1)
     assert(all("gml:polygonMember").size == 2)
-    val e = intercept[org.apache.spark.SparkException] {
-      Gml.write(df.selectExpr("id",
-        "st_geomFromWKT('GEOMETRYCOLLECTION (POINT (1 1))') AS geom"), "geom", tmp() + "/bad")
-    }
-    assert(e.getMessage.contains("unsupported geometry") ||
-      e.getCause != null && e.getCause.getMessage.contains("unsupported geometry"))
+    // heterogeneous GeometryCollection encodes as GML 2 MultiGeometry
+    val gcDir = tmp() + "/gc"
+    Gml.write(df.limit(1).selectExpr("id",
+      "st_geomFromWKT('GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))') AS geom"),
+      "geom", gcDir)
+    val gcDoc = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new java.io.File(gcDir).listFiles().filter(_.getName.endsWith(".gml")).head)
+    assert(gcDoc.getElementsByTagName("gml:MultiGeometry").getLength == 1)
+    assert(gcDoc.getElementsByTagName("gml:geometryMember").getLength == 2)
   }
 
   test("Leaflet export writes a bounded self-contained html map") {
