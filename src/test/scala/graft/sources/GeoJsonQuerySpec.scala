@@ -96,6 +96,14 @@ class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
     // $dwithin in kilometers: ~111 km per degree at the equator scale used here
     assert(ids("""{"geometry":{"$dwithin":{"$geometry":{"type":"Point","coordinates":[10,20]},
       "$dist":200,"$unit":"kilometers"}}}""") == Seq(1L))
+    // the whole query document compiles to ONE predicate over one scan:
+    // no joins, no exchanges, no per-predicate passes
+    val q = GeoJsonQuery.query(parsed,
+      """{"geometry":{"$bbox":[0,0,35,45]},"$or":[{"id":{"$lt":2}},{"id":3}]}""")
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    assert(plan.collectLeaves().size == 1, plan.toString.take(800))
+    assert(!plan.toString.contains("Exchange"), plan.toString.take(800))
     intercept[IllegalArgumentException](
       GeoJsonQuery.compile("""{"name":{"$bbox":[0,0,1,1]}}"""))
     intercept[IllegalArgumentException](
