@@ -75,6 +75,29 @@ class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](GeoJsonQuery.compile("""{"score":{"$bogus":1}}"""))
   }
 
+  test("a GeoJSON store joins spatially like any WKB table") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    val docs = (0 until 500).map(i => (i.toLong, r.nextDouble() * 60 - 30, r.nextDouble() * 60 - 30))
+      .toDF("id", "x", "y").selectExpr("id", "st_makePoint(x, y) AS geom")
+    val dir = tmp() + "/join"
+    Export.geoJson(docs, "geom", dir)
+    val store = GeoJsonQuery.read(spark, dir)
+      .select(get_json_object(col("properties"), "$.id").cast("long").as("id"), col("geometry"))
+    val zones = Seq((1L, "POLYGON((-20 -20, 10 -20, 10 10, -20 10, -20 -20))"),
+      (2L, "POLYGON((0 0, 25 0, 25 25, 0 25, 0 0))"))
+      .toDF("zone_id", "wkt").selectExpr("zone_id", "st_geomFromWKT(wkt) AS zgeom")
+    val joined = graft.operators.SpatialJoin.join(
+        store, "geometry", zones, "zgeom",
+        (a, b) => StFunctions.stIntersects(a, b), res = 4, leftPoint = true)
+      .select("id", "zone_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = store.crossJoin(zones)
+      .where(StFunctions.stIntersects(col("geometry"), col("zgeom")))
+      .select("id", "zone_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(joined == brute && brute.nonEmpty)
+  }
+
   test("query language: spatial predicates over the geometry member") {
     StFunctions.register(spark)
     import spark.implicits._
