@@ -9,20 +9,35 @@ object GeoJson {
 
   private val gf = new GeometryFactory()
 
+  // one shared mapper: readTree is thread-safe, and constructing an
+  // ObjectMapper per row would dominate the st_geomFromGeoJSON UDF
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Parse an RFC 7946 geometry object into JTS. */
-  def read(json: String): Geometry =
-    fromNode(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+  def read(json: String): Geometry = fromNode(mapper.readTree(json))
 
   private def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Geometry = {
     require(n != null && n.isObject, s"not a GeoJSON geometry object: $n")
     val typ = Option(n.get("type")).map(_.asText).getOrElse(
       throw new IllegalArgumentException("GeoJSON geometry needs a 'type'"))
-    def cs = n.get("coordinates")
-    def coord(c: com.fasterxml.jackson.databind.JsonNode) =
+    def arr(c: com.fasterxml.jackson.databind.JsonNode, what: String) = {
+      require(c != null && c.isArray, s"GeoJSON $typ: '$what' must be an array, got $c")
+      c
+    }
+    def cs = arr(n.get("coordinates"), "coordinates")
+    def coord(c0: com.fasterxml.jackson.databind.JsonNode) = {
+      val c = arr(c0, "position")
+      require(c.size >= 2 && c.get(0).isNumber && c.get(1).isNumber,
+        s"GeoJSON $typ: position must be [x, y], got $c")
       new Coordinate(c.get(0).asDouble, c.get(1).asDouble)
-    def line(c: com.fasterxml.jackson.databind.JsonNode): Array[Coordinate] =
+    }
+    def line(c0: com.fasterxml.jackson.databind.JsonNode): Array[Coordinate] = {
+      val c = arr(c0, "ring/line")
       (0 until c.size).map(i => coord(c.get(i))).toArray
-    def poly(c: com.fasterxml.jackson.databind.JsonNode): Polygon = {
+    }
+    def poly(c0: com.fasterxml.jackson.databind.JsonNode): Polygon = {
+      val c = arr(c0, "polygon")
+      require(c.size > 0, s"GeoJSON $typ: polygon needs at least one ring")
       val rings = (0 until c.size).map(i => gf.createLinearRing(line(c.get(i))))
       gf.createPolygon(rings.head, rings.tail.toArray)
     }
@@ -36,7 +51,7 @@ object GeoJson {
       case "MultiPolygon" =>
         gf.createMultiPolygon((0 until cs.size).map(i => poly(cs.get(i))).toArray)
       case "GeometryCollection" =>
-        val gs = n.get("geometries")
+        val gs = arr(n.get("geometries"), "geometries")
         gf.createGeometryCollection((0 until gs.size).map(i => fromNode(gs.get(i))).toArray)
       case other => throw new IllegalArgumentException(s"unsupported GeoJSON type: $other")
     }

@@ -69,9 +69,21 @@ object GeoJsonQuery {
     else fields.map {
       case ("$or", arr) =>
         require(arr.isArray && arr.size > 0, "$or needs a non-empty array")
-        (0 until arr.size).map(i => evalObj(arr.get(i), geom, props, geomName)).reduce(_ || _)
+        (0 until arr.size).map { i =>
+          val el = arr.get(i)
+          require(el.isObject, s"$$or elements must be query objects, got $el")
+          evalObj(el, geom, props, geomName)
+        }.reduce(_ || _)
+      case (op, _) if op.startsWith("$") && !op.startsWith("$.") => // "$.x" is a json-path prop
+        throw new IllegalArgumentException(s"unsupported operator '$op'")
       case (prop, v) if v.isObject && v.properties().asScala.exists(_.getKey.startsWith("$")) =>
-        predicate(prop, v, geom, props, geomName)
+        // operator object: EVERY operator applies (e.g. {"$gte":5,"$lt":10})
+        v.properties().asScala.toSeq
+          .map(e => predicate(prop, e.getKey, e.getValue, geom, props, geomName))
+          .reduce(_ && _)
+      case (prop, v) if v.isObject || v.isArray =>
+        throw new IllegalArgumentException(
+          s"equality on '$prop' needs a scalar value (or an operator object), got $v")
       case (prop, v) => // plain equality
         propEquals(prop, v, props)
     }.reduce(_ && _)
@@ -83,21 +95,26 @@ object GeoJsonQuery {
   private def propCol(prop: String, props: Column): Column =
     get_json_object(props, propPath(prop))
 
+  /** Numeric compare: integral literals go through DECIMAL so 64-bit ids
+    * above 2^53 compare exactly (the double path would collapse
+    * neighboring ids onto the same value); floats keep IEEE semantics. */
+  private def numCmp(extracted: Column, v: JsonNode,
+                     f: (Column, Column) => Column): Column =
+    if (v.isIntegralNumber)
+      f(extracted.cast("decimal(38,15)"), lit(new java.math.BigDecimal(v.bigIntegerValue)))
+    else f(extracted.cast("double"), lit(v.asDouble))
+
   private def propEquals(prop: String, v: JsonNode, props: Column): Column = {
     val extracted = propCol(prop, props)
-    if (v.isNumber) extracted.cast("double") === lit(v.asDouble)
+    if (v.isNumber) numCmp(extracted, v, _ === _)
     else if (v.isBoolean) extracted === lit(v.asBoolean.toString)
     else extracted === lit(v.asText)
   }
 
-  private def predicate(prop: String, n: JsonNode, geom: Column, props: Column,
+  private def predicate(prop: String, op: String, v: JsonNode, geom: Column, props: Column,
                         geomName: String): Column = {
-    val (op, v) = {
-      val f = n.properties().asScala.head
-      (f.getKey, f.getValue)
-    }
     def cmp(f: (Column, Column) => Column): Column =
-      if (v.isNumber) f(propCol(prop, props).cast("double"), lit(v.asDouble))
+      if (v.isNumber) numCmp(propCol(prop, props), v, f)
       else f(propCol(prop, props), lit(v.asText))
     def queryGeomWkb: Array[Byte] = {
       val g = Option(v.get("$geometry")).getOrElse(

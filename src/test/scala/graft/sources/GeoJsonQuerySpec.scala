@@ -30,6 +30,11 @@ class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
     }
     intercept[IllegalArgumentException](GeoJson.read("""{"type":"Nope","coordinates":[]}"""))
     intercept[IllegalArgumentException](GeoJson.read("""[1,2]"""))
+    // structurally malformed input raises the same named error, not NPE
+    intercept[IllegalArgumentException](GeoJson.read("""{"type":"Point"}"""))
+    intercept[IllegalArgumentException](GeoJson.read("""{"type":"Point","coordinates":[1]}"""))
+    intercept[IllegalArgumentException](GeoJson.read("""{"type":"Point","coordinates":["a","b"]}"""))
+    intercept[IllegalArgumentException](GeoJson.read("""{"type":"GeometryCollection"}"""))
   }
 
   test("Export.geoJson -> GeoJsonQuery.read round-trips features") {
@@ -52,9 +57,11 @@ class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
   test("query language: equality, comparisons, $or, implicit and") {
     StFunctions.register(spark)
     import spark.implicits._
+    val big = 9007199254740993L // 2^53 + 1
     val docs = Seq(
       (1L, "click", 5.0, 10.0, 20.0), (2L, "view", 15.0, 30.0, 40.0),
-      (3L, "click", 25.0, 50.0, 60.0), (4L, "error", 7.5, 10.0, 21.0))
+      (3L, "click", 25.0, 50.0, 60.0), (4L, "error", 7.5, 10.0, 21.0),
+      (big, "big", -1.0, 0.0, 0.0))
       .toDF("id", "kind", "score", "x", "y")
       .selectExpr("id", "kind", "score", "st_makePoint(x, y) AS geom")
     val dir = tmp() + "/q"
@@ -64,15 +71,29 @@ class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
       GeoJsonQuery.query(parsed, q)
         .select(get_json_object(col("properties"), "$.id").cast("long"))
         .collect().map(_.getLong(0)).sorted.toSeq
-    assert(ids("{}") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("{}") == Seq(1L, 2L, 3L, 4L, big))
     assert(ids("""{"kind":"click"}""") == Seq(1L, 3L))
-    assert(ids("""{"score":{"$lt":10}}""") == Seq(1L, 4L))
+    assert(ids("""{"score":{"$lt":10}}""") == Seq(1L, 4L, big))
     assert(ids("""{"score":{"$gte":15}}""") == Seq(2L, 3L))
     assert(ids("""{"kind":"click","score":{"$gt":10}}""") == Seq(3L))
     assert(ids("""{"$or":[{"kind":"error"},{"score":{"$gt":20}}]}""") == Seq(3L, 4L))
     // json-path property form, like the reference's checkJsonPaths
     assert(ids("""{"$.kind":"view"}""") == Seq(2L))
+    // EVERY operator in an operator object applies (range query)
+    assert(ids("""{"score":{"$gte":7,"$lt":20}}""") == Seq(2L, 4L))
+    // integral comparisons are exact past 2^53: the neighboring value
+    // (which a double compare would collapse onto) must NOT match
+    assert(ids(s"""{"id":$big}""") == Seq(big))
+    assert(ids(s"""{"id":${big - 1}}""") == Seq())
+    assert(ids("""{"id":3}""") == Seq(3L))
+    // malformed queries fail loudly instead of matching everything/nothing
     intercept[IllegalArgumentException](GeoJsonQuery.compile("""{"score":{"$bogus":1}}"""))
+    intercept[IllegalArgumentException](
+      GeoJsonQuery.compile("""{"$or":[{"kind":"click"},"typo"]}"""))
+    intercept[IllegalArgumentException](
+      GeoJsonQuery.compile("""{"$and":[{"kind":"click"}]}"""))
+    intercept[IllegalArgumentException](GeoJsonQuery.compile("""{"tags":{"a":1}}"""))
+    intercept[IllegalArgumentException](GeoJsonQuery.compile("""{"tags":[1,2]}"""))
   }
 
   test("a GeoJSON store joins spatially like any WKB table") {
