@@ -55,6 +55,125 @@ object GeoJsonQuery {
             geomCol: String = "geometry", propsCol: String = "properties"): DataFrame =
     df.where(compile(queryJson, geomCol, propsCol))
 
+  // ---- indexed document store (GeoJsonGtIndex analog) -----------------
+
+  /**
+   * Index a parsed document store as a SpatialTable snapshot — the
+   * analog of the reference's GeoJsonGtIndex (geomesa-geojson-api/.../
+   * GeoJsonGtIndex.scala: documents are STORED IN A GEOMESA INDEX and
+   * queries run against it, never by re-scanning raw documents). Rows
+   * are cell-indexed by geometry centroid; the maximum geometry envelope
+   * extent is recorded so `queryIndexed` can pad its pruning box and
+   * stay sound for non-point documents (any geometry intersecting a box
+   * has its centroid within the box padded by one max extent).
+   */
+  def index(spark: SparkSession, store: DataFrame, root: String,
+            snapshotId: String = "docs", geomCol: String = "geometry",
+            propsCol: String = "properties", res: Int = 9, prefixRes: Int = 4,
+            salts: Int = 4, partitions: Int = 32): graft.table.SpatialTable.Snapshot = {
+    import graft.table.SpatialTable
+    val centroid = StFunctions.stCentroid(col(geomCol))
+    val prepared = store.select(
+      xxhash64(col(propsCol), col(geomCol)).as("doc_id"),
+      col(geomCol), col(propsCol),
+      StFunctions.stX(centroid).as("lon"), StFunctions.stY(centroid).as("lat"))
+    val snap = SpatialTable.write(spark, prepared, root, snapshotId,
+      "doc_id", "lon", "lat", res, prefixRes, salts, partitions)
+    val padPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/$snapshotId.geojson.json")
+    val fs = padPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(padPath)) { // resume-idempotent, like the snapshot write
+      val envWH = udf { b: Array[Byte] =>
+        if (b == null) Array(0.0, 0.0)
+        else { val e = G.fromWkb(b).getEnvelopeInternal; Array(e.getWidth, e.getHeight) }
+      }
+      val m = store.select(envWH(col(geomCol)).as("wh"))
+        .agg(max(element_at(col("wh"), 1)).as("w"), max(element_at(col("wh"), 2)).as("h"))
+        .head()
+      val (w, h) = (Option(m.get(0)).fold(0.0)(_ => m.getDouble(0)),
+        Option(m.get(1)).fold(0.0)(_ => m.getDouble(1)))
+      val out = fs.create(padPath, true)
+      out.write(s"""{"max_w":$w,"max_h":$h}""".getBytes("UTF-8"))
+      out.close()
+    }
+    snap
+  }
+
+  /**
+   * Query the indexed store: the query's spatial envelope (intersection
+   * of all top-level spatial conjuncts) drives SpatialTable.readBBox —
+   * cell_prefix partition pruning + sorted-cell row-group skipping —
+   * padded by the stored max geometry extent; the full compiled
+   * predicate then applies as the exact refine. Queries with no
+   * top-level spatial conjunct (or a top-level $or) fall back to the
+   * full snapshot scan, exactly like an unindexable CQL filter in the
+   * reference.
+   */
+  def queryIndexed(spark: SparkSession, root: String, snapshotId: String = "docs",
+                   queryJson: String = "{}", geomCol: String = "geometry",
+                   propsCol: String = "properties"): DataFrame = {
+    import graft.table.SpatialTable
+    val base = queryEnvelope(queryJson) match {
+      case Some((x0, y0, x1, y1)) =>
+        val padPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/$snapshotId.geojson.json")
+        val fs = padPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(padPath)
+        val pad = try mapper.readTree(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+        val (w, h) = (pad.get("max_w").asDouble, pad.get("max_h").asDouble)
+        SpatialTable.readBBox(spark, root, snapshotId,
+          (math.max(-180.0, x0 - w), math.max(-90.0, y0 - h),
+            math.min(180.0, x1 + w), math.min(90.0, y1 + h)))
+      case None => SpatialTable.read(spark, root, snapshotId)
+    }
+    base.where(compile(queryJson, geomCol, propsCol)).select(geomCol, propsCol)
+  }
+
+  /** Envelope implied by the query's top-level spatial conjuncts
+    * (intersection), if any. A top-level $or defeats pruning. */
+  private[sources] def queryEnvelope(queryJson: String): Option[(Double, Double, Double, Double)] = {
+    val root = mapper.readTree(queryJson)
+    if (root == null || !root.isObject) return None
+    val fields = root.properties().asScala.toSeq.map(e => (e.getKey, e.getValue))
+    if (fields.exists(_._1 == "$or")) return None
+    val envs = fields.flatMap {
+      case (_, v) if v.isObject =>
+        v.properties().asScala.toSeq.flatMap { e =>
+          (e.getKey, e.getValue) match {
+            case ("$bbox", b) if b.isArray && b.size == 4 =>
+              Some((b.get(0).asDouble, b.get(1).asDouble, b.get(2).asDouble, b.get(3).asDouble))
+            case (op, o) if Set("$intersects", "$within", "$contains", "$dwithin")(op) =>
+              Option(o.get("$geometry")).map { gj =>
+                val e = GeoJson.read(gj.toString).getEnvelopeInternal
+                if (op == "$dwithin") {
+                  val dist = Option(o.get("$dist")).map(_.asDouble).getOrElse(0.0)
+                  val unit = Option(o.get("$unit")).map(_.asText).getOrElse("meters")
+                  val m = unit match {
+                    case "kilometers" => dist * 1000.0
+                    case "feet" => dist * 0.3048
+                    case "statute miles" => dist * 1609.344
+                    case _ => dist
+                  }
+                  // conservative meters -> degrees: latitude pad from the
+                  // shortest meridian degree; longitude degrees-per-meter
+                  // GROW toward the poles, so pad with the highest
+                  // latitude the padded box can reach
+                  val latPad = m / 110574.0 * 1.01
+                  val maxAbsLat = math.max(math.abs(e.getMinY), math.abs(e.getMaxY)) + latPad
+                  val lonPad = // near-polar boxes wrap: pad to the full range
+                    if (maxAbsLat > 89.0) 360.0
+                    else m / (110574.0 * math.cos(math.toRadians(maxAbsLat))) * 1.01
+                  (e.getMinX - lonPad, e.getMinY - latPad, e.getMaxX + lonPad, e.getMaxY + latPad)
+                } else (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+              }
+            case _ => None
+          }
+        }
+      case _ => Nil
+    }
+    envs.reduceOption { (a, b) =>
+      (math.max(a._1, b._1), math.max(a._2, b._2), math.min(a._3, b._3), math.min(a._4, b._4))
+    }
+  }
+
   /** Compile a query document to a single Column predicate. */
   def compile(queryJson: String, geomCol: String = "geometry",
               propsCol: String = "properties"): Column = {

@@ -96,6 +96,53 @@ class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](GeoJsonQuery.compile("""{"tags":[1,2]}"""))
   }
 
+  test("indexed document store: pruned query equals full-scan query, fewer files read") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val pts = (0 until 4000).map(i =>
+      (i.toLong, r.nextDouble() * 300 - 150, r.nextDouble() * 140 - 70, "pt"))
+      .toDF("id", "x", "y", "kind")
+      .selectExpr("id", "kind", "st_makePoint(x, y) AS geom")
+    // a large polygon whose CENTROID (35, 0) is outside the query bbox
+    // [0,-10,20,10] but which intersects it — the extent-padded pruning
+    // must still find it
+    val poly = Seq((99999L, "zone",
+      "POLYGON((10 -5, 60 -5, 60 5, 10 5, 10 -5))")).toDF("id", "kind", "wkt")
+      .selectExpr("id", "kind", "st_geomFromWKT(wkt) AS geom")
+    val dir = tmp() + "/idx"
+    Export.geoJson(pts.unionByName(poly), "geom", dir)
+    val store = GeoJsonQuery.read(spark, dir)
+
+    val root = tmp() + "/idxroot"
+    GeoJsonQuery.index(spark, store, root, "docs", prefixRes = 3, partitions = 8)
+    // idempotent resume
+    GeoJsonQuery.index(spark, store, root, "docs", prefixRes = 3, partitions = 8)
+
+    val q = """{"geometry":{"$bbox":[0,-10,20,10]},"kind":{"$gte":"a"}}"""
+    def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(get_json_object(col("properties"), "$.id").cast("long"))
+        .collect().map(_.getLong(0)).toSet
+    val viaIndex = GeoJsonQuery.queryIndexed(spark, root, "docs", q)
+    val viaScan = GeoJsonQuery.query(store, q)
+    assert(idsOf(viaIndex) == idsOf(viaScan))
+    assert(idsOf(viaIndex).contains(99999L), "extent padding must keep the wide polygon")
+    assert(idsOf(viaIndex).size > 1)
+
+    // the indexed path scans fewer files than the full snapshot
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def files(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    val all = files(GeoJsonQuery.queryIndexed(spark, root, "docs", "{}"))
+    val pruned = files(GeoJsonQuery.queryIndexed(spark, root, "docs",
+      """{"geometry":{"$bbox":[0,-10,20,10]}}"""))
+    assert(pruned < all, s"pruned=$pruned all=$all")
+  }
+
   test("a GeoJSON store joins spatially like any WKB table") {
     StFunctions.register(spark)
     import spark.implicits._
