@@ -94,6 +94,10 @@ object SparkEntry {
           '}') AS value""")
         .write.mode("overwrite").text(gjRoot)
     }
+    // indexed form of the same document store (GeoJsonGtIndex analog) —
+    // q_geojson_indexed serves from this snapshot's pruned scan
+    sources.GeoJsonQuery.index(s, sources.GeoJsonQuery.read(s, gjRoot),
+      tableRoot("gjidx", dir), "docs", res = 9, prefixRes = 3, salts = 2, partitions = 8)
   }
   private def zones(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
@@ -835,6 +839,23 @@ object SparkEntry {
           expr("CAST(round(st_x(geometry), 2) AS DOUBLE)").as("lon"),
           expr("CAST(round(st_y(geometry), 2) AS DOUBLE)").as("lat"))
     }),
+
+    "q_geojson_indexed" -> ((s, dir) => {
+      // the SAME query through the INDEXED document store
+      // (GeoJsonGtIndex analog): the $bbox conjunct drives the
+      // SpatialTable pruned scan (cell_prefix dirs + sorted-cell
+      // row-group skipping), the compiled predicate is the exact
+      // refine — must answer identically to the document scan
+      StFunctions.register(s)
+      prepareTables(s, dir)
+      sources.GeoJsonQuery.queryIndexed(s, tableRoot("gjidx", dir), "docs",
+        """{"geometry":{"$bbox":[-120.005,-60.005,100.005,80.005]},
+          |"event_type":"click","value":{"$gte":5}}""".stripMargin)
+        .select(
+          get_json_object(col("properties"), "$.event_id").cast("long").as("event_id"),
+          expr("CAST(round(st_x(geometry), 2) AS DOUBLE)").as("lon"),
+          expr("CAST(round(st_y(geometry), 2) AS DOUBLE)").as("lat"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1244,6 +1265,17 @@ object SparkEntry {
       // oracle filters the source columns directly; bbox bounds sit at
       // .005 offsets no lattice value can hit
       "q_geojson_query" ->
+        s"""WITH v AS (SELECT event_id, $LonExpr AS lon, $LatExpr AS lat,
+           |    value, event_type FROM events)
+           |SELECT event_id, CAST(round(lon, 2) AS DOUBLE) AS lon,
+           |  CAST(round(lat, 2) AS DOUBLE) AS lat
+           |FROM v
+           |WHERE lon >= -120.005 AND lon <= 100.005
+           |  AND lat >= -60.005 AND lat <= 80.005
+           |  AND event_type = 'click' AND value >= 5""".stripMargin,
+
+      // identical answer required through the indexed (pruned) path
+      "q_geojson_indexed" ->
         s"""WITH v AS (SELECT event_id, $LonExpr AS lon, $LatExpr AS lat,
            |    value, event_type FROM events)
            |SELECT event_id, CAST(round(lon, 2) AS DOUBLE) AS lon,
