@@ -856,6 +856,34 @@ object SparkEntry {
           expr("CAST(round(st_x(geometry), 2) AS DOUBLE)").as("lon"),
           expr("CAST(round(st_y(geometry), 2) AS DOUBLE)").as("lat"))
     }),
+
+    "q_cql_attr" -> ((s, dir) => {
+      // ECQL text surface (plans/Cql, the reference's primary filter
+      // entry point ECQL.toFilter): attribute + strict DURING interval +
+      // jsonPath, compiled to ONE Catalyst predicate
+      t(s, dir, "events")
+        .where(plans.Cql.parse(
+          "event_type IN ('click', 'purchase') AND value BETWEEN 10 AND 80 " +
+            "AND ts DURING 2024-01-05T00:00:00Z/2024-01-20T00:00:00Z " +
+            "AND jsonPath('$.props.k') > 50 AND user_id IS NOT NULL",
+          idColumn = "event_id"))
+        .select("event_id", "event_type", "value")
+    }),
+
+    "q_cql_bbox" -> ((s, dir) => {
+      // ECQL BBOX + attribute predicates over a lon/lat table; the geom
+      // property resolves to st_makePoint(lon, lat) so the compiled
+      // filter keeps the SpatialFilterRule pushdown shape (CqlSpec
+      // asserts the plan)
+      StFunctions.register(s)
+      pts(s, dir)
+        .where(plans.Cql.parse(
+          "BBOX(geom, -50, -20, 30, 25) AND value > 20 AND NOT (event_id BETWEEN 100 AND 200)",
+          props = Map("geom" -> expr("st_makePoint(lon, lat)")),
+          idColumn = "event_id"))
+        .selectExpr("event_id",
+          "CAST(round(lon, 2) AS DOUBLE) AS lon", "CAST(round(lat, 2) AS DOUBLE) AS lat")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1335,6 +1363,20 @@ object SparkEntry {
 
       "q_convexhull" ->
         "SELECT 'POLYGON ((-180 -90, -180 90, 180 90, 180 -90, -180 -90))' AS hull_wkt",
+
+      "q_cql_attr" ->
+        """SELECT event_id, event_type, value FROM events
+          |WHERE event_type IN ('click', 'purchase') AND value BETWEEN 10 AND 80
+          |  AND ts > TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          |  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+          |  AND user_id IS NOT NULL""".stripMargin,
+
+      "q_cql_bbox" ->
+        s"""WITH pts AS ($PtsSql)
+           |SELECT event_id, CAST(round(lon, 2) AS DOUBLE) AS lon,
+           |  CAST(round(lat, 2) AS DOUBLE) AS lat FROM pts
+           |WHERE lon >= -50 AND lon <= 30 AND lat >= -20 AND lat <= 25
+           |  AND value > 20 AND NOT (event_id BETWEEN 100 AND 200)""".stripMargin,
     )
   }
 }

@@ -1,0 +1,618 @@
+package graft.plans
+
+import java.sql.Timestamp
+import java.time.{Duration, Instant, OffsetDateTime, Period, ZoneOffset}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.StFunctions
+import graft.geom.{GeomOps => G}
+
+/**
+ * (E)CQL text filters compiled to ONE Catalyst `Column` — the Spark
+ * analog of the reference's primary query-string surface
+ * (`ECQL.toFilter(...)`, used throughout geomesa-accumulo/-index tests
+ * and every CLI/GeoServer entry point; the planner receives the parsed
+ * filter in QueryPlanner.scala and geomesa-filter's FilterHelper
+ * decomposes it).
+ *
+ * Spark-first shape: instead of building a GeoTools Filter object tree
+ * and evaluating it per-SimpleFeature, the string compiles directly to
+ * Catalyst expressions — relational predicates become codegen'd
+ * comparisons that Parquet pushdown/column pruning see natively, WKT
+ * literals are parsed ONCE on the driver and shipped as WKB literals,
+ * and spatial predicates land on the same st_* surface the rest of the
+ * engine uses, so `SpatialFilterRule` derives index ranges from a CQL
+ * `BBOX(...)` exactly as it does from a hand-written
+ * `st_intersects(...)` filter.
+ *
+ * Supported grammar (the subset the reference's own tests exercise —
+ * see the ECQL.toFilter call sites under /root/reference):
+ *
+ *  - INCLUDE / EXCLUDE
+ *  - AND / OR / NOT, parentheses, case-insensitive keywords
+ *  - comparisons  = <> != < > <= >=  over properties, literals,
+ *    arithmetic (+ - * /), and function calls
+ *  - BETWEEN a AND b (inclusive), NOT BETWEEN
+ *  - IN (v1, v2, ...), NOT IN; bare leading IN ('id1', ...) is the
+ *    feature-ID filter (FilterHelper id extraction) against `idColumn`
+ *  - LIKE / ILIKE / NOT LIKE with % and _ wildcards
+ *  - IS NULL / IS NOT NULL
+ *  - spatial: BBOX(g, x1,y1,x2,y2 [,'EPSG:4326']), INTERSECTS,
+ *    DISJOINT, CONTAINS, WITHIN, TOUCHES, CROSSES, OVERLAPS, EQUALS,
+ *    RELATE(a, b, 'DE-9IM'), DWITHIN / BEYOND(a, b, dist, units) with
+ *    units in {meters, kilometers, feet, statute miles} (geodesic
+ *    meters, like the reference's dwithin handling)
+ *  - temporal: dtg DURING t1/t2 (strict interval, ISO 19108 — both
+ *    bounds exclusive, matching GeoTools During), instant/period and
+ *    period/instant forms (e.g. 2016-01-01T00:00:00Z/T1S), BEFORE,
+ *    AFTER, TEQUALS; bare ISO instants are lexed as literals
+ *  - WKT geometry literals anywhere an expression is expected
+ *  - functions: every registered st_* name (StFunctions.all), plus the
+ *    GeoTools filter-function names the reference's tests use:
+ *    geometryType, currentDate([±ISO period]), jsonPath('$.col.path'),
+ *    abs/ceil/floor, strToUpperCase/strToLowerCase/strConcat/
+ *    strLength/strTrim/strSubstring
+ *
+ * Properties may be double-quoted. Unknown bare identifiers compile to
+ * column references (GeoTools semantics).
+ */
+object Cql {
+
+  /** Compile a CQL filter to a Column predicate. `props` overrides how
+    * named properties resolve (e.g. "geom" -> st_makePoint(lon, lat) on
+    * a lon/lat table, which keeps SpatialFilterRule pushdown working);
+    * unmapped names resolve to `col(name)`. Bare `IN (...)` feature-ID
+    * filters compare against `idColumn`. */
+  def parse(cql: String, props: Map[String, Column] = Map.empty,
+            idColumn: String = "id"): Column =
+    new Parser(cql, props, idColumn).compile()
+
+  /** `df.where(cql)`. */
+  def filter(df: DataFrame, cql: String, props: Map[String, Column] = Map.empty,
+             idColumn: String = "id"): DataFrame =
+    df.where(parse(cql, props, idColumn))
+
+  // ---- lexer ----------------------------------------------------------
+
+  private sealed trait Tok { def start: Int; def end: Int }
+  private final case class TIdent(s: String, start: Int, end: Int) extends Tok
+  private final case class TNum(s: String, start: Int, end: Int) extends Tok
+  private final case class TStr(s: String, start: Int, end: Int) extends Tok
+  private final case class TQuotedIdent(s: String, start: Int, end: Int) extends Tok
+  private final case class TDate(s: String, start: Int, end: Int) extends Tok
+  private final case class TOp(s: String, start: Int, end: Int) extends Tok
+  private final case class TEof(start: Int, end: Int) extends Tok
+
+  // Full ISO instants (with time part) are lexed as single tokens so
+  // DURING 2016-01-01T00:00:00Z/... needs no lexer mode switch.
+  private val DateRe =
+    """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?""".r
+  private val NumRe = """(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?""".r
+  private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        // single-quoted string, '' escapes a quote
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val ch = s.charAt(j)
+          if (ch == '\'') {
+            if (j + 1 < n && s.charAt(j + 1) == '\'') { sb += '\''; j += 2 }
+            else { closed = true; j += 1 }
+          } else { sb += ch; j += 1 }
+        }
+        require(closed, s"unterminated string literal at offset $i in: $s")
+        out += TStr(sb.toString, i, j); i = j
+      } else if (c == '"') {
+        val j = s.indexOf('"', i + 1)
+        require(j >= 0, s"unterminated quoted identifier at offset $i in: $s")
+        out += TQuotedIdent(s.substring(i + 1, j), i, j + 1); i = j + 1
+      } else if (c.isDigit) {
+        DateRe.findPrefixOf(s.substring(i)) match {
+          case Some(d) => out += TDate(d, i, i + d.length); i += d.length
+          case None =>
+            val m = NumRe.findPrefixOf(s.substring(i)).get
+            out += TNum(m, i, i + m.length); i += m.length
+        }
+      } else if (c.isLetter || c == '_') {
+        val m = IdentRe.findPrefixOf(s.substring(i)).get
+        out += TIdent(m, i, i + m.length); i += m.length
+      } else {
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        if (two == "<=" || two == ">=" || two == "<>" || two == "!=") {
+          out += TOp(two, i, i + 2); i += 2
+        } else if ("=<>()+-*/,".indexOf(c) >= 0) {
+          out += TOp(c.toString, i, i + 1); i += 1
+        } else sys.error(s"unexpected character '$c' at offset $i in CQL: $s")
+      }
+    }
+    out += TEof(n, n)
+    out.result()
+  }
+
+  // ---- parser ---------------------------------------------------------
+
+  private final class ParseError(msg: String) extends RuntimeException(msg)
+
+  private val SpatialOps = Set("BBOX", "INTERSECTS", "DISJOINT", "CONTAINS",
+    "WITHIN", "TOUCHES", "CROSSES", "OVERLAPS", "EQUALS", "DWITHIN", "BEYOND", "RELATE")
+  private val GeomKeywords = Set("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+    "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION", "LINEARRING")
+  private val PeriodRe = """(?i)-?P[0-9YMWD]+(T[0-9HMS.]+)?|-?PT[0-9HMS.]+|-?T\d+(\.\d+)?[HMS]""".r
+
+  private final class Parser(input: String, props: Map[String, Column], idColumn: String) {
+    private val toks = lex(input)
+    private var pos = 0
+
+    private def peek: Tok = toks(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def fail(msg: String): Nothing =
+      throw new ParseError(s"$msg at offset ${peek.start} in CQL: $input")
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case TIdent(s, _, _) => s.equalsIgnoreCase(kw); case _ => false
+    }
+    private def acceptKw(kw: String): Boolean =
+      if (isKw(peek, kw)) { pos += 1; true } else false
+    private def expectOp(op: String): Unit = peek match {
+      case TOp(`op`, _, _) => pos += 1
+      case _ => fail(s"expected '$op'")
+    }
+
+    def compile(): Column = {
+      val c = orExpr()
+      peek match {
+        case _: TEof => c
+        case t => throw new ParseError(s"trailing input at offset ${t.start} in CQL: $input")
+      }
+    }
+
+    private def orExpr(): Column = {
+      var c = andExpr()
+      while (acceptKw("OR")) c = c || andExpr()
+      c
+    }
+
+    private def andExpr(): Column = {
+      var c = unary()
+      while (acceptKw("AND")) c = c && unary()
+      c
+    }
+
+    private def unary(): Column =
+      if (acceptKw("NOT")) !unary() else predicate()
+
+    private def predicate(): Column = peek match {
+      case t: TIdent if t.s.equalsIgnoreCase("INCLUDE") => pos += 1; lit(true)
+      case t: TIdent if t.s.equalsIgnoreCase("EXCLUDE") => pos += 1; lit(false)
+      case t: TIdent if SpatialOps.contains(t.s.toUpperCase) && isKw(t, t.s) &&
+        toks(pos + 1).isInstanceOf[TOp] && toks(pos + 1).asInstanceOf[TOp].s == "(" =>
+        spatialPredicate(t.s.toUpperCase)
+      case t: TIdent if t.s.equalsIgnoreCase("IN") => // bare feature-ID filter
+        pos += 1; inList(resolve(idColumn))
+      case TOp("(", _, _) =>
+        // '(' may open a boolean group or a parenthesized arithmetic
+        // expression; try the boolean reading first and backtrack.
+        val save = pos
+        try {
+          pos += 1
+          val c = orExpr()
+          expectOp(")")
+          peek match {
+            case TOp(op, _, _) if Set("=", "<>", "!=", "<", ">", "<=", ">=", "+", "-", "*", "/").contains(op) =>
+              throw new ParseError("boolean group followed by operator — re-parse as expression")
+            case _ => c
+          }
+        } catch {
+          case _: ParseError => pos = save; comparison()
+        }
+      case _ => comparison()
+    }
+
+    /** expr followed by a comparison / BETWEEN / IN / LIKE / NULL /
+      * temporal tail. */
+    private def comparison(): Column = {
+      val lhs = expr()
+      val negated = acceptKw("NOT")
+      peek match {
+        case TOp(op, _, _) if Set("=", "<>", "!=", "<", ">", "<=", ">=").contains(op) =>
+          require(!negated, "NOT must precede a predicate, not a comparison operator")
+          pos += 1
+          val rhs = expr()
+          op match {
+            case "=" => lhs === rhs
+            case "<>" | "!=" => lhs =!= rhs
+            case "<" => lhs < rhs
+            case ">" => lhs > rhs
+            case "<=" => lhs <= rhs
+            case ">=" => lhs >= rhs
+          }
+        case t: TIdent if t.s.equalsIgnoreCase("BETWEEN") =>
+          pos += 1
+          val lo = expr()
+          if (!acceptKw("AND")) fail("expected AND in BETWEEN")
+          val hi = expr()
+          val c = lhs >= lo && lhs <= hi
+          if (negated) !c else c
+        case t: TIdent if t.s.equalsIgnoreCase("IN") =>
+          pos += 1
+          val c = inList(lhs)
+          if (negated) !c else c
+        case t: TIdent if t.s.equalsIgnoreCase("LIKE") =>
+          pos += 1
+          val c = lhs.like(stringLit())
+          if (negated) !c else c
+        case t: TIdent if t.s.equalsIgnoreCase("ILIKE") =>
+          pos += 1
+          val c = lhs.ilike(stringLit())
+          if (negated) !c else c
+        case t: TIdent if t.s.equalsIgnoreCase("IS") =>
+          require(!negated, "write `x IS NOT NULL`, not `x NOT IS NULL`")
+          pos += 1
+          val neg = acceptKw("NOT")
+          if (!acceptKw("NULL")) fail("expected NULL after IS")
+          if (neg) lhs.isNotNull else lhs.isNull
+        case t: TIdent if t.s.equalsIgnoreCase("DURING") =>
+          require(!negated, "NOT DURING: write NOT (x DURING ...)")
+          pos += 1
+          val (start, end) = duringInterval()
+          lhs > lit(start) && lhs < lit(end) // strict (ISO 19108 During)
+        case t: TIdent if t.s.equalsIgnoreCase("BEFORE") =>
+          require(!negated, "NOT BEFORE: write NOT (x BEFORE ...)")
+          pos += 1
+          lhs < lit(instant())
+        case t: TIdent if t.s.equalsIgnoreCase("AFTER") =>
+          require(!negated, "NOT AFTER: write NOT (x AFTER ...)")
+          pos += 1
+          lhs > lit(instant())
+        case t: TIdent if t.s.equalsIgnoreCase("TEQUALS") =>
+          require(!negated, "NOT TEQUALS: write NOT (x TEQUALS ...)")
+          pos += 1
+          lhs === lit(instant())
+        case _ => fail("expected a predicate operator")
+      }
+    }
+
+    private def inList(lhs: Column): Column = {
+      expectOp("(")
+      val vals = Vector.newBuilder[Column]
+      vals += expr()
+      while (peek match { case TOp(",", _, _) => pos += 1; true; case _ => false })
+        vals += expr()
+      expectOp(")")
+      val vs = vals.result()
+      vs.tail.foldLeft(lhs === vs.head)((acc, v) => acc || lhs === v)
+    }
+
+    private def stringLit(): String = next() match {
+      case TStr(s, _, _) => s
+      case _ => fail("expected a string literal")
+    }
+
+    // ---- spatial ------------------------------------------------------
+
+    private def spatialPredicate(op: String): Column = {
+      pos += 1 // op keyword
+      expectOp("(")
+      op match {
+        case "BBOX" =>
+          val g = geomArg()
+          expectOp(","); val x1 = numArg()
+          expectOp(","); val y1 = numArg()
+          expectOp(","); val x2 = numArg()
+          expectOp(","); val y2 = numArg()
+          if (peek match { case TOp(",", _, _) => true; case _ => false }) {
+            pos += 1
+            val crs = stringLit() // only EPSG:4326 storage, arg accepted for parity
+            require(crs.isEmpty || crs.toUpperCase.contains("4326") || crs.toUpperCase == "CRS:84",
+              s"unsupported CRS '$crs' (engine stores EPSG:4326)")
+          }
+          expectOp(")")
+          StFunctions.stIntersects(g, lit(G.toWkb(G.bbox(
+            math.min(x1, x2), math.min(y1, y2), math.max(x1, x2), math.max(y1, y2)))))
+        case "RELATE" =>
+          val a = geomArg(); expectOp(",")
+          val b = geomArg(); expectOp(",")
+          val pattern = stringLit()
+          expectOp(")")
+          StFunctions.stRelateBool(a, b, lit(pattern))
+        case "DWITHIN" | "BEYOND" =>
+          val a = geomArg(); expectOp(",")
+          val b = geomArg(); expectOp(",")
+          val d = numArg(); expectOp(",")
+          // units may be quoted ('kilometers') or bare (meters) — the
+          // reference's test filters use both forms
+          val units = next() match {
+            case TStr(s, _, _) => s
+            case TIdent(s, _, _) => s
+            case _ => fail("expected a distance unit")
+          }
+          expectOp(")")
+          val meters = d * (units.trim.toLowerCase match {
+            case "meters" | "metre" | "metres" | "m" => 1.0
+            case "kilometers" | "kilometres" | "km" => 1000.0
+            case "feet" | "ft" => 0.3048
+            case "statute miles" | "miles" | "mi" => 1609.344
+            case u => sys.error(s"unsupported DWITHIN unit '$u'")
+          })
+          val within = StFunctions.stDWithin(a, b, lit(meters))
+          if (op == "DWITHIN") within else !within
+        case name =>
+          val a = geomArg(); expectOp(",")
+          val b = geomArg()
+          expectOp(")")
+          name match {
+            case "INTERSECTS" => StFunctions.stIntersects(a, b)
+            case "DISJOINT" => StFunctions.stDisjoint(a, b)
+            case "CONTAINS" => StFunctions.stContains(a, b)
+            case "WITHIN" => StFunctions.stWithin(a, b)
+            case "TOUCHES" => StFunctions.stTouches(a, b)
+            case "CROSSES" => StFunctions.stCrosses(a, b)
+            case "OVERLAPS" => StFunctions.stOverlaps(a, b)
+            case "EQUALS" => StFunctions.stEquals(a, b)
+          }
+      }
+    }
+
+    /** A geometry argument: WKT literal (driver-parsed → WKB literal),
+      * property reference, or function call producing a geometry. */
+    private def geomArg(): Column = peek match {
+      case t: TIdent if GeomKeywords.contains(t.s.toUpperCase) => wktLiteral()
+      case _ => expr()
+    }
+
+    /** Slice the raw WKT text (keyword + balanced parens) from the
+      * input and parse it once on the driver. */
+    private def wktLiteral(): Column = {
+      val kw = next().asInstanceOf[TIdent]
+      var depth = 0
+      var endOff = kw.end
+      var done = false
+      while (!done) {
+        peek match {
+          case TOp("(", _, e) => depth += 1; endOff = e; pos += 1
+          case TOp(")", _, e) =>
+            depth -= 1; endOff = e; pos += 1
+            if (depth == 0) done = true
+          case t: TEof => fail("unterminated WKT literal")
+          case t =>
+            require(depth > 0, s"expected '(' in WKT literal at offset ${t.start}")
+            endOff = t.end; pos += 1
+        }
+      }
+      // EMPTY geometries: keyword followed by EMPTY, no parens
+      lit(G.toWkb(G.fromWkt(input.substring(kw.start, endOff))))
+    }
+
+    private def numArg(): Double = {
+      val neg = peek match { case TOp("-", _, _) => pos += 1; true; case _ => false }
+      next() match {
+        case TNum(s, _, _) => if (neg) -s.toDouble else s.toDouble
+        case _ => fail("expected a number")
+      }
+    }
+
+    // ---- temporal -----------------------------------------------------
+
+    private def duringInterval(): (Timestamp, Timestamp) = {
+      val a = temporalOperand()
+      expectOp("/")
+      val b = temporalOperand()
+      (a, b) match {
+        case (Left(t1), Left(t2)) => (ts(t1), ts(t2))
+        case (Left(t1), Right(p)) => (ts(t1), ts(plus(t1, p)))
+        case (Right(p), Left(t2)) => (ts(plus(t2, p.negated)), ts(t2))
+        case _ => fail("period/period is not a valid DURING interval")
+      }
+    }
+
+    private def temporalOperand(): Either[Instant, Iso8601Period] = peek match {
+      case TDate(s, _, _) => pos += 1; Left(parseInstant(s))
+      case TStr(s, _, _) => pos += 1; Left(parseInstant(s))
+      case t: TIdent if PeriodRe.matches(t.s) => pos += 1; Right(parsePeriod(t.s))
+      case _ => fail("expected an ISO instant or period")
+    }
+
+    private def instant(): Timestamp = peek match {
+      case TDate(s, _, _) => pos += 1; ts(parseInstant(s))
+      case TStr(s, _, _) => pos += 1; ts(parseInstant(s))
+      case _ => fail("expected an ISO instant")
+    }
+
+    // ---- expressions --------------------------------------------------
+
+    private def expr(): Column = {
+      var c = term()
+      var more = true
+      while (more) {
+        peek match {
+          case TOp("+", _, _) => pos += 1; c = c + term()
+          case TOp("-", _, _) => pos += 1; c = c - term()
+          case _ => more = false
+        }
+      }
+      c
+    }
+
+    private def term(): Column = {
+      var c = factor()
+      var more = true
+      while (more) {
+        peek match {
+          case TOp("*", _, _) => pos += 1; c = c * factor()
+          case TOp("/", _, _) => pos += 1; c = c / factor()
+          case _ => more = false
+        }
+      }
+      c
+    }
+
+    private def factor(): Column = peek match {
+      case TOp("-", _, _) => pos += 1; -factor()
+      case TOp("(", _, _) => pos += 1; val c = expr(); expectOp(")"); c
+      case TNum(s, _, _) =>
+        pos += 1
+        if (s.contains('.') || s.toLowerCase.contains('e')) lit(s.toDouble) else lit(s.toLong)
+      case TStr(s, _, _) => pos += 1; lit(s)
+      case TDate(s, _, _) => pos += 1; lit(ts(parseInstant(s)))
+      case TQuotedIdent(s, _, _) => pos += 1; resolve(s)
+      case t: TIdent if GeomKeywords.contains(t.s.toUpperCase) => wktLiteral()
+      case t: TIdent =>
+        if (toks(pos + 1) match { case TOp("(", _, _) => true; case _ => false })
+          functionCall()
+        else { pos += 1; resolve(t.s) }
+      case t => fail("expected an expression")
+    }
+
+    private def resolve(name: String): Column =
+      props.getOrElse(name, col(name))
+
+    private def functionCall(): Column = {
+      val name = next().asInstanceOf[TIdent].s
+      expectOp("(")
+      val args = Vector.newBuilder[Column]
+      val raw = Vector.newBuilder[Tok] // for functions needing literal args
+      if (!(peek match { case TOp(")", _, _) => true; case _ => false })) {
+        raw += peek; args += expr()
+        while (peek match { case TOp(",", _, _) => pos += 1; true; case _ => false }) {
+          raw += peek
+          args += expr()
+        }
+      }
+      expectOp(")")
+      applyFunction(name, args.result(), raw.result())
+    }
+
+    private def applyFunction(name: String, args: Vector[Column], raw: Vector[Tok]): Column = {
+      // st_* registry, case-insensitive
+      StFunctions.all.collectFirst {
+        case (n, f) if n.equalsIgnoreCase(name) => f(args: _*)
+      }.getOrElse(name.toLowerCase match {
+        case "geometrytype" => StFunctions.stGeometryType(args.head)
+        case "currentdate" =>
+          // currentDate(['-P1D']) — now() shifted by a signed ISO period
+          // (geotools FilterFunction_currentDate); micros arithmetic so
+          // the shift stays a plan-evaluable codegen expression
+          if (raw.isEmpty) current_timestamp()
+          else raw.head match {
+            case TStr(p, _, _) =>
+              val micros = (parsePeriod(p).approxSeconds * 1e6).toLong
+              timestamp_micros(unix_micros(current_timestamp()) + lit(micros))
+            case _ => fail("currentDate expects a quoted ISO period")
+          }
+        case "jsonpath" => raw.head match {
+          case TStr(p, _, _) => jsonPathColumn(p)
+          case _ => fail("jsonPath expects a quoted path")
+        }
+        case "abs" => abs(args.head)
+        case "ceil" | "ceiling" => ceil(args.head)
+        case "floor" => floor(args.head)
+        case "strtouppercase" => upper(args.head)
+        case "strtolowercase" => lower(args.head)
+        case "strconcat" => concat(args: _*)
+        case "strlength" => length(args.head)
+        case "strtrim" => trim(args.head)
+        case "strsubstring" => args.head.substr(args(1) + lit(1), args(2) - args(1))
+        case _ => sys.error(s"unknown CQL function '$name'")
+      })
+    }
+
+    /** GeoMesa's jsonPath('$.col.segment...') — the first path segment
+      * names the attribute, the rest is the JSON path inside it. Bracket
+      * segments ['name'] (CQL-escaped as [''name'']) carry names with
+      * dots/spaces. */
+    private def jsonPathColumn(path: String): Column = {
+      require(path.startsWith("$."), s"jsonPath must start with '$$.': $path")
+      val segs = Vector.newBuilder[String]
+      var i = 2
+      val n = path.length
+      val cur = new StringBuilder
+      def flush(): Unit = { if (cur.nonEmpty) { segs += cur.toString; cur.clear() } }
+      while (i < n) {
+        val c = path.charAt(i)
+        if (c == '.') { flush(); i += 1 }
+        else if (c == '[') {
+          flush()
+          val close = path.indexOf(']', i)
+          require(close > i, s"unbalanced bracket in jsonPath: $path")
+          val inner = path.substring(i + 1, close).trim
+          val name = inner.stripPrefix("'").stripSuffix("'")
+          segs += name
+          i = close + 1
+        } else { cur += c; i += 1 }
+      }
+      flush()
+      val all = segs.result()
+      require(all.nonEmpty, s"empty jsonPath: $path")
+      val colName = all.head
+      val rest = all.tail
+      if (rest.isEmpty) resolve(colName)
+      else {
+        val jsonPath = rest.map { s =>
+          if (IdentRe.matches(s)) s".$s" else s"['$s']"
+        }.mkString("$", "", "")
+        get_json_object(resolve(colName), jsonPath)
+      }
+    }
+  }
+
+  // ---- instant / period helpers --------------------------------------
+
+  private def parseInstant(s: String): Instant = {
+    val t = s.trim
+    try OffsetDateTime.parse(t).toInstant
+    catch {
+      case _: Exception =>
+        if (t.matches("""\d{4}-\d{2}-\d{2}""")) // date-only → midnight UTC
+          OffsetDateTime.parse(s"${t}T00:00:00Z").toInstant
+        else if (t.matches("""\d{4}-\d{2}-\d{2}T.*""") && !t.matches(""".*(Z|[+-]\d{2}:?\d{2})$"""))
+          OffsetDateTime.parse(s"${t}Z").toInstant // no offset → UTC
+        else sys.error(s"unparseable instant: $s")
+    }
+  }
+
+  /** ISO-8601 period with both date and time parts; accepts the
+    * reference's shorthand T1S (no leading P). */
+  private final case class Iso8601Period(datePart: Period, timePart: Duration, negative: Boolean) {
+    def negated: Iso8601Period = copy(negative = !negative)
+    def approxSeconds: Double = {
+      val d = datePart.getYears * 365.2425 * 86400.0 +
+        datePart.getMonths * 30.436875 * 86400.0 +
+        datePart.getDays * 86400.0
+      val s = d + timePart.getSeconds + timePart.getNano / 1e9
+      if (negative) -s else s
+    }
+  }
+
+  private def parsePeriod(s: String): Iso8601Period = {
+    var t = s.trim
+    val neg = t.startsWith("-")
+    if (neg) t = t.substring(1)
+    if (t.startsWith("T")) t = "P" + t // reference shorthand: T1S
+    require(t.startsWith("P"), s"unparseable ISO period: $s")
+    val tIdx = t.indexOf('T')
+    val (dateStr, timeStr) =
+      if (tIdx < 0) (t, "") else (t.substring(0, tIdx), t.substring(tIdx))
+    val datePart = if (dateStr == "P") Period.ZERO else Period.parse(dateStr)
+    val timePart = if (timeStr.isEmpty) Duration.ZERO else Duration.parse("P" + timeStr)
+    Iso8601Period(datePart, timePart, neg)
+  }
+
+  private def plus(i: Instant, p: Iso8601Period): Instant = {
+    val odt = i.atOffset(ZoneOffset.UTC)
+    val shifted =
+      if (p.negative) odt.minus(p.datePart).minus(p.timePart)
+      else odt.plus(p.datePart).plus(p.timePart)
+    shifted.toInstant
+  }
+
+  private def ts(i: Instant): Timestamp = Timestamp.from(i)
+}
