@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.Cql
+
+/**
+ * The engine's one-stop query object — the analog of the reference's
+ * GeoTools `Query` + GeoMesa query hints (geomesa-index-api/.../conf/
+ * QueryHints.scala:23-62), which is how every reference client asks for
+ * filtering, projection ("transforms"), sorting, limits, sampling, and
+ * the scan-time aggregations (density / stats / BIN). The reference's
+ * QueryPlanner interprets the hints into Accumulo iterator configs;
+ * here each hint maps onto the engine's DataFrame operators, so the
+ * whole request stays ONE Catalyst plan (filter pushdown, partial
+ * aggregation, AQE all apply).
+ *
+ * Semantics per hint (reference file:line):
+ *  - `cql`: ECQL filter (plans/Cql) — ECQL.toFilter analog.
+ *  - `transforms`: "name" or "name=cqlExpression" projections
+ *    (QueryHints.Internal.TRANSFORMS; the reference evaluates GeoTools
+ *    expressions per feature — here they compile to Catalyst columns).
+ *  - `sortBy`: (field, descending) pairs (Internal.SORT_FIELDS).
+ *  - `maxFeatures`: GeoTools Query.getMaxFeatures → limit.
+ *  - `sampling`/`sampleBy`: SAMPLING + SAMPLE_BY (QueryHints.scala:38-39;
+ *    SamplingIterator keeps ~fraction of rows, optionally per key).
+ *    Deterministic analog: every-nth by row_number over (key, id order),
+ *    n = round(1/fraction) — same guarantee the reference documents
+ *    ("at least one per key", stable under re-run).
+ *  - `statsString`: STATS_STRING (QueryHints.scala:31) → StatDsl.parse,
+ *    one aggregated row like StatsScan.
+ *  - `density`: DENSITY_BBOX/WIDTH/HEIGHT/WEIGHT (QueryHints.scala:26-29)
+ *    → cell-grid density at a resolution whose grid is at least
+ *    width x height over the bbox (the reference renders to exactly
+ *    width x height pixels; the cell grid is the engine's raster).
+ *  - `binTrack`...: BIN_TRACK/BIN_GEOM/BIN_DTG (QueryHints.scala:41-46)
+ *    → the wire-compact BIN projection (Stats.binRecords).
+ * Density, stats and BIN are terminal (mutually exclusive), as in the
+ * reference's QueryPlanner.
+ */
+final case class GraftQuery(
+    cql: String = "INCLUDE",
+    transforms: Seq[String] = Nil,
+    sortBy: Seq[(String, Boolean)] = Nil,
+    maxFeatures: Option[Int] = None,
+    sampling: Option[Double] = None,
+    sampleBy: Option[String] = None,
+    statsString: Option[String] = None,
+    density: Option[DensityHint] = None,
+    binTrack: Option[BinHint] = None)
+
+/** DENSITY_* hints: render bbox + pixel grid + optional weight expression. */
+final case class DensityHint(bbox: (Double, Double, Double, Double),
+                             width: Int = 256, height: Int = 256,
+                             weight: Option[String] = None,
+                             lon: String = "lon", lat: String = "lat")
+
+/** BIN_* hints: track id, dtg and geometry columns. */
+final case class BinHint(track: String, dtg: String,
+                         lon: String = "lon", lat: String = "lat")
+
+object QueryRunner {
+
+  /** Run a GraftQuery against a DataFrame (any source: raw parquet,
+    * SpatialTable scan, converter output). `props` resolves CQL
+    * properties (e.g. "geom" -> st_makePoint(lon, lat)); `idColumn`
+    * anchors feature-ID filters and the sampling order. */
+  def run(df: DataFrame, q: GraftQuery,
+          props: Map[String, Column] = Map.empty,
+          idColumn: String = "id"): DataFrame = {
+    require(Seq(q.statsString, q.density, q.binTrack).count(_.isDefined) <= 1,
+      "stats / density / BIN hints are mutually exclusive (reference QueryPlanner semantics)")
+
+    var out = if (q.cql.trim.equalsIgnoreCase("INCLUDE")) df
+              else df.where(Cql.parse(q.cql, props, idColumn))
+
+    q.sampling.foreach { frac =>
+      require(frac > 0 && frac <= 1, s"sampling fraction out of (0,1]: $frac")
+      val n = math.max(1, math.round(1.0 / frac).toInt)
+      val w = q.sampleBy match {
+        case Some(key) => Window.partitionBy(col(key)).orderBy(col(idColumn))
+        case None => Window.partitionBy().orderBy(col(idColumn))
+      }
+      out = out.withColumn("__rn", row_number().over(w))
+        .where((col("__rn") % n) === 1).drop("__rn")
+    }
+
+    (q.statsString, q.density, q.binTrack) match {
+      case (Some(stat), _, _) =>
+        operators.StatDsl.parse(out, stat)
+
+      case (_, Some(d), _) =>
+        val (x0, y0, x1, y1) = d.bbox
+        require(x1 > x0 && y1 > y0, s"degenerate density bbox: ${d.bbox}")
+        // smallest cell resolution whose grid covers the bbox with at
+        // least width x height cells (cells are the raster pixels)
+        val res = (1 to 15).find { r =>
+          val cellDeg = 360.0 / (1 << r)
+          (x1 - x0) / cellDeg >= d.width && (y1 - y0) / cellDeg >= d.height
+        }.getOrElse(15)
+        val weight = d.weight.map(e => Cql.parseExpression(e, props, idColumn))
+        operators.Density.points(
+          out.where(col(d.lon).between(x0, x1) && col(d.lat).between(y0, y1)),
+          d.lon, d.lat, res, weight)
+
+      case (_, _, Some(b)) =>
+        operators.Stats.binRecords(
+          out.withColumn("__millis", unix_millis(col(b.dtg).cast("timestamp"))),
+          b.track, "__millis", b.lon, b.lat)
+
+      case _ =>
+        if (q.transforms.nonEmpty) {
+          val cols = q.transforms.map { t =>
+            t.indexOf('=') match {
+              case -1 => col(t.trim)
+              case i =>
+                val name = t.substring(0, i).trim
+                Cql.parseExpression(t.substring(i + 1).trim, props, idColumn).as(name)
+            }
+          }
+          out = out.select(cols: _*)
+        }
+        if (q.sortBy.nonEmpty)
+          out = out.orderBy(q.sortBy.map { case (f, desc) =>
+            if (desc) col(f).desc else col(f).asc }: _*)
+        q.maxFeatures.foreach(n => out = out.limit(n))
+        out
+    }
+  }
+
+  /** Run against an indexed SpatialTable snapshot (the reference's
+    * DataStore.getFeatureSource(type).getFeatures(query) path): the CQL
+    * spatial conjuncts drive SpatialFilterRule pushdown over the
+    * snapshot scan. */
+  def run(spark: SparkSession, root: String, snapshotId: String, q: GraftQuery,
+          lonCol: String, latCol: String, idColumn: String): DataFrame = {
+    val base = table.SpatialTable.read(spark, root, snapshotId)
+    val props: Map[String, Column] =
+      if (base.columns.contains(lonCol) && base.columns.contains(latCol))
+        Map("geom" -> functions.StFunctions.fn("st_makePoint")(col(lonCol), col(latCol)))
+      else Map.empty
+    run(base, q, props, idColumn)
+  }
+}

@@ -884,6 +884,50 @@ object SparkEntry {
         .selectExpr("event_id",
           "CAST(round(lon, 2) AS DOUBLE) AS lon", "CAST(round(lat, 2) AS DOUBLE) AS lat")
     }),
+
+    "q_cql_indexed" -> ((s, dir) => {
+      // QueryProcess analog end-to-end (process/query/QueryProcess.scala):
+      // the SAME ECQL text against an INDEXED snapshot — the BBOX conjunct
+      // drives the SpatialFilterRule pushdown (PushedFilters + z-ranges +
+      // cell_prefix pruning, like q_rule_scan) and the residual refines
+      StFunctions.register(s)
+      prepareTables(s, dir)
+      val prevRes = s.conf.getOption("spark.graft.index.res")
+      s.conf.set("spark.graft.index.res", "9")
+      try {
+        val df = graft.table.SpatialTable.queryCql(s, tableRoot("rule", dir), "s1",
+            "BBOX(geom, -50, -20, 30, 25) AND value > 20", idColumn = "event_id")
+          .select("event_id")
+        df.cache().count() // optimize + execute while the conf is set
+        df
+      } finally {
+        prevRes match {
+          case Some(v) => s.conf.set("spark.graft.index.res", v)
+          case None => s.conf.unset("spark.graft.index.res")
+        }
+      }
+    }),
+
+    "q_date_offset" -> ((s, dir) =>
+      // DateOffsetProcess analog: exact micros shift, codegen'd
+      operators.Transforms.dateOffset(
+        t(s, dir, "events").select("event_id", "ts"), "ts", "PT26H")),
+
+    "q_hash_attr" -> ((s, dir) =>
+      // HashAttributeProcess analog: deterministic per-row bucket from a
+      // stringified attribute (native JavaHashString expression)
+      operators.Transforms.hashAttribute(
+        t(s, dir, "events").select("event_id", "event_type"), "event_type", 7)),
+
+    "q_query_hints" -> ((s, dir) =>
+      // the Query+hints facade (QueryHints.scala analog): CQL filter +
+      // transform expressions + sort + maxFeatures in one request,
+      // compiled to one Catalyst plan
+      QueryRunner.run(t(s, dir, "events"), GraftQuery(
+        cql = "event_type = 'purchase' AND value > 50",
+        transforms = Seq("event_id", "vt=value * 2", "shout=strToUpperCase(event_type)"),
+        sortBy = Seq(("event_id", false)),
+        maxFeatures = Some(100)), idColumn = "event_id")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1377,6 +1421,25 @@ object SparkEntry {
            |  CAST(round(lat, 2) AS DOUBLE) AS lat FROM pts
            |WHERE lon >= -50 AND lon <= 30 AND lat >= -20 AND lat <= 25
            |  AND value > 20 AND NOT (event_id BETWEEN 100 AND 200)""".stripMargin,
+
+      "q_cql_indexed" ->
+        s"""WITH pts AS ($PtsSql)
+           |SELECT event_id FROM pts
+           |WHERE lon >= -50 AND lon <= 30 AND lat >= -20 AND lat <= 25
+           |  AND value > 20""".stripMargin,
+
+      "q_date_offset" ->
+        "SELECT event_id, ts + INTERVAL 26 HOUR AS ts FROM events",
+
+      "q_hash_attr" ->
+        s"""SELECT event_id, event_type,
+           |  CAST(abs(${OracleGen.jhash("event_type")}) % 7 AS INT) AS hash
+           |FROM events""".stripMargin,
+
+      "q_query_hints" ->
+        """SELECT event_id, value * 2 AS vt, upper(event_type) AS shout FROM events
+          |WHERE event_type = 'purchase' AND value > 50
+          |ORDER BY event_id LIMIT 100""".stripMargin,
     )
   }
 }

@@ -220,8 +220,12 @@ object StFunctions {
     Cells.z3(c.getX, c.getY, millis, BinnedTime.period(period))._2
   }.asInstanceOf[java.lang.Long])
 
-  /** All (name, udf) registrations. Aliases match the reference's names. */
-  val all: Seq[(String, UserDefinedFunction)] = Seq(
+  /** All (name, udf) registrations. Aliases match the reference's names.
+    * Every entry carries its SQL name (`withName`), so Column-API and CQL
+    * applications produce the same named ScalaUDFs the SQL parser does —
+    * SpatialFilterRule / SpatialJoinRewrite match on `udfName`, so
+    * anonymous udf values would silently lose index pushdown. */
+  val all: Seq[(String, UserDefinedFunction)] = Seq[(String, UserDefinedFunction)](
     "st_geomFromWKT" -> stGeomFromWKT, "st_geomFromText" -> stGeomFromWKT,
     "st_geometryFromText" -> stGeomFromWKT, "st_geomFromWKB" -> stGeomFromWKB,
     "st_geomFromGeoJSON" -> stGeomFromGeoJSON,
@@ -269,7 +273,15 @@ object StFunctions {
     "st_cellCentroid" -> stCellCentroid,
     "st_cellEnvelope" -> stCellEnvelope,
     "st_z2" -> stZ2, "st_xz2" -> stXZ2, "st_z3" -> stZ3, "st_z3bin" -> stZ3Bin,
-  )
+  ).map { case (n, f) => n -> f.withName(n) }
+
+  private lazy val byName: Map[String, UserDefinedFunction] =
+    all.map { case (n, f) => n.toLowerCase -> f }.toMap
+
+  /** The NAMED udf for a SQL function name — use this (not the raw vals)
+    * wherever the resulting predicate should be recognizable by the
+    * injected optimizer rules. */
+  def fn(name: String): UserDefinedFunction = byName(name.toLowerCase)
 
   /** Register every function on the session (the analog of the reference's
     * SQLTypes.init, GeoMesaSparkSQL.scala:82). Idempotent. */
@@ -277,16 +289,18 @@ object StFunctions {
     all.foreach { case (name, f) => spark.udf.register(name, f) }
 
   // -- Column API (the analog of the reference's DataFrameFunctions) ----
+  // named forms: predicates built here are visible to the injected
+  // pushdown/join-rewrite rules (matched by udfName)
   object st {
-    def geomFromWKT(c: Column): Column = stGeomFromWKT(c)
-    def makePoint(x: Column, y: Column): Column = stMakePoint(x, y)
-    def makeBBOX(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column = stMakeBBOX(xmin, ymin, xmax, ymax)
-    def intersects(a: Column, b: Column): Column = stIntersects(a, b)
-    def contains(a: Column, b: Column): Column = stContains(a, b)
-    def within(a: Column, b: Column): Column = stWithin(a, b)
-    def distance(a: Column, b: Column): Column = stDistance(a, b)
-    def distanceSphere(a: Column, b: Column): Column = stDistanceSphere(a, b)
-    def dwithin(a: Column, b: Column, m: Column): Column = stDWithin(a, b, m)
+    def geomFromWKT(c: Column): Column = fn("st_geomFromWKT")(c)
+    def makePoint(x: Column, y: Column): Column = fn("st_makePoint")(x, y)
+    def makeBBOX(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column = fn("st_makeBBOX")(xmin, ymin, xmax, ymax)
+    def intersects(a: Column, b: Column): Column = fn("st_intersects")(a, b)
+    def contains(a: Column, b: Column): Column = fn("st_contains")(a, b)
+    def within(a: Column, b: Column): Column = fn("st_within")(a, b)
+    def distance(a: Column, b: Column): Column = fn("st_distance")(a, b)
+    def distanceSphere(a: Column, b: Column): Column = fn("st_distanceSphere")(a, b)
+    def dwithin(a: Column, b: Column, m: Column): Column = fn("st_dwithin")(a, b, m)
     def centroid(c: Column): Column = stCentroid(c)
     def x(c: Column): Column = stX(c)
     def y(c: Column): Column = stY(c)

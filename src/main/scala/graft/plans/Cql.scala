@@ -73,6 +73,13 @@ object Cql {
              idColumn: String = "id"): DataFrame =
     df.where(parse(cql, props, idColumn))
 
+  /** Compile a CQL *expression* (not a predicate) — the grammar the
+    * reference's query transforms use ("derived=strConcat(a, b)"):
+    * arithmetic, literals, property refs, function calls, WKT. */
+  def parseExpression(text: String, props: Map[String, Column] = Map.empty,
+                      idColumn: String = "id"): Column =
+    new Parser(text, props, idColumn).compileExpression()
+
   // ---- lexer ----------------------------------------------------------
 
   private sealed trait Tok { def start: Int; def end: Int }
@@ -172,6 +179,14 @@ object Cql {
       peek match {
         case _: TEof => c
         case t => throw new ParseError(s"trailing input at offset ${t.start} in CQL: $input")
+      }
+    }
+
+    def compileExpression(): Column = {
+      val c = expr()
+      peek match {
+        case _: TEof => c
+        case t => throw new ParseError(s"trailing input at offset ${t.start} in CQL expression: $input")
       }
     }
 
@@ -316,14 +331,14 @@ object Cql {
               s"unsupported CRS '$crs' (engine stores EPSG:4326)")
           }
           expectOp(")")
-          StFunctions.stIntersects(g, lit(G.toWkb(G.bbox(
+          StFunctions.fn("st_intersects")(g, lit(G.toWkb(G.bbox(
             math.min(x1, x2), math.min(y1, y2), math.max(x1, x2), math.max(y1, y2)))))
         case "RELATE" =>
           val a = geomArg(); expectOp(",")
           val b = geomArg(); expectOp(",")
           val pattern = stringLit()
           expectOp(")")
-          StFunctions.stRelateBool(a, b, lit(pattern))
+          StFunctions.fn("st_relateBool")(a, b, lit(pattern))
         case "DWITHIN" | "BEYOND" =>
           val a = geomArg(); expectOp(",")
           val b = geomArg(); expectOp(",")
@@ -343,21 +358,21 @@ object Cql {
             case "statute miles" | "miles" | "mi" => 1609.344
             case u => sys.error(s"unsupported DWITHIN unit '$u'")
           })
-          val within = StFunctions.stDWithin(a, b, lit(meters))
+          val within = StFunctions.fn("st_dwithin")(a, b, lit(meters))
           if (op == "DWITHIN") within else !within
         case name =>
           val a = geomArg(); expectOp(",")
           val b = geomArg()
           expectOp(")")
           name match {
-            case "INTERSECTS" => StFunctions.stIntersects(a, b)
-            case "DISJOINT" => StFunctions.stDisjoint(a, b)
-            case "CONTAINS" => StFunctions.stContains(a, b)
-            case "WITHIN" => StFunctions.stWithin(a, b)
-            case "TOUCHES" => StFunctions.stTouches(a, b)
-            case "CROSSES" => StFunctions.stCrosses(a, b)
-            case "OVERLAPS" => StFunctions.stOverlaps(a, b)
-            case "EQUALS" => StFunctions.stEquals(a, b)
+            case "INTERSECTS" => StFunctions.fn("st_intersects")(a, b)
+            case "DISJOINT" => StFunctions.fn("st_disjoint")(a, b)
+            case "CONTAINS" => StFunctions.fn("st_contains")(a, b)
+            case "WITHIN" => StFunctions.fn("st_within")(a, b)
+            case "TOUCHES" => StFunctions.fn("st_touches")(a, b)
+            case "CROSSES" => StFunctions.fn("st_crosses")(a, b)
+            case "OVERLAPS" => StFunctions.fn("st_overlaps")(a, b)
+            case "EQUALS" => StFunctions.fn("st_equals")(a, b)
           }
       }
     }
@@ -496,7 +511,7 @@ object Cql {
       StFunctions.all.collectFirst {
         case (n, f) if n.equalsIgnoreCase(name) => f(args: _*)
       }.getOrElse(name.toLowerCase match {
-        case "geometrytype" => StFunctions.stGeometryType(args.head)
+        case "geometrytype" => StFunctions.fn("st_geometryType")(args.head)
         case "currentdate" =>
           // currentDate(['-P1D']) — now() shifted by a signed ISO period
           // (geotools FilterFunction_currentDate); micros arithmetic so

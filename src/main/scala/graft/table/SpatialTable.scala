@@ -121,6 +121,29 @@ object SpatialTable {
   }
 
   /**
+   * QueryProcess analog (reference geomesa-process-vector/.../query/
+   * QueryProcess.scala: an ECQL filter handed to the store's query
+   * planner): a CQL text filter evaluated against an indexed snapshot.
+   * The string compiles to ONE Catalyst predicate (plans/Cql), with the
+   * `geom` property resolving to st_makePoint(lon, lat) by default —
+   * exactly the shape SpatialFilterRule recognizes, so a CQL
+   * BBOX/INTERSECTS conjunct yields lon/lat PushedFilters, cell
+   * z-ranges, and cell_prefix directory pruning with no manual readBBox
+   * call (plan-asserted in CqlSpec).
+   */
+  def queryCql(spark: SparkSession, root: String, snapshotId: String, cql: String,
+               lonCol: String = "lon", latCol: String = "lat",
+               idColumn: String = "id",
+               props: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
+    val df = read(spark, root, snapshotId)
+    val defaults: Map[String, org.apache.spark.sql.Column] =
+      if (df.columns.contains(lonCol) && df.columns.contains(latCol))
+        Map("geom" -> StFunctions.fn("st_makePoint")(col(lonCol), col(latCol)))
+      else Map.empty
+    graft.plans.Cql.filter(df, cql, defaults ++ props, idColumn)
+  }
+
+  /**
    * Attribute-index layout — the analog of the reference's
    * AttributeIndex (geomesa-index-api/.../attribute/AttributeIndex
    * .scala:278-372: rows keyed attribute-first with tiered date/z).

@@ -139,6 +139,41 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.res")
   }
 
+  test("SpatialTable.queryCql: an ECQL BBOX string gets the SAME pushdown as a " +
+    "hand-written st_intersects filter (QueryProcess-through-planner analog)") {
+    import spark.implicits._
+    val root = "/tmp/graft_ext_rule_tbl" // written by the previous test's table
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextDouble() * 340 - 170, rnd.nextDouble() * 160 - 80)
+    }.toDF("id", "lon", "lat")
+    graft.table.SpatialTable.write(spark, df, root, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 2, partitions = 4) // no-op if committed
+    spark.conf.set("spark.graft.index.res", "9")
+    try {
+      val q = graft.table.SpatialTable.queryCql(spark, root, "s1",
+        "BBOX(geom, 0, 0, 40, 30) AND id >= 10").select("id")
+      val plan = q.queryExecution.executedPlan.toString
+      // the PushedFilters display truncates after the id predicates, so
+      // assert the lon prefix there and the full bounds in the Filter
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(lon") &&
+        "lon#\\d+ >= 0\\.0".r.findFirstIn(plan).isDefined &&
+        "lat#\\d+ <= 30\\.0".r.findFirstIn(plan).isDefined,
+        s"CQL envelope bounds not pushed:\n$plan")
+      assert("cell#\\d+L >= ".r.findFirstIn(plan).isDefined, s"cell ranges not derived:\n$plan")
+      val scannedPrefixes = q.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+      assert(scannedPrefixes > 0 && scannedPrefixes <= 8,
+        s"expected <=8 pruned partitions, scanned $scannedPrefixes:\n$plan")
+      val expect = df.where(col("lon").between(0, 40) && col("lat").between(0, 30) && col("id") >= 10)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(q.as[Long].collect().sorted.toSeq == expect && expect.nonEmpty)
+    } finally spark.conf.unset("spark.graft.index.res")
+  }
+
   test("SpatialFilterRule: st_dwithin filter derives expanded bounds; OR'd geometries " +
     "compose as OR'd bounds; a non-derivable OR branch disables pruning") {
     mkTables()
