@@ -121,6 +121,95 @@ object SpatialTable {
   }
 
   /**
+   * Composite time+space layout — the analog of the reference FS
+   * datastore's partition schemes (`daily,z2` etc.,
+   * docs/user/filesystem/index_config.rst; geomesa-fs partition-scheme
+   * SPI): rows are directory-partitioned by (time_bin, cell_prefix)
+   * where time_bin is the Z3 epoch bin (BinnedTime), so a query with a
+   * time interval prunes whole day/week/month directories BEFORE the
+   * spatial pruning — at 100 TB a one-week query over a year of data
+   * never lists ~98% of the files. Within files rows stay cell-sorted
+   * for z-range row-group skipping, exactly like `write`.
+   */
+  def writeTemporal(spark: SparkSession, df: DataFrame, root: String, snapshotId: String,
+                    idCol: String, lonCol: String, latCol: String, dtgCol: String,
+                    period: String = "day", res: Int = 9, prefixRes: Int = 4,
+                    salts: Int = 4, partitions: Int = 32): Snapshot = {
+    val snap = Snapshot(snapshotId, root, prefixRes, res, salts)
+    if (isCommitted(spark, root, snapshotId)) return snap
+
+    val indexed = df
+      .withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(res)))
+      .withColumn("cell_prefix", StFunctions.stCellParent(col("cell"), lit(prefixRes)))
+      .withColumn("salt", pmod(xxhash64(col(idCol)), lit(salts)).cast("int"))
+      .withColumn("time_bin", StFunctions.stZ3Bin(
+        unix_millis(col(dtgCol).cast("timestamp")), lit(period)))
+
+    val dataPath = s"$root/data/snapshot=$snapshotId"
+    indexed
+      .repartition(partitions, col("time_bin"), col("cell_prefix"), col("salt"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite")
+      .partitionBy("time_bin", "cell_prefix")
+      .parquet(dataPath)
+
+    val metrics = spark.read.parquet(dataPath)
+      .groupBy("time_bin", "cell_prefix", "salt")
+      .agg(count(lit(1)).as("rows"), min("cell").as("min_cell"), max("cell").as("max_cell"))
+      .withColumn("snapshot", lit(snapshotId))
+    metrics.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/_metrics/snapshot=$snapshotId")
+
+    val manifest =
+      s"""{"snapshot":"$snapshotId","res":$res,"prefix_res":$prefixRes,"salts":$salts,
+         |"period":"$period","dtg":"$dtgCol",
+         |"schema":${ujsonSchema(indexed)}}""".stripMargin
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/_manifests"))
+    writeString(f, s"$root/_manifests/$snapshotId.json", manifest)
+    writeString(f, s"$root/_manifests/$snapshotId.committed", "")
+    snap
+  }
+
+  /**
+   * Spatio-temporal scan over a temporal layout: time_bin directory
+   * pruning (coarsest), cell_prefix directory pruning, z-range row-group
+   * skipping, then the exact dtg + lon/lat refine. Interval is
+   * [startMillis, endMillis).
+   */
+  def readBBoxTime(spark: SparkSession, root: String, snapshotId: String,
+                   bbox: (Double, Double, Double, Double),
+                   startMillis: Long, endMillis: Long,
+                   lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(endMillis > startMillis, s"empty interval: $startMillis..$endMillis")
+    val snap = manifest(spark, root, snapshotId)
+    val m = manifestString(spark, root, snapshotId)
+    val period = """"period":"(\w+)"""".r.findFirstMatchIn(m).map(_.group(1))
+      .getOrElse(throw new IllegalStateException("not a temporal layout (no period in manifest)"))
+    val dtgCol = """"dtg":"(\w+)"""".r.findFirstMatchIn(m).map(_.group(1)).get
+    val p = graft.cells.BinnedTime.period(period)
+    val b0 = graft.cells.BinnedTime.toBinned(p, startMillis).bin.toInt
+    val b1 = graft.cells.BinnedTime.toBinned(p, endMillis - 1).bin.toInt
+    val prefixes = Cells.coverBBox(bbox._1, bbox._2, bbox._3, bbox._4, snap.prefixRes)
+    read(spark, root, snapshotId)
+      .where(col("time_bin").between(b0, b1))
+      .where(col("cell_prefix").isin(prefixes: _*))
+      .where(ZQuery.cellFilter(col("cell"), bbox, snap.res))
+      .where(col(lonCol).between(bbox._1, bbox._3) && col(latCol).between(bbox._2, bbox._4))
+      .where(unix_millis(col(dtgCol).cast("timestamp")).between(startMillis, endMillis - 1))
+  }
+
+  private def manifestString(spark: SparkSession, root: String, snapshotId: String): String = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/_manifests/$snapshotId.json")
+    val in = f.open(p)
+    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes)
+    in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /**
    * QueryProcess analog (reference geomesa-process-vector/.../query/
    * QueryProcess.scala: an ECQL filter handed to the store's query
    * planner): a CQL text filter evaluated against an indexed snapshot.

@@ -58,6 +58,45 @@ class SpatialTableSpec extends AnyFunSuite with SparkTest {
     assert(SpatialTable.isCommitted(spark, root, "s1"))
   }
 
+  test("temporal layout: readBBoxTime equals brute force and prunes time_bin dirs first") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_temporal").toString
+    // 2000 rows spread over ~40 days, lon/lat decorrelated from time
+    val df = (0 until 2000).map { i =>
+      (i.toLong, (i * 7 % 360) - 180.0, (i * 13 % 160) - 80.0,
+        new java.sql.Timestamp(1704067200000L + (i.toLong * 29 % 40) * 86400000L + i * 1234L))
+    }.toDF("id", "lon", "lat", "dtg")
+    SpatialTable.writeTemporal(spark, df, d, "s1", "id", "lon", "lat", "dtg",
+      period = "day", res = 9, prefixRes = 2, salts = 2, partitions = 8)
+
+    val bbox = (-60.0, -30.0, 60.0, 40.0)
+    val t0 = 1704067200000L + 5L * 86400000L  // day 5
+    val t1 = 1704067200000L + 12L * 86400000L // day 12 (exclusive)
+    val got = SpatialTable.readBBoxTime(spark, d, "s1", bbox, t0, t1)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expect = df.where(col("lon").between(bbox._1, bbox._3) &&
+        col("lat").between(bbox._2, bbox._4) &&
+        unix_millis(col("dtg").cast("timestamp")).between(t0, t1 - 1))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == expect && expect.nonEmpty)
+
+    // the 7-day window over 40 days of data must scan far fewer files
+    def files(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val narrow = files(SpatialTable.readBBoxTime(spark, d, "s1", bbox, t0, t1))
+    val all = files(SpatialTable.read(spark, d, "s1"))
+    assert(narrow * 3 < all, s"time pruning ineffective: narrow=$narrow all=$all")
+
+    // resume: idempotent re-write
+    SpatialTable.writeTemporal(spark, df, d, "s1", "id", "lon", "lat", "dtg")
+    assert(SpatialTable.read(spark, d, "s1").count() == 2000)
+  }
+
   test("metrics table carries per-partition lineage") {
     val m = SpatialTable.metricsTable(spark, root)
     assert(m.columns.toSet == Set("cell_prefix", "salt", "rows", "min_cell", "max_cell", "snapshot"))
