@@ -116,6 +116,8 @@ object StFunctions {
   val stRelateBool: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], m: String) =>
     (if (a == null || b == null || m == null) null else java.lang.Boolean.valueOf(g(a).relate(g(b), m))): java.lang.Boolean)
   val stTranslate: UserDefinedFunction = udf((b: Array[Byte], dx: Double, dy: Double) => nn(b)(x => w(G.translate(g(x), dx, dy))).asInstanceOf[Array[Byte]])
+  /** Per-geometry convex hull (reference SpatialRelationFunctions.scala:113). */
+  val stConvexHull: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(g(x).convexHull())).asInstanceOf[Array[Byte]])
 
   val stArea: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => g(x).getArea).asInstanceOf[java.lang.Double])
   val stCentroid: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(g(x).getCentroid)).asInstanceOf[Array[Byte]])
@@ -251,6 +253,7 @@ object StFunctions {
     "st_disjoint" -> stDisjoint, "st_equals" -> stEquals, "st_intersects" -> stIntersects,
     "st_overlaps" -> stOverlaps, "st_touches" -> stTouches, "st_within" -> stWithin,
     "st_relate" -> stRelate, "st_relateBool" -> stRelateBool, "st_translate" -> stTranslate,
+    "st_convexHull" -> stConvexHull,
     "st_area" -> stArea, "st_centroid" -> stCentroid, "st_closestPoint" -> stClosestPoint,
     "st_distance" -> stDistance, "st_distanceSphere" -> stDistanceSphere,
     "st_distanceSpheroid" -> stDistanceSpheroid,

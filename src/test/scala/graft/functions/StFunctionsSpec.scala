@@ -86,6 +86,20 @@ class StFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(spark.sql(s"select st_relateBool($boxRef, $boxRef, 'T*F**FFF*') as b").head.getBoolean(0))
   }
 
+  test("st_convexhull: hull of a concave ring is its bounding triangle-free hull") {
+    init
+    // L-shaped polygon: hull vertices (0 0),(10 0),(10 5),(5 10),(0 10)
+    // fill the cut corner -> area 100 - 12.5 = 87.5
+    val r = spark.sql(
+      """select st_area(st_convexhull(st_geomFromWKT(
+        |  'POLYGON((0 0, 10 0, 10 5, 5 5, 5 10, 0 10, 0 0))'))) as a,
+        |  st_asText(st_convexhull(st_geomFromWKT('MULTIPOINT((0 0),(4 0),(2 9),(2 3))'))) as h,
+        |  st_convexhull(null) as n""".stripMargin).head
+    assert(math.abs(r.getDouble(0) - 87.5) < 1e-9)
+    assert(r.getString(1) == "POLYGON ((0 0, 2 9, 4 0, 0 0))" || r.getString(1) == "POLYGON ((0 0, 4 0, 2 9, 0 0))")
+    assert(r.isNullAt(2))
+  }
+
   test("constructors, accessors, outputs round-trip") {
     val r = spark.sql(
       """select st_asText(st_makePoint(1.5, 2.5)) as wkt,
