@@ -78,12 +78,30 @@ object QueryRunner {
     q.sampling.foreach { frac =>
       require(frac > 0 && frac <= 1, s"sampling fraction out of (0,1]: $frac")
       val n = math.max(1, math.round(1.0 / frac).toInt)
-      val w = q.sampleBy match {
-        case Some(key) => Window.partitionBy(col(key)).orderBy(col(idColumn))
-        case None => Window.partitionBy().orderBy(col(idColumn))
+      // (__rn - 1) % n == 0 keeps rows 1, n+1, 2n+1, ... and — unlike
+      // `__rn % n == 1` — still keeps EVERY row when n == 1 (fractions
+      // in (2/3, 1] round to n = 1, where x % 1 == 1 never holds)
+      if (n > 1) out = q.sampleBy match {
+        case Some(key) =>
+          // per-key every-nth: the window distributes across keys
+          val w = Window.partitionBy(col(key)).orderBy(col(idColumn))
+          out.withColumn("__rn", row_number().over(w))
+            .where(((col("__rn") - 1) % n) === 0).drop("__rn")
+        case None =>
+          // global every-nth by id order. A keyless window would funnel
+          // the whole table through ONE task; instead range-partition by
+          // id and derive the global position as partition-prefix offset
+          // + local index (zipWithIndex's two-pass scheme) — exact same
+          // row set, computed distributively.
+          val spark = out.sparkSession
+          val schema = out.schema
+          val parts = math.max(out.rdd.getNumPartitions, 1)
+          val sorted = out.repartitionByRange(parts, col(idColumn))
+            .sortWithinPartitions(idColumn)
+          spark.createDataFrame(
+            sorted.rdd.zipWithIndex().collect { case (r, i) if i % n == 0 => r },
+            schema)
       }
-      out = out.withColumn("__rn", row_number().over(w))
-        .where((col("__rn") % n) === 1).drop("__rn")
     }
 
     (q.statsString, q.density, q.binTrack) match {

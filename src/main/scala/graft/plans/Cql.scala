@@ -391,6 +391,13 @@ object Cql {
       var depth = 0
       var endOff = kw.end
       var done = false
+      // EMPTY geometries: keyword followed by EMPTY, no parens
+      // ("POINT EMPTY" — GeoTools WKT accepts these)
+      peek match {
+        case TIdent(e, _, end) if e.equalsIgnoreCase("EMPTY") =>
+          endOff = end; pos += 1; done = true
+        case _ =>
+      }
       while (!done) {
         peek match {
           case TOp("(", _, e) => depth += 1; endOff = e; pos += 1
@@ -399,11 +406,10 @@ object Cql {
             if (depth == 0) done = true
           case t: TEof => fail("unterminated WKT literal")
           case t =>
-            require(depth > 0, s"expected '(' in WKT literal at offset ${t.start}")
+            if (depth == 0) fail(s"expected '(' in WKT literal at offset ${t.start}")
             endOff = t.end; pos += 1
         }
       }
-      // EMPTY geometries: keyword followed by EMPTY, no parens
       lit(G.toWkb(G.fromWkt(input.substring(kw.start, endOff))))
     }
 

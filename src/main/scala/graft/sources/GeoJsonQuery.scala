@@ -119,9 +119,14 @@ object GeoJsonQuery {
         val in = fs.open(padPath)
         val pad = try mapper.readTree(new String(in.readAllBytes(), "UTF-8")) finally in.close()
         val (w, h) = (pad.get("max_w").asDouble, pad.get("max_h").asDouble)
-        SpatialTable.readBBox(spark, root, snapshotId,
-          (math.max(-180.0, x0 - w), math.max(-90.0, y0 - h),
-            math.min(180.0, x1 + w), math.min(90.0, y1 + h)))
+        val box = (math.max(-180.0, x0 - w), math.max(-90.0, y0 - h),
+          math.min(180.0, x1 + w), math.min(90.0, y1 + h))
+        // disjoint spatial conjuncts intersect to an INVERTED envelope —
+        // provably no match (pad(A∩B) = pad(A)∩pad(B) for axis-aligned
+        // boxes), and coverBBox would throw on a negative span
+        if (box._1 > box._3 || box._2 > box._4)
+          SpatialTable.read(spark, root, snapshotId).limit(0)
+        else SpatialTable.readBBox(spark, root, snapshotId, box)
       case None => SpatialTable.read(spark, root, snapshotId)
     }
     base.where(compile(queryJson, geomCol, propsCol)).select(geomCol, propsCol)

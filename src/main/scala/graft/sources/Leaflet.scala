@@ -28,7 +28,11 @@ object Leaflet {
 
   def write(df: DataFrame, geomCol: String, path: String, maxFeatures: Int = 10000): Unit = {
     val props = df.columns.filterNot(_ == geomCol)
-    val features = df.where(col(geomCol).isNotNull) // null geometries have no place on a map
+    // null/EMPTY geometries have no place on a map: an empty geometry's
+    // centroid has NaN coordinates, which would plant a bogus (0,0)
+    // heat-layer point after rounding (Gml.write skips empties the same way)
+    val features = df.where(col(geomCol).isNotNull &&
+        !StFunctions.stIsEmpty(col(geomCol)))
       .select(
         StFunctions.stAsGeoJSON(col(geomCol)).as("g"),
         to_json(struct(props.map(col): _*)).as("p"),

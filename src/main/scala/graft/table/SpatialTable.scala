@@ -113,12 +113,25 @@ object SpatialTable {
                bbox: (Double, Double, Double, Double),
                lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
     val snap = manifest(spark, root, snapshotId)
-    val prefixes = Cells.coverBBox(bbox._1, bbox._2, bbox._3, bbox._4, snap.prefixRes)
-    read(spark, root, snapshotId)
-      .where(col("cell_prefix").isin(prefixes: _*))
+    prefixPrune(read(spark, root, snapshotId), bbox, snap.prefixRes)
       .where(ZQuery.cellFilter(col("cell"), bbox, snap.res))
       .where(col(lonCol).between(bbox._1, bbox._3) && col(latCol).between(bbox._2, bbox._4))
   }
+
+  /**
+   * cell_prefix directory pruning, SOUND under large covers: coverBBox
+   * coarsens its resolution when a bbox needs more than maxCells cells,
+   * and coarsened cells are packed at a different res than the stored
+   * cell_prefix column — an isin against them matches NOTHING (silent
+   * empty result). When the cover at exactly prefixRes would overflow,
+   * skip directory pruning instead (the z-range + exact refine still
+   * apply; a near-world box prunes nothing anyway).
+   */
+  private def prefixPrune(df: DataFrame, bbox: (Double, Double, Double, Double),
+                          prefixRes: Int, maxCells: Int = 4096): DataFrame =
+    if (Cells.coverCountBBox(bbox._1, bbox._2, bbox._3, bbox._4, prefixRes) > maxCells) df
+    else df.where(col("cell_prefix").isin(
+      Cells.coverBBox(bbox._1, bbox._2, bbox._3, bbox._4, prefixRes, maxCells): _*))
 
   /**
    * Composite time+space layout — the analog of the reference FS
@@ -184,16 +197,14 @@ object SpatialTable {
     require(endMillis > startMillis, s"empty interval: $startMillis..$endMillis")
     val snap = manifest(spark, root, snapshotId)
     val m = manifestString(spark, root, snapshotId)
-    val period = """"period":"(\w+)"""".r.findFirstMatchIn(m).map(_.group(1))
+    val period = """"period":"([^"]+)"""".r.findFirstMatchIn(m).map(_.group(1))
       .getOrElse(throw new IllegalStateException("not a temporal layout (no period in manifest)"))
-    val dtgCol = """"dtg":"(\w+)"""".r.findFirstMatchIn(m).map(_.group(1)).get
+    val dtgCol = """"dtg":"([^"]+)"""".r.findFirstMatchIn(m).map(_.group(1)).get
     val p = graft.cells.BinnedTime.period(period)
     val b0 = graft.cells.BinnedTime.toBinned(p, startMillis).bin.toInt
     val b1 = graft.cells.BinnedTime.toBinned(p, endMillis - 1).bin.toInt
-    val prefixes = Cells.coverBBox(bbox._1, bbox._2, bbox._3, bbox._4, snap.prefixRes)
-    read(spark, root, snapshotId)
+    prefixPrune(read(spark, root, snapshotId), bbox, snap.prefixRes)
       .where(col("time_bin").between(b0, b1))
-      .where(col("cell_prefix").isin(prefixes: _*))
       .where(ZQuery.cellFilter(col("cell"), bbox, snap.res))
       .where(col(lonCol).between(bbox._1, bbox._3) && col(latCol).between(bbox._2, bbox._4))
       .where(unix_millis(col(dtgCol).cast("timestamp")).between(startMillis, endMillis - 1))
@@ -343,13 +354,7 @@ object SpatialTable {
     spark.read.parquet(s"$root/_metrics")
 
   def manifest(spark: SparkSession, root: String, snapshotId: String): Snapshot = {
-    val f = fs(spark, root)
-    val p = new Path(s"$root/_manifests/$snapshotId.json")
-    val in = f.open(p)
-    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-    in.readFully(bytes)
-    in.close()
-    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val s = manifestString(spark, root, snapshotId)
     def intField(name: String): Int =
       s""""$name":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
         .getOrElse(throw new IllegalStateException(s"manifest missing $name"))

@@ -98,6 +98,11 @@ class CqlSpec extends AnyFunSuite with Matchers with SparkTest {
     ids(people, "RELATE(geom, POINT (10 10), 'T*F**FFF*')") shouldBe Set(2L) // equals pattern
   }
 
+  test("WKT EMPTY literals (keyword + EMPTY, no parens) parse like GeoTools") {
+    ids(people, "INTERSECTS(geom, POINT EMPTY)") shouldBe Set.empty
+    ids(people, "DISJOINT(geom, MULTIPOLYGON EMPTY)") shouldBe Set(1L, 2L, 3L, 4L)
+  }
+
   test("DWITHIN / BEYOND with unit conversion") {
     // ~157km between (0,0) and (1,1) geodesically
     ids(people, "DWITHIN(geom, POINT (1 1), 200000, meters)") shouldBe Set(1L)

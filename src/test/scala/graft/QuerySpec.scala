@@ -41,6 +41,11 @@ class QuerySpec extends AnyFunSuite with Matchers with SparkTest {
     val byKey = QueryRunner.run(df, GraftQuery(sampling = Some(0.02), sampleBy = Some("user")))
     val keys = byKey.select("user").distinct().as[String].collect().toSet
     keys shouldBe (0 until 7).map(i => s"u$i").toSet // at least one per key
+
+    // fractions that round to n = 1 keep EVERY row (regression: rn % 1 == 1
+    // never held, so 1.0 / 0.8 silently dropped the whole table)
+    QueryRunner.run(df, GraftQuery(sampling = Some(1.0))).count() shouldBe 300
+    QueryRunner.run(df, GraftQuery(sampling = Some(0.8), sampleBy = Some("user"))).count() shouldBe 300
   }
 
   test("statsString hint is terminal: one aggregated row like StatsScan") {

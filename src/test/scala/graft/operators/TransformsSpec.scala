@@ -55,6 +55,18 @@ class TransformsSpec extends AnyFunSuite with Matchers with SparkTest {
     out.values.foreach { h => h should be >= 0; h should be < 7 }
   }
 
+  test("hashAttribute stays in [0, modulo) even for hashCode == Int.MinValue") {
+    // "polygenelubricants".hashCode == Int.MinValue, where 32-bit abs is
+    // a no-op and the bucket would go NEGATIVE without the long widening
+    "polygenelubricants".hashCode shouldBe Int.MinValue
+    val weird = Seq((1L, "polygenelubricants")).toDF("id", "kind")
+    val h = Transforms.hashAttribute(weird, "kind", 7).select("hash").as[Int].head()
+    h shouldBe (math.abs(Int.MinValue.toLong) % 7).toInt
+    h should be >= 0
+    val c = Transforms.hashAttributeColor(weird, "kind", 7).select("hash").as[String].head()
+    c should startWith("#")
+  }
+
   test("hashAttribute stringifies non-string attributes like the reference's _.toString") {
     val out = Transforms.hashAttribute(df, "id", 5).select("id", "hash")
       .as[(Long, Int)].collect().toMap

@@ -141,6 +141,13 @@ class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
     val pruned = files(GeoJsonQuery.queryIndexed(spark, root, "docs",
       """{"geometry":{"$bbox":[0,-10,20,10]}}"""))
     assert(pruned < all, s"pruned=$pruned all=$all")
+
+    // disjoint spatial conjuncts intersect to an inverted envelope:
+    // a legitimate empty result, not a NegativeArraySizeException
+    val disjoint =
+      """{"geometry":{"$bbox":[0,0,10,10],
+        |"$intersects":{"$geometry":{"type":"Point","coordinates":[120,50]}}}}""".stripMargin
+    assert(GeoJsonQuery.queryIndexed(spark, root, "docs", disjoint).count() == 0L)
   }
 
   test("a GeoJSON store joins spatially like any WKB table") {

@@ -36,6 +36,30 @@ class SpatialTableSpec extends AnyFunSuite with SparkTest {
     assert(brute.nonEmpty)
   }
 
+  test("high prefixRes + near-world bbox: pruning is SKIPPED, not silently wrong") {
+    // at prefixRes 8 a world-sized bbox needs 65536 prefix cells > the
+    // 4096 cap; coverBBox would coarsen and the coarse cells (packed at
+    // a lower res) match NO stored cell_prefix — the guard must fall
+    // back to an unpruned scan instead of returning an empty result
+    val d = java.nio.file.Files.createTempDirectory("graft_table_hr").toString
+    val df = SyntheticImages.geoTable(spark, 500, partitions = 2).drop("bytes")
+    SpatialTable.write(spark, df, d, "hr", "image_id", "lon", "lat",
+      res = 12, prefixRes = 8, salts = 2, partitions = 4)
+    val bbox = (-179.0, -89.0, 179.0, 89.0)
+    val got = SpatialTable.readBBox(spark, d, "hr", bbox)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    val brute = SpatialTable.read(spark, d, "hr")
+      .where(col("lon").between(bbox._1, bbox._3) && col("lat").between(bbox._2, bbox._4))
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
+    // a small bbox at the same prefixRes still prunes
+    val small = SpatialTable.readBBox(spark, d, "hr", (-80.0, 30.0, -70.0, 45.0))
+    val brute2 = SpatialTable.read(spark, d, "hr")
+      .where(col("lon").between(-80.0, -70.0) && col("lat").between(30.0, 45.0))
+    assert(small.count() == brute2.count())
+  }
+
   test("bbox read scans fewer files than a full scan (partition pruning)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
