@@ -43,8 +43,17 @@ final case class XZ2(g: Int) {
     val nymin = norm(latMin, -90, 90);   val nymax = norm(latMax, -90, 90)
     val w = math.max(nxmax - nxmin, nymax - nymin)
     // deepest level whose cell width >= element max dim (so the 2x
-    // enlarged cell anchored at the min corner's cell contains it)
-    val l = if (w <= 0) g else math.min(g, math.floor(-math.log(math.max(w, math.pow(0.5, g))) / math.log(2.0)).toInt)
+    // enlarged cell anchored at the min corner's cell contains it) —
+    // then try one level deeper (the XZ paper's "l1 or l1+1" rule,
+    // section 4.1): the element often still fits the smaller cell's
+    // enlarged extent, and the deeper anchor halves false positives
+    val l1 = if (w <= 0) g else math.min(g, math.floor(-math.log(math.max(w, math.pow(0.5, g))) / math.log(2.0)).toInt)
+    val l = if (l1 >= g) g else {
+      val w2 = math.pow(0.5, l1 + 1)
+      def fits(min: Double, max: Double): Boolean =
+        max <= math.floor(min / w2) * w2 + 2 * w2
+      if (fits(nxmin, nxmax) && fits(nymin, nymax)) l1 + 1 else l1
+    }
     sequenceCode(nxmin, nymin, l)
   }
 

@@ -36,9 +36,18 @@ final case class XZ3(g: Int, period: BinnedTime.Period) {
     val ny0 = norm(latMin, -90, 90);   val ny1 = norm(latMax, -90, 90)
     val nt0 = norm(offLo.toDouble, 0, maxOffset); val nt1 = norm(offHi.toDouble, 0, maxOffset)
     val w = math.max(math.max(nx1 - nx0, ny1 - ny0), nt1 - nt0)
-    val l =
+    // "l1 or l1+1" anchor-level rule like XZ2.index (and the reference's
+    // XZ3SFC): prefer the deeper level when the element still fits its
+    // enlarged cell there
+    val l1 =
       if (w <= 0) g
       else math.min(g, math.floor(-math.log(math.max(w, math.pow(0.5, g))) / math.log(2.0)).toInt)
+    val l = if (l1 >= g) g else {
+      val w2 = math.pow(0.5, l1 + 1)
+      def fits(min: Double, max: Double): Boolean =
+        max <= math.floor(min / w2) * w2 + 2 * w2
+      if (fits(nx0, nx1) && fits(ny0, ny1) && fits(nt0, nt1)) l1 + 1 else l1
+    }
     sequenceCode(nx0, ny0, nt0, l)
   }
 

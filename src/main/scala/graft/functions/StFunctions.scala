@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
-import org.locationtech.jts.geom.{Geometry, LineString, Point, Polygon, Coordinate}
+import org.locationtech.jts.geom.{Geometry, LineString, MultiLineString, Point, Polygon, Coordinate}
 import graft.geom.{GeomOps => G, GeoJson}
 import graft.cells.{Cells, XZ2, BinnedTime}
 
@@ -35,7 +35,7 @@ object StFunctions {
   val stGeomFromWKB: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(g(x))).asInstanceOf[Array[Byte]])
   val stGeomFromGeoJSON: UserDefinedFunction = udf((s: String) => nn(s)(x => w(graft.geom.GeoJson.read(x))).asInstanceOf[Array[Byte]])
   val stMakePoint: UserDefinedFunction = udf((x: Double, y: Double) => w(G.point(x, y)))
-  val stMakePointM: UserDefinedFunction = udf((x: Double, y: Double, m: Double) => w(G.point(x, y)))
+  val stMakePointM: UserDefinedFunction = udf((x: Double, y: Double, m: Double) => G.toWkb3(G.pointM(x, y, m)))
   val stMakeBBOX: UserDefinedFunction = udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) => w(G.bbox(xmin, ymin, xmax, ymax)))
   val stMakeBox2D: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) => nn2(a, b) { (x, y) =>
     val p1 = g(x).asInstanceOf[Point]; val p2 = g(y).asInstanceOf[Point]
@@ -53,8 +53,14 @@ object StFunctions {
   val stPointFromText: UserDefinedFunction = udf((s: String) => nn(s)(x => w(G.fromWkt(x).asInstanceOf[Point])).asInstanceOf[Array[Byte]])
   val stPolygonFromText: UserDefinedFunction = udf((s: String) => nn(s)(x => w(G.fromWkt(x).asInstanceOf[Polygon])).asInstanceOf[Array[Byte]])
   val stPointFromWKB: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(g(x).asInstanceOf[Point])).asInstanceOf[Array[Byte]])
-  val stGeomFromGeoHash: UserDefinedFunction = udf((s: String) => nn(s)(x => w(G.geohashGeom(x))).asInstanceOf[Array[Byte]])
-  val stPointFromGeoHash: UserDefinedFunction = udf((s: String) => nn(s)(x => w(G.geohashCentroid(x))).asInstanceOf[Array[Byte]])
+  // 2-arg like the reference (geohash, precision-in-bits): the hash is
+  // truncated to prec/5 characters before decoding
+  private def hashPrefix(s: String, precBits: Int): String =
+    s.substring(0, math.min(s.length, math.max(1, precBits / 5)))
+  val stGeomFromGeoHash: UserDefinedFunction = udf((s: String, prec: Int) =>
+    nn(s)(x => w(G.geohashGeom(hashPrefix(x, prec)))).asInstanceOf[Array[Byte]])
+  val stPointFromGeoHash: UserDefinedFunction = udf((s: String, prec: Int) =>
+    nn(s)(x => w(G.geohashCentroid(hashPrefix(x, prec)))).asInstanceOf[Array[Byte]])
 
   // -- accessors --------------------------------------------------------
   val stBoundary: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(g(x).getBoundary)).asInstanceOf[Array[Byte]])
@@ -73,7 +79,11 @@ object StFunctions {
     }
   }.asInstanceOf[Array[Byte]])
   val stIsClosed: UserDefinedFunction = udf((b: Array[Byte]) => nn(b) { x =>
-    g(x) match { case l: LineString => l.isClosed; case _ => true }
+    g(x) match {
+      case l: LineString => l.isClosed
+      case m: MultiLineString => m.isClosed // closed iff EVERY component is
+      case _ => true
+    }
   }.asInstanceOf[java.lang.Boolean])
   val stIsCollection: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => g(x).getNumGeometries > 1 || g(x).getGeometryType.startsWith("Multi") || g(x).getGeometryType == "GeometryCollection").asInstanceOf[java.lang.Boolean])
   val stIsEmpty: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => g(x).isEmpty).asInstanceOf[java.lang.Boolean])
@@ -146,7 +156,11 @@ object StFunctions {
   }.asInstanceOf[java.lang.Double])
 
   val stBuffer: UserDefinedFunction = udf((b: Array[Byte], d: Double) => nn(b)(x => w(g(x).buffer(d))).asInstanceOf[Array[Byte]])
-  val stBufferPoint: UserDefinedFunction = udf((b: Array[Byte], meters: Double) => nn(b)(x => w(G.bufferPointMeters(g(x), meters))).asInstanceOf[Array[Byte]])
+  // antimeridianSafe like the reference (GeometricProcessingFunctions
+  // .scala:38 pipes the circle through ST_antimeridianSafeGeom), so a
+  // buffer near ±180 wraps into both hemispheres
+  val stBufferPoint: UserDefinedFunction = udf((b: Array[Byte], meters: Double) =>
+    nn(b)(x => w(G.antimeridianSafe(G.bufferPointMeters(g(x), meters)))).asInstanceOf[Array[Byte]])
   val stAntimeridianSafeGeom: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(G.antimeridianSafe(g(x)))).asInstanceOf[Array[Byte]])
   val stIntersection: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) => nn2(a, b)((x, y) => w(g(x).intersection(g(y)))).asInstanceOf[Array[Byte]])
   val stDWithin: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], meters: Double) =>
@@ -233,7 +247,9 @@ object StFunctions {
     "st_geomFromGeoJSON" -> stGeomFromGeoJSON,
     "st_makePoint" -> stMakePoint, "st_point" -> stMakePoint, "st_makePointM" -> stMakePointM,
     "st_makeBBOX" -> stMakeBBOX, "st_makeBox2D" -> stMakeBox2D,
-    "st_makePolygon" -> stMakePolygon, "st_polygon" -> stCastToPolygon,
+    // st_polygon is the line->polygon CONSTRUCTOR, not a cast
+    // (reference GeometricConstructorFunctions.scala:45)
+    "st_makePolygon" -> stMakePolygon, "st_polygon" -> stMakePolygon,
     "st_makeLine" -> stMakeLine, "st_lineFromText" -> stLineFromText,
     "st_pointFromText" -> stPointFromText, "st_polygonFromText" -> stPolygonFromText,
     "st_pointFromWKB" -> stPointFromWKB,

@@ -29,6 +29,12 @@ object GeomOps {
   def toWkt(g: Geometry): String = if (g == null) null else wktWriter.get.write(g)
 
   def point(x: Double, y: Double): Geometry = factory.createPoint(new Coordinate(x, y))
+  /** 3D point (m stored as z) + a 3-dim WKB writer for it — only
+    * st_makePointM produces these; WKBReader reads them back fine. */
+  def pointM(x: Double, y: Double, m: Double): Geometry =
+    factory.createPoint(new Coordinate(x, y, m))
+  private val wkbWriter3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3))
+  def toWkb3(g: Geometry): Array[Byte] = if (g == null) null else wkbWriter3.get.write(g)
 
   def bbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Geometry =
     factory.toGeometry(new Envelope(xmin, xmax, ymin, ymax))
@@ -265,15 +271,19 @@ object GeomOps {
     bbox(x0, y0, x1, y1)
   }
 
-  /** Degrees-minutes-seconds rendering (st_asLatLonText semantics). */
+  /**
+   * Degrees-minutes-seconds rendering, byte-for-byte the reference's
+   * (GeometricOutputFunctions.scala:50-64): degrees come from FLOOR, so
+   * -76.5 renders 77°30'W (not 76°30'W) — minutes/seconds measure the
+   * distance up from the floored degree, exactly like the reference.
+   */
   def asLatLonText(lon: Double, lat: Double): String = {
     def dms(v: Double, pos: Char, neg: Char): String = {
-      val h = if (v >= 0) pos else neg
-      val a = math.abs(v)
-      val d = a.toInt
-      val m = ((a - d) * 60).toInt
-      val s = ((a - d) * 60 - m) * 60
-      f"$d%d°$m%d'$s%06.3f\"$h"
+      val d = math.floor(v)
+      val dec = v - d
+      val m = math.floor(dec * 60)
+      val s = (dec * 60 - m) * 60
+      f"${math.abs(d)}%1.0f°$m%1.0f'$s%1.3f" + "\"" + (if (d < 0) neg else pos)
     }
     s"${dms(lat, 'N', 'S')} ${dms(lon, 'E', 'W')}"
   }
