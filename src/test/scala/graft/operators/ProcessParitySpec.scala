@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+import graft.geom.{GeomOps => G}
+
+/**
+ * Ports the reference's process-level test fixtures:
+ *
+ *  - KNearestNeighborSearchProcessTest.scala (:52-210, accumulo module):
+ *    the UVA-pavilion cluster + 1000 seeded random points around
+ *    Staunton, with the EXACT expected neighbor ordering from the
+ *    "madison" query point, the 400 m/10 km radius counts, and the
+ *    ignore-rules for empty/sparse queries.
+ *  - ProximitySearchProcessTest.scala (:30-80): query points planted at
+ *    exactly 99 m from the data points; pair counts flip from 0 to 6 at
+ *    the 99 m boundary.
+ *
+ * The reference measures geodesic meters; our operators use spherical
+ * (haversine) meters. At these fixtures' scales the orderings agree;
+ * the proximity query points are planted at 99 m in OUR metric so the
+ * boundary assertions test the operator, not the ellipsoid model.
+ */
+class ProcessParitySpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // KNearestNeighborSearchProcessTest.scala:52-66
+  private val cluster = Seq(
+    ("rotunda", -78.503547, 38.035475),
+    ("pavilion I", -78.503923, 38.035536),
+    ("pavilion III", -78.504059, 38.035308),
+    ("pavilion V", -78.504276, 38.034971),
+    ("pavilion VII", -78.504424, 38.034628),
+    ("pavilion IX", -78.504617, 38.034208),
+    ("pavilion X", -78.503833, 38.033938),
+    ("pavilion VIII", -78.503601, 38.034343),
+    ("pavilion VI", -78.503424, 38.034721),
+    ("pavilion IV", -78.503180, 38.035039),
+    ("pavilion II", -78.503109, 38.035278),
+    ("cabell", -78.505152, 38.032704),
+    ("beams", -78.510295, 38.034283),
+    ("mccormick", -78.522288, 38.032844),
+    ("hep", -78.520019, 38.034511))
+
+  // generateTestData(1000, 38.149894, -79.073639, 0.30) with Random(0):
+  // per point, lon consumes the first nextDouble, lat the second
+  private val distributed: Seq[(String, Double, Double)] = {
+    val rng = new scala.util.Random(0)
+    (1 to 1000).map { i =>
+      val lon = -79.073639 + 0.30 * (rng.nextDouble() - 0.5)
+      val lat = 38.149894 + 0.30 * (rng.nextDouble() - 0.5)
+      ((100000 + i).toString, lon, lat)
+    }
+  }
+
+  private lazy val dataDf =
+    (cluster ++ distributed).toDF("id", "lon", "lat").cache()
+
+  private def knnFrom(qid: String, qlon: Double, qlat: Double, k: Int) = {
+    val queries = Seq((qid, qlon, qlat)).toDF("qid", "qlon", "qlat")
+    KnnJoin(spark, dataDf, "lon", "lat", queries, "qid", "qlon", "qlat",
+      k, res = 9, tieBreakCols = Seq("id"))
+  }
+
+  test("knn: nothing within 10 km of fan mountain (reference: k=5, maxDist 10000 -> 0)") {
+    val got = knnFrom("fan mountain", -78.692649, 37.878219, k = 5)
+      .where(col("dist") <= 10000.0)
+    assert(got.count() == 0)
+  }
+
+  test("knn: 11 points within 400 m of madison at k=15 (reference count)") {
+    val got = knnFrom("madison", -78.502720, 38.036871, k = 15)
+      .where(col("dist") <= 400.0)
+    assert(got.count() == 11)
+  }
+
+  test("knn: neighbor ORDER around Charlottesville matches the reference list exactly") {
+    // KNearestNeighborSearchProcessTest.scala:186-207
+    val expected = Seq("rotunda", "pavilion II", "pavilion I", "pavilion IV",
+      "pavilion III", "pavilion VI", "pavilion V", "pavilion VII",
+      "pavilion VIII", "pavilion IX", "pavilion X", "cabell", "beams",
+      "hep", "mccormick")
+    val got = knnFrom("madison", -78.502720, 38.036871, k = 15)
+      .where(col("dist") <= 2500.0)
+      .orderBy("dist")
+      .select("id").as[String].collect().toSeq
+    assert(got == expected, s"got $got")
+  }
+
+  test("knn: three query points, one sparse, still returns results; empty queries return none") {
+    val queries = Seq(
+      ("madison", -78.502720, 38.036871),
+      ("fan mountain", -78.692649, 37.878219),
+      ("blackfriars", -79.070569, 38.149185)).toDF("qid", "qlon", "qlat")
+    val got = KnnJoin(spark, dataDf, "lon", "lat", queries, "qid", "qlon", "qlat",
+      k = 5, res = 9).where(col("dist") <= 5000.0)
+    assert(got.count() > 0)
+    val none = KnnJoin(spark, dataDf, "lon", "lat",
+      Seq.empty[(String, Double, Double)].toDF("qid", "qlon", "qlat"),
+      "qid", "qlon", "qlat", k = 100, res = 9)
+    assert(none.count() == 0)
+  }
+
+  test("proximity search: pair count flips 0 -> 6 at the 99 m boundary (ProximitySearchProcessTest)") {
+    // data: a/b copies at (45,45)..(48,48); queries planted 99 m east of
+    // the first three anchors in OUR spherical metric (binary search)
+    val data = (for {
+      name <- Seq("a", "b"); v <- Seq(45.0, 46.0, 47.0, 48.0)
+    } yield (s"$name$v", v, v)).toDF("id", "lon", "lat")
+      .selectExpr("id", "st_makePoint(lon, lat) AS geom")
+
+    def eastAt(lon: Double, lat: Double, meters: Double): Double = {
+      var lo = 0.0; var hi = 0.01
+      val from = G.point(lon, lat)
+      (0 until 60).foreach { _ =>
+        val mid = (lo + hi) / 2
+        if (G.distanceSphereMeters(from, G.point(lon + mid, lat)) < meters) lo = mid else hi = mid
+      }
+      lon + (lo + hi) / 2
+    }
+    graft.functions.StFunctions.register(spark)
+    val queries = Seq(45.0, 46.0, 47.0).map(v => (s"q$v", eastAt(v, v, 99.0), v))
+      .toDF("qid", "qlon", "qlat")
+      .selectExpr("qid", "st_makePoint(qlon, qlat) AS qgeom")
+
+    def pairs(radius: Double): Long =
+      SpatialJoin.dwithin(queries, "qgeom", data, "geom", radius, res = 9).count()
+
+    assert(pairs(50.0) == 0)
+    assert(pairs(90.0) == 0)
+    assert(pairs(99.1) == 6)
+    assert(pairs(100.0) == 6)
+    assert(pairs(101.0) == 6)
+  }
+}
