@@ -38,24 +38,33 @@ object TrackOps {
   def tubeSegments(track: DataFrame, lonCol: String, latCol: String, millisCol: String,
                    bufferMeters: Double, timeSlackMs: Long): DataFrame = {
     val w = Window.orderBy(col(millisCol))
+    // a SINGLE-point track still produces a tube — a buffered disk — like
+    // the reference (TubeSelectProcessTest "work with an empty input
+    // collection" tubes on one feature and expects results); multi-point
+    // tracks are unchanged (the disk would be a subset of segment caps)
     val seg = track
       .withColumn("__plon", lag(col(lonCol), 1).over(w))
       .withColumn("__plat", lag(col(latCol), 1).over(w))
       .withColumn("__pt", lag(col(millisCol), 1).over(w))
-      .where(col("__plon").isNotNull)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .where(col("__plon").isNotNull || col("__n") === 1)
     val mkTube = udf { (x0: Double, y0: Double, x1: Double, y1: Double, m: Double) =>
-      val line = GeomOps.factory.createLineString(Array(
-        new org.locationtech.jts.geom.Coordinate(x0, y0),
-        new org.locationtech.jts.geom.Coordinate(x1, y1)))
+      // zero-length lines buffer to EMPTY in JTS: buffer the point instead
+      val geom =
+        if (x0 == x1 && y0 == y1) GeomOps.factory.createPoint(new org.locationtech.jts.geom.Coordinate(x0, y0))
+        else GeomOps.factory.createLineString(Array(
+          new org.locationtech.jts.geom.Coordinate(x0, y0),
+          new org.locationtech.jts.geom.Coordinate(x1, y1)))
       // meters -> degrees buffer at the segment's mean latitude (same
       // approximation family as the reference's TubeBuilder:56-71)
       val latMid = (y0 + y1) / 2
       val deg = m / (111320.0 * math.max(0.2, math.cos(math.toRadians(latMid))))
-      GeomOps.toWkb(line.buffer(deg))
+      GeomOps.toWkb(geom.buffer(deg))
     }
     seg.select(
-      mkTube(col("__plon"), col("__plat"), col(lonCol), col(latCol), lit(bufferMeters)).as("tube_geom"),
-      (col("__pt") - timeSlackMs).as("t0"),
+      mkTube(coalesce(col("__plon"), col(lonCol)), coalesce(col("__plat"), col(latCol)),
+        col(lonCol), col(latCol), lit(bufferMeters)).as("tube_geom"),
+      (coalesce(col("__pt"), col(millisCol)) - timeSlackMs).as("t0"),
       (col(millisCol) + timeSlackMs).as("t1"))
   }
 

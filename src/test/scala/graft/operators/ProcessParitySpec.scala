@@ -103,6 +103,48 @@ class ProcessParitySpec extends AnyFunSuite with SparkTest {
     assert(none.count() == 0)
   }
 
+  test("tube select: the reference's simple geo + geo/time interpolation cases (TubeSelectProcessTest)") {
+    // TubeSelectProcessTest.scala:95-180 — tube on type 'a' (45,45)..
+    // (48,48) @ t0; search features type 'b' at the SAME positions @ t0
+    // and type 'c' at the same positions a day later. maxSpeed 1 m/s x
+    // maxTime 1 s -> ~1 m buffer, 1 s time slack. Expect exactly the 4
+    // 'b' rows both with and without the time-displaced 'c' rows.
+    graft.functions.StFunctions.register(spark)
+    val t0 = 1293840000000L // 2011-01-01T00:00:00Z
+    val track = Seq(45.0, 46.0, 47.0, 48.0).zipWithIndex
+      .map { case (v, i) => (v, v, t0 + i) }.toDF("tlon", "tlat", "tms")
+    def feats(types: Seq[(String, Long)]) =
+      (for { (n, t) <- types; v <- Seq(45.0, 46.0, 47.0, 48.0) }
+        yield (s"$n$v", v, v, t)).toDF("id", "lon", "lat", "ms")
+
+    val bOnly = TrackOps.tubeSelect(spark, feats(Seq("b" -> t0)), "id", "lon", "lat", "ms",
+      track, "tlon", "tlat", "tms", bufferMeters = 1.0, timeSlackMs = 1000L)
+    assert(bOnly.count() == 4)
+
+    val bAndC = TrackOps.tubeSelect(spark,
+      feats(Seq("b" -> t0, "c" -> (t0 + 86400000L))), "id", "lon", "lat", "ms",
+      track, "tlon", "tlat", "tms", bufferMeters = 1.0, timeSlackMs = 1000L)
+    val ids = bAndC.select("id").as[String].collect().toSet
+    assert(ids.size == 4 && ids.forall(_.startsWith("b")), ids)
+  }
+
+  test("tube select: a single-point tube still selects (reference tubes on in('a1'))") {
+    // TubeSelectProcessTest.scala:55-93 — a one-feature tube collection
+    // must produce results; an EMPTY tube collection must not
+    graft.functions.StFunctions.register(spark)
+    val t0 = 1293840000000L
+    val onePoint = Seq((45.0, 45.0, t0)).toDF("tlon", "tlat", "tms")
+    val searches = Seq(("b1", 45.0, 45.0, t0), ("b2", 46.0, 46.0, t0))
+      .toDF("id", "lon", "lat", "ms")
+    val got = TrackOps.tubeSelect(spark, searches, "id", "lon", "lat", "ms",
+      onePoint, "tlon", "tlat", "tms", bufferMeters = 1.0, timeSlackMs = 1000L)
+    assert(got.select("id").as[String].collect().toSeq == Seq("b1"))
+
+    val empty = TrackOps.tubeSelect(spark, searches, "id", "lon", "lat", "ms",
+      onePoint.where(lit(false)), "tlon", "tlat", "tms", 1.0, 1000L)
+    assert(empty.count() == 0)
+  }
+
   test("proximity search: pair count flips 0 -> 6 at the 99 m boundary (ProximitySearchProcessTest)") {
     // data: a/b copies at (45,45)..(48,48); queries planted 99 m east of
     // the first three anchors in OUR spherical metric (binary search)
