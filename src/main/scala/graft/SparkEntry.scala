@@ -472,7 +472,8 @@ object SparkEntry {
       val route = (0 until 8).map(i => (-30.0 + i * 10.0, 0.0 + i * 2.0, i))
         .toDF("rlon", "rlat", "seq")
       operators.TrackOps.routeSearchPlanar(s, p, "event_id", "lon", "lat", "heading",
-          route, "rlon", "rlat", "seq", distDeg = 2.9701, headingTolDeg = 30.0, res = 5)
+          route, "rlon", "rlat", "seq", distDeg = 2.9701, headingTolDeg = 30.0, res = 5,
+          bidirectional = true) // the oracle SQL replicates the either-way diff
         .selectExpr("event_id", "round(best_heading_diff, 6) AS best_heading_diff",
           "n_segments")
     }),

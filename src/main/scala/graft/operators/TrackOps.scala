@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.StFunctions
@@ -163,7 +163,8 @@ object TrackOps {
   def routeSearchPlanar(spark: SparkSession,
                         features: DataFrame, idCol: String, lonCol: String, latCol: String, headingCol: String,
                         route: DataFrame, routeLon: String, routeLat: String, routeSeq: String,
-                        distDeg: Double, headingTolDeg: Double, res: Int = 6): DataFrame = {
+                        distDeg: Double, headingTolDeg: Double, res: Int = 6,
+                        bidirectional: Boolean = false): DataFrame = {
     StFunctions.register(spark)
     requireRes(res)
     val segGeom = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
@@ -183,24 +184,43 @@ object TrackOps {
       least(
         abs(col(headingCol) - col("seg_bearing")),
         lit(360.0) - abs(col(headingCol) - col("seg_bearing")))
-    val alignedEitherWay = least(headingDiff, abs(headingDiff - lit(180.0)))
+    val aligned =
+      if (bidirectional) least(headingDiff, abs(headingDiff - lit(180.0))) else headingDiff
     f.join(broadcast(segs), col("__fcell") === col("__scell"))
       .where(StFunctions.stDWithinPlanar(
         StFunctions.stMakePoint(col(lonCol), col(latCol)), col("seg_geom"), lit(distDeg)) &&
-        alignedEitherWay <= headingTolDeg)
+        aligned <= headingTolDeg)
       .groupBy(idCol)
-      .agg(min(alignedEitherWay).as("best_heading_diff"), count(lit(1)).as("n_segments"))
+      .agg(min(aligned).as("best_heading_diff"), count(lit(1)).as("n_segments"))
   }
 
   /**
    * Route search: features within `meters` of the route whose heading is
-   * within `headingTolDeg` of the local route bearing (either direction,
-   * like the reference's route matching).
+   * within `headingTolDeg` of the local route bearing — with the travel
+   * direction by default, either direction when `bidirectional` (the
+   * reference RouteSearchProcess's flag). Bearings here are SPHERICAL
+   * initial azimuths (great-circle), matching the reference's geodetic
+   * calculator — a planar atan2 bearing is off by tens of degrees for
+   * diagonal segments away from the equator (atan2(dLon, dLat) ignores
+   * that a lon degree is cos(lat) shorter), which would misclassify
+   * headings. The planar variant above keeps the planar bearing because
+   * its DuckDB oracle replicates that exact formula.
    */
+  /** Spherical initial bearing [0,360) from (x0,y0) to (x1,y1), as a
+    * codegen-friendly Column formula. */
+  private def sphericalBearing(x0: Column, y0: Column, x1: Column, y1: Column): Column = {
+    val phi1 = radians(y0); val phi2 = radians(y1); val dl = radians(x1 - x0)
+    val b = degrees(atan2(
+      sin(dl) * cos(phi2),
+      cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dl)))
+    (b + 360.0) % 360.0
+  }
+
   def routeSearch(spark: SparkSession,
                   features: DataFrame, idCol: String, lonCol: String, latCol: String, headingCol: String,
                   route: DataFrame, routeLon: String, routeLat: String, routeSeq: String,
-                  meters: Double, headingTolDeg: Double, res: Int = 8): DataFrame = {
+                  meters: Double, headingTolDeg: Double, res: Int = 8,
+                  bidirectional: Boolean = false): DataFrame = {
     StFunctions.register(spark)
     requireRes(res)
     val segGeom = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
@@ -216,6 +236,8 @@ object TrackOps {
       m / (110000.0 * math.cos(math.toRadians(maxAbsLat)))
     }
     val segs = routeSegments(route, routeLon, routeLat, routeSeq)
+      .withColumn("seg_bearing",
+        sphericalBearing(col("sx0"), col("sy0"), col("sx1"), col("sy1")))
       .withColumn("seg_geom", segGeom(col("sx0"), col("sy0"), col("sx1"), col("sy1")))
       .withColumn("__scell", explode(StFunctions.stCellCover(
         StFunctions.stBuffer(col("seg_geom"), bufferDeg(col("sy0"), col("sy1"), lit(meters))),
@@ -225,12 +247,13 @@ object TrackOps {
       least(
         abs(col(headingCol) - col("seg_bearing")),
         lit(360.0) - abs(col(headingCol) - col("seg_bearing")))
-    val alignedEitherWay = least(headingDiff, abs(headingDiff - 180.0))
+    val aligned =
+      if (bidirectional) least(headingDiff, abs(headingDiff - 180.0)) else headingDiff
     f.join(broadcast(segs), col("__fcell") === col("__scell"))
       .where(StFunctions.stDWithin(
         StFunctions.stMakePoint(col(lonCol), col(latCol)), col("seg_geom"), lit(meters)) &&
-        alignedEitherWay <= headingTolDeg)
+        aligned <= headingTolDeg)
       .groupBy(idCol)
-      .agg(min(alignedEitherWay).as("best_heading_diff"), count(lit(1)).as("n_segments"))
+      .agg(min(aligned).as("best_heading_diff"), count(lit(1)).as("n_segments"))
   }
 }

@@ -103,6 +103,47 @@ class ProcessParitySpec extends AnyFunSuite with SparkTest {
     assert(none.count() == 0)
   }
 
+  test("route search: the reference's four cases, same Random(-10) fixture (RouteSearchProcessTest)") {
+    // RouteSearchProcessTest.scala:29-109 — route (40 40, 40.5 40.5,
+    // 40.5 41); four track families: 0 = on the diagonal headed the
+    // OPPOSITE way (~217.3), 1 = on the vertical leg aligned (~0),
+    // 2 = on the vertical leg with heading off by 5-15, 3 = aligned but
+    // ~17-22 km east of the route
+    val r = new scala.util.Random(-10)
+    val f0 = (0 until 10).map { i =>
+      val heading = 217.3 + (r.nextDouble * 10) - 5
+      val v = (40.0 + (10 - i) * 0.05) - (r.nextDouble / 100) - 0.005
+      (s"0$i", v, v, heading)
+    }
+    val f1 = (0 until 10).map { i =>
+      val heading = (r.nextDouble * 10) - 5
+      (s"1$i", 40.5 + (r.nextDouble / 100) - 0.005, 40.5 + (i + 1) * 0.005, heading)
+    }
+    val f2 = (0 until 10).map { i =>
+      val heading = 10 + (r.nextDouble * 10) - 5
+      (s"2$i", 40.5 + (r.nextDouble / 100) - 0.005, 40.5 + (i + 1) * 0.005, heading)
+    }
+    val f3 = (0 until 10).map { i =>
+      val heading = (r.nextDouble * 10) - 5
+      (s"3$i", 40.7 + (r.nextDouble / 10) - 0.005, 40.5 + (i + 1) * 0.005, heading)
+    }
+    val features = (f0 ++ f1 ++ f2 ++ f3).toDF("id", "lon", "lat", "heading")
+    val route = Seq((40.0, 40.0, 0), (40.5, 40.5, 1), (40.5, 41.0, 2))
+      .toDF("rlon", "rlat", "seq")
+
+    def search(meters: Double, tol: Double, bidir: Boolean): Set[String] =
+      TrackOps.routeSearch(spark, features, "id", "lon", "lat", "heading",
+          route, "rlon", "rlat", "seq", meters, tol, bidirectional = bidir)
+        .select("id").as[String].collect().toSet
+
+    val t0 = f0.map(_._1).toSet; val t1 = f1.map(_._1).toSet
+    val t2 = f2.map(_._1).toSet; val t3 = f3.map(_._1).toSet
+    assert(search(1000.0, 5.0, bidir = false) == t1)
+    assert(search(1000.0, 15.0, bidir = false) == (t1 ++ t2))
+    assert(search(100000.0, 5.0, bidir = false) == (t1 ++ t3))
+    assert(search(1000.0, 5.0, bidir = true) == (t0 ++ t1))
+  }
+
   test("tube select: the reference's simple geo + geo/time interpolation cases (TubeSelectProcessTest)") {
     // TubeSelectProcessTest.scala:95-180 — tube on type 'a' (45,45)..
     // (48,48) @ t0; search features type 'b' at the SAME positions @ t0

@@ -69,10 +69,18 @@ class TrackOpsSpec extends AnyFunSuite with SparkTest {
     val meters = 5000.0
     val tol = 20.0
     val got = TrackOps.routeSearch(spark, features, "fid", "lon", "lat", "heading",
-        route, "rlon", "rlat", "seq", meters, tol)
+        route, "rlon", "rlat", "seq", meters, tol, bidirectional = true)
       .select("fid").collect().map(_.getString(0)).toSet
 
+    // brute force replicates routeSearch's SPHERICAL bearing
+    val sb = {
+      val phi1 = radians(col("sy0")); val phi2 = radians(col("sy1"))
+      val dl = radians(col("sx1") - col("sx0"))
+      (degrees(atan2(sin(dl) * cos(phi2),
+        cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dl))) + 360.0) % 360.0
+    }
     val segs = TrackOps.routeSegments(route, "rlon", "rlat", "seq")
+      .withColumn("seg_bearing", sb)
       .withColumn("seg_geom", expr("st_geomFromWKT(concat('LINESTRING(', sx0, ' ', sy0, ', ', sx1, ' ', sy1, ')'))"))
     val hd = least(abs(col("heading") - col("seg_bearing")),
       lit(360.0) - abs(col("heading") - col("seg_bearing")))
