@@ -207,6 +207,22 @@ object SparkEntry {
         GROUP BY user_id""")
     }),
 
+    "q_point2point" -> ((s, dir) => {
+      // the REAL Point2Point operator (TrackOps.point2point): per-user
+      // consecutive position pairs with [start, end] time windows;
+      // (user_id, ts) is unique in the data so the sort is total
+      val f = pts(s, dir)
+        .join(t(s, dir, "events").select("event_id", "user_id"), "event_id")
+        .selectExpr("user_id", "event_id", "CAST(lon AS DOUBLE) AS lon",
+          "CAST(lat AS DOUBLE) AS lat", "CAST(ts AS TIMESTAMP) AS dtg")
+      operators.TrackOps.point2point(f, "user_id", "lon", "lat", "dtg",
+          tieBreakCols = Seq("event_id")) // ts ties within a user exist
+        .selectExpr("user_id",
+          "round(x0, 6) AS x0", "round(y0, 6) AS y0", // lon/lat are computed
+          "round(x1, 6) AS x1", "round(y1, 6) AS y1", // doubles: ulp-proof both sides
+          "unix_millis(dtg_start) AS t0", "unix_millis(dtg_end) AS t1")
+    }),
+
     // ---- spatial operators over the cell index ------------------------
     "q_pip_join" -> ((s, dir) => {
       // point-in-polygon join: zone extents explode to covering cells
@@ -979,6 +995,25 @@ object SparkEntry {
            |    LAG(p.lat) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS py
            |  FROM events e JOIN pts p ON e.event_id = p.event_id) t
            |GROUP BY user_id""".stripMargin,
+
+      "q_point2point" ->
+        s"""WITH $ptsCte,
+           |f AS (SELECT e.user_id, p.event_id, p.lon, p.lat, p.ts,
+           |        epoch_ms(CAST(p.ts AS TIMESTAMP)) AS ms,
+           |        COUNT(*) OVER (PARTITION BY e.user_id) AS gn
+           |      FROM events e JOIN pts p ON e.event_id = p.event_id),
+           |lagged AS (
+           |  SELECT user_id, gn,
+           |    LAG(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x0,
+           |    LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y0,
+           |    lon AS x1, lat AS y1,
+           |    LAG(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t0,
+           |    ms AS t1
+           |  FROM f)
+           |SELECT user_id, round(x0, 6) AS x0, round(y0, 6) AS y0,
+           |  round(x1, 6) AS x1, round(y1, 6) AS y1, t0, t1
+           |FROM lagged
+           |WHERE gn > 2 AND x0 IS NOT NULL AND NOT (x0 = x1 AND y0 = y1)""".stripMargin,
 
       "q_pip_join" ->
         s"""WITH $ptsCte, $zonesCte

@@ -206,6 +206,55 @@ object TrackOps {
    * headings. The planar variant above keeps the planar bearing because
    * its DuckDB oracle replicates that exact formula.
    */
+  /**
+   * Point2PointProcess analog (reference process/analytic/
+   * Point2PointProcess.scala:55-116): per group, sort by time and emit
+   * one LineString per consecutive point pair with the pair's
+   * [dtg_start, dtg_end]. Faithful semantics:
+   *  - groups with size <= minPoints are dropped entirely (the
+   *    reference's `lengthCompare(minPoints) > 0` is strictly greater);
+   *  - breakOnDay splits each group at UTC day boundaries and drops
+   *    days with fewer than 2 points (no cross-day segments);
+   *  - filterSingularPoints drops zero-length segments (both endpoints
+   *    identical).
+   * Distributed: one window per (group[, day]) — no driver collection.
+   */
+  def point2point(features: DataFrame, groupCol: String,
+                  lonCol: String, latCol: String, dtgCol: String,
+                  minPoints: Int = 2, breakOnDay: Boolean = false,
+                  filterSingularPoints: Boolean = true,
+                  tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val dayCols: Seq[Column] =
+      if (breakOnDay) Seq(dayofyear(col(dtgCol)), year(col(dtgCol))) else Nil
+    val parts = col(groupCol) +: dayCols
+    // tieBreakCols make the sort total when dtg ties within a group
+    val w = Window.partitionBy(parts: _*)
+      .orderBy(col(dtgCol) +: tieBreakCols.map(col): _*)
+    val wAll = Window.partitionBy(col(groupCol))
+    val wDay = Window.partitionBy(parts: _*)
+    val lineOf = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
+      GeomOps.toWkb(GeomOps.factory.createLineString(Array(
+        new org.locationtech.jts.geom.Coordinate(x0, y0),
+        new org.locationtech.jts.geom.Coordinate(x1, y1))))
+    }
+    var out = features
+      .withColumn("__gn", count(lit(1)).over(wAll))
+      .withColumn("__dn", count(lit(1)).over(wDay))
+      .withColumn("__plon", lag(col(lonCol), 1).over(w))
+      .withColumn("__plat", lag(col(latCol), 1).over(w))
+      .withColumn("__pdtg", lag(col(dtgCol), 1).over(w))
+      .where(col("__gn") > minPoints && col("__dn") >= 2 && col("__plon").isNotNull)
+    if (filterSingularPoints)
+      out = out.where(!(col("__plon") === col(lonCol) && col("__plat") === col(latCol)))
+    out.select(
+      col(groupCol),
+      lineOf(col("__plon"), col("__plat"), col(lonCol), col(latCol)).as("geom"),
+      col("__pdtg").as(s"${dtgCol}_start"),
+      col(dtgCol).as(s"${dtgCol}_end"),
+      col("__plon").as("x0"), col("__plat").as("y0"),
+      col(lonCol).as("x1"), col(latCol).as("y1"))
+  }
+
   /** Spherical initial bearing [0,360) from (x0,y0) to (x1,y1), as a
     * codegen-friendly Column formula. */
   private def sphericalBearing(x0: Column, y0: Column, x1: Column, y1: Column): Column = {

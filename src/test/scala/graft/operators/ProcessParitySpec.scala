@@ -186,6 +186,59 @@ class ProcessParitySpec extends AnyFunSuite with SparkTest {
     assert(empty.count() == 0)
   }
 
+  test("point2point: the reference's pair fixtures, segment order and time windows (Point2PointProcessTest)") {
+    // Point2PointProcessTest.scala:41-119 — 'first' walks (1 1)..(5 5)
+    // on Aug 1-5; 'second' walks (10 10)..(6 6) on the same days; 8
+    // pairs total, each with [dtg_start, dtg_end] = the pair's days
+    val mk = (0 until 5).flatMap { i =>
+      Seq(("first", 1.0 + i, 1.0 + i, s"2015-08-0${i + 1}"),
+        ("second", 10.0 - i, 10.0 - i, s"2015-08-0${i + 1}"))
+    }
+    val df = mk.toDF("myid", "lon", "lat", "d")
+      .withColumn("dtg", to_timestamp(col("d"))).drop("d")
+
+    val res = TrackOps.point2point(df, "myid", "lon", "lat", "dtg")
+    assert(res.count() == 8)
+    val first = res.where(col("myid") === "first")
+      .orderBy("dtg_start")
+      .select("x0", "y0", "x1", "y1").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(first == (1 to 4).map(i => (i.toDouble, i.toDouble, i + 1.0, i + 1.0)))
+    val second = res.where(col("myid") === "second")
+      .orderBy("dtg_start")
+      .select("x0", "x1").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(second == Seq((10.0, 9.0), (9.0, 8.0), (8.0, 7.0), (7.0, 6.0)))
+    // line geometries are real LineStrings over the pair
+    val g = G.fromWkb(res.where(col("myid") === "first").orderBy("dtg_start")
+      .select("geom").head.getAs[Array[Byte]](0))
+    assert(g.toText == "LINESTRING (1 1, 2 2)")
+
+    // empty input stays empty; groups at or below minPoints drop entirely
+    assert(TrackOps.point2point(df.where(lit(false)), "myid", "lon", "lat", "dtg").count() == 0)
+    assert(TrackOps.point2point(df.where(col("lon") <= 2), "myid", "lon", "lat", "dtg",
+      minPoints = 2).count() == 0) // 'first' has exactly 2 pts: 2 > 2 is false
+
+    // breakOnDay splits: shift 'first''s last two points to the same day
+    val shifted = mk.map { case (id, x, y, d) =>
+      val nd = if (id == "first" && x >= 4) "2015-08-09" else d
+      (id, x, y, nd)
+    }.toDF("myid", "lon", "lat", "d")
+      .withColumn("dtg", to_timestamp(col("d"))).drop("d")
+    val broke = TrackOps.point2point(shifted, "myid", "lon", "lat", "dtg", breakOnDay = true)
+    // each UTC day is its own track and one-point days drop (reference
+    // Point2PointProcess.scala:80-85): 'first' keeps only the two-point
+    // day 9 -> 1 pair; 'second' has one point per day -> nothing
+    assert(broke.where(col("myid") === "first").count() == 1)
+    assert(broke.where(col("myid") === "second").count() == 0)
+
+    // filterSingularPoints drops zero-length segments
+    val dup = (mk :+ ("first", 5.0, 5.0, "2015-08-06")).toDF("myid", "lon", "lat", "d")
+      .withColumn("dtg", to_timestamp(col("d"))).drop("d")
+    assert(TrackOps.point2point(dup, "myid", "lon", "lat", "dtg").count() == 8)
+    assert(TrackOps.point2point(dup, "myid", "lon", "lat", "dtg",
+      filterSingularPoints = false).count() == 9)
+  }
+
   test("proximity search: pair count flips 0 -> 6 at the 99 m boundary (ProximitySearchProcessTest)") {
     // data: a/b copies at (45,45)..(48,48); queries planted 99 m east of
     // the first three anchors in OUR spherical metric (binary search)
