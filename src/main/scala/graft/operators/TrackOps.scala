@@ -255,6 +255,27 @@ object TrackOps {
       col(lonCol).as("x1"), col(latCol).as("y1"))
   }
 
+  /**
+   * TrackLabelProcess analog (reference process/analytic/
+   * TrackLabelProcess.scala): one representative row per track — the
+   * LAST by `sortCol` when given (ties broken by `tieBreakCols`), an
+   * arbitrary-but-deterministic row otherwise.
+   */
+  def trackLabel(features: DataFrame, trackCol: String,
+                 sortCol: Option[String] = None,
+                 tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val order: Seq[Column] = sortCol match {
+      case Some(s) => col(s).desc +: tieBreakCols.map(col(_).desc)
+      case None => tieBreakCols.map(col(_).desc) match {
+        case Seq() => Seq(monotonically_increasing_id())
+        case ts => ts
+      }
+    }
+    val w = Window.partitionBy(col(trackCol)).orderBy(order: _*)
+    features.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Spherical initial bearing [0,360) from (x0,y0) to (x1,y1), as a
     * codegen-friendly Column formula. */
   private def sphericalBearing(x0: Column, y0: Column, x1: Column, y1: Column): Column = {

@@ -239,6 +239,21 @@ class ProcessParitySpec extends AnyFunSuite with SparkTest {
       filterSingularPoints = false).count() == 9)
   }
 
+  test("track label: one representative per track, the latest when sorted (TrackLabelProcessTest)") {
+    // TrackLabelProcessTest.scala:29-53 — 10 features on 2 tracks added
+    // in random order; sorted by dtg the labels are features 8 and 9
+    val rows = scala.util.Random.shuffle((0 until 10).map { i =>
+      (i.toString, s"t-${i % 2}", s"2017-05-24T00:00:0$i.000Z", 45.0, 50.0 + i)
+    }.toList)
+    val df = rows.toDF("fid", "track", "d", "lon", "lat")
+      .withColumn("dtg", to_timestamp(col("d"))).drop("d")
+    val unsorted = TrackOps.trackLabel(df, "track")
+    assert(unsorted.count() == 2)
+    assert(unsorted.select("track").as[String].collect().toSet == Set("t-0", "t-1"))
+    val sorted = TrackOps.trackLabel(df, "track", Some("dtg"))
+    assert(sorted.select("fid").as[String].collect().toSet == Set("8", "9"))
+  }
+
   test("proximity search: pair count flips 0 -> 6 at the 99 m boundary (ProximitySearchProcessTest)") {
     // data: a/b copies at (45,45)..(48,48); queries planted 99 m east of
     // the first three anchors in OUR spherical metric (binary search)
