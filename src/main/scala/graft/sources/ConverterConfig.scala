@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
  *     {"name": "id",  "col": 0, "type": "bigint"},
  *     {"name": "tag", "fixed": {"start": 0, "len": 5}},
  *     {"name": "k",   "json-path": "$.props.k"},
- *     {"name": "x",   "xpath": "/e/@x", "type": "double"}
+ *     {"name": "x",   "xpath": "/e/@x", "type": "double"},
+ *     {"name": "t",   "transform": "concat(trim($1), '-', $2)"}
  *   ],
  *   "lon-field": "lon", "lat-field": "lat",   // optional geom derivation
  *   "routes": [                                // composite only
@@ -55,15 +56,18 @@ object ConverterConfig {
     val fields = Option(n.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { f =>
       val name = Option(f.get("name")).map(_.asText).getOrElse(
         throw new IllegalArgumentException("field needs a 'name'"))
-      val castTo = Option(f.get("type")).map(_.asText).getOrElse("string")
+      // transforms keep their computed type unless 'type' is explicit
+      val castTo = Option(f.get("type")).map(_.asText)
+        .getOrElse(if (f.has("transform")) "" else "string")
       val spec: Converters.Spec =
         if (f.has("col")) Converters.Col(f.get("col").asInt)
         else if (f.has("fixed")) Converters.FixedWidth(
           f.get("fixed").get("start").asInt, f.get("fixed").get("len").asInt)
         else if (f.has("json-path")) Converters.JsonPath(f.get("json-path").asText)
         else if (f.has("xpath")) Converters.XPath(f.get("xpath").asText)
+        else if (f.has("transform")) Converters.Transform(f.get("transform").asText)
         else throw new IllegalArgumentException(
-          s"field '$name' needs one of col | fixed | json-path | xpath")
+          s"field '$name' needs one of col | fixed | json-path | xpath | transform")
       Converters.Field(name, spec, castTo)
     }
     val routes = Option(n.get("routes")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { r =>

@@ -38,6 +38,10 @@ object Converters {
   final case class JsonPath(path: String) extends Spec
   /** XPath over the record's XML, e.g. "/event/@id" or "/event/lon/text()" */
   final case class XPath(path: String) extends Spec
+  /** A transform-language expression (the reference's `transform = "..."`
+    * strings; sources/Transformers): `$0` is the raw record, `$N` the
+    * N-th delimited token — e.g. "concat(trim($1), '-', $2::int)". */
+  final case class Transform(expr: String) extends Spec
 
   private val xpathUdf = udf { (xml: String, path: String) =>
     if (xml == null) null
@@ -61,10 +65,12 @@ object Converters {
       case FixedWidth(start, len) => trim(substring(line, start + 1, len))
       case JsonPath(p) => get_json_object(line, p)
       case XPath(p) => xpathUdf(line, lit(p))
+      case Transform(e) => Transformers.forDelimited(e, line, delimiter)
     }
     // try_cast: a malformed value under ANSI mode is a parse error to
-    // skip (null), not a CAST_INVALID_INPUT job failure
-    raw.try_cast(f.castTo).as(f.name)
+    // skip (null), not a CAST_INVALID_INPUT job failure. An empty castTo
+    // keeps the extractor's own type (transforms carry theirs).
+    (if (f.castTo.isEmpty) raw else raw.try_cast(f.castTo)).as(f.name)
   }
 
   /**

@@ -99,6 +99,24 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     assert(out.where($"id".isNotNull).count() == 2)
   }
 
+  test("config-driven transform fields run the transform language in-scan") {
+    import spark.implicits._
+    val df = Seq("  alice ,10,20150101", " bob ,32,20160630").toDF("value")
+    val cfg =
+      """{ "type": "delimited",
+        |  "fields": [
+        |    {"name": "who",  "transform": "uppercase(trim($1))"},
+        |    {"name": "agep", "transform": "add($2, 1)", "type": "int"},
+        |    {"name": "d",    "transform": "date('yyyyMMdd', trim($3))"}] }""".stripMargin
+    val out = ConverterConfig(df, "value", ConverterConfig.parse(cfg))
+    val rows = out.orderBy("who").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ALICE", "BOB"))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(11, 33))
+    // the untyped transform keeps its computed (timestamp) type
+    assert(out.schema("d").dataType.typeName == "timestamp")
+    assert(rows.forall(!_.isNullAt(2)))
+  }
+
   test("config-driven composite converter routes by regex") {
     import spark.implicits._
     val df = Seq("""{"id": 1, "v": 7.5}""", "2,8.5", "noise").toDF("value")
