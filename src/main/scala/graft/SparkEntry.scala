@@ -46,6 +46,22 @@ object SparkEntry {
       |  CASE WHEN n_nationkey % 3 = 0 THEN 150.0 ELSE 15.0 END AS h
       |FROM nation""".stripMargin
 
+  /** The two convex clockwise quads the IDL test polygon splits into
+    * (the reference's FilterHelperTest expected output, exact doubles). */
+  private val IdlWestQuad = Seq(
+    (-180.0, 12.271523178807946), (-180.0, 24.304347826086957), (-150.0, 23.0), (-164.0, 11.0))
+  private val IdlEastQuad = Seq(
+    (180.0, 24.304347826086957), (180.0, 12.271523178807946), (45.0, 23.0), (49.0, 30.0))
+
+  /** Point-in-convex-clockwise-polygon as pure SQL over (lon, lat):
+    * every edge cross product <= 0 (boundary inclusive, matching JTS
+    * intersects). */
+  private def quadSql(vs: Seq[(Double, Double)]): String =
+    vs.indices.map { i =>
+      val (ax, ay) = vs(i); val (bx, by) = vs((i + 1) % vs.size)
+      s"(($bx - ($ax)) * (lat - ($ay)) - ($by - ($ay)) * (lon - ($ax))) <= 0"
+    }.mkString("(", " AND ", ")")
+
   private def pts(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").createOrReplaceTempView("events")
     s.sql(PtsSql)
@@ -902,6 +918,21 @@ object SparkEntry {
           "CAST(round(lon, 2) AS DOUBLE) AS lon", "CAST(round(lat, 2) AS DOUBLE) AS lat")
     }),
 
+    "q_cql_idl" -> ((s, dir) => {
+      // QueryPlanFilterVisitor parity (FilterHelper.visitBinarySpatialOp):
+      // a polygon spanning > 180 degrees of longitude is interpreted as
+      // CROSSING THE ANTIMERIDIAN — the planner splits it at +-180 and
+      // ORs the parts, so rows near the dateline match and the naive
+      // interior does not (the reference's FilterHelperTest polygon)
+      StFunctions.register(s)
+      pts(s, dir)
+        .where(plans.Cql.parse(
+          "INTERSECTS(geom, POLYGON ((-150 23, -164 11, 45 23, 49 30, -150 23)))",
+          props = Map("geom" -> expr("st_makePoint(lon, lat)")),
+          idColumn = "event_id"))
+        .select("event_id")
+    }),
+
     "q_cql_indexed" -> ((s, dir) => {
       // QueryProcess analog end-to-end (process/query/QueryProcess.scala):
       // the SAME ECQL text against an INDEXED snapshot — the BBOX conjunct
@@ -1457,6 +1488,11 @@ object SparkEntry {
            |  CAST(round(lat, 2) AS DOUBLE) AS lat FROM pts
            |WHERE lon >= -50 AND lon <= 30 AND lat >= -20 AND lat <= 25
            |  AND value > 20 AND NOT (event_id BETWEEN 100 AND 200)""".stripMargin,
+
+      "q_cql_idl" ->
+        s"""WITH pts AS ($PtsSql)
+           |SELECT event_id FROM pts
+           |WHERE ${quadSql(IdlWestQuad)} OR ${quadSql(IdlEastQuad)}""".stripMargin,
 
       "q_cql_indexed" ->
         s"""WITH pts AS ($PtsSql)

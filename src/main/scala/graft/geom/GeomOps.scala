@@ -187,19 +187,121 @@ object GeomOps {
     factory.createPolygon(coords)
   }
 
-  /** Splits geometries crossing the antimeridian into a multi-geometry with
-    * both hemispheres in [-180,180] (st_antimeridianSafeGeom semantics). */
-  def antimeridianSafe(g: Geometry): Geometry = {
-    val env = g.getEnvelopeInternal
-    if (env.getMinX >= -180 && env.getMaxX <= 180) g
-    else {
-      val world = bbox(-180, -90, 180, 90)
-      val shiftedRight = translate(g, -360, 0)
-      val shiftedLeft = translate(g, 360, 0)
-      val parts = Seq(g, shiftedRight, shiftedLeft)
-        .map(_.intersection(world)).filterNot(_.isEmpty)
-      if (parts.size == 1) parts.head else factory.buildGeometry(java.util.Arrays.asList(parts: _*))
+  /** The world polygon query literals are trimmed to — the reference's
+    * FilterHelper.WholeWorldPolygon. */
+  val worldPolygon: Geometry = bbox(-180, -90, 180, 90)
+
+  /** Does the geometry cover the whole world (reference's
+    * FilterHelper.isWholeWorld:180)? */
+  def coversWorld(g: Geometry): Boolean = g != null && g.union().covers(worldPolygon)
+
+  /** A query literal normalized the way the reference's query planner
+    * does it (FilterHelper.visitBinarySpatialOp:54-77): trimmed to the
+    * world polygon, then IDL dateline-split, returned as the flat list
+    * of parts to OR together. Nil means the literal lies entirely
+    * outside the world (the filter is EXCLUDE). */
+  def queryParts(g: Geometry): Seq[Geometry] = {
+    val trimmed = g.intersection(worldPolygon)
+    if (trimmed.isEmpty) Nil
+    else datelineWrap(trimmed) match {
+      case gc: GeometryCollection => (0 until gc.getNumGeometries).map(gc.getGeometryN).toSeq
+      case one => Seq(one)
     }
+  }
+
+  /** The reference's full dateline rule (st_antimeridianSafeGeom /
+    * st_idlSafeGeom — GeometricProcessingFunctions.scala:41-56 delegating
+    * to GeohashUtils.getInternationalDateLineSafeGeometry:724-780 +
+    * spatial4j dateline processing): out-of-range longitudes are
+    * translated into [-180,180] PER COORDINATE, then any segment that
+    * jumps more than 180 degrees of longitude is interpreted as taking
+    * the short way around the globe (so a "wide" polygon is an
+    * antimeridian-crossing polygon), and the result is split into
+    * [-180,180] pieces. */
+  def antimeridianSafe(g: Geometry): Geometry = {
+    val copy = g.copy()
+    val env = copy.getEnvelopeInternal
+    if (env.getMinX < -180 || env.getMaxX > 180) {
+      copy.apply(new CoordinateFilter {
+        override def filter(c: Coordinate): Unit =
+          c.x += (((c.x + 180) / 360.0).floor * -360).toInt
+      })
+      copy.geometryChanged()
+    }
+    datelineWrap(copy)
+  }
+
+  /** Apply the short-way segment interpretation and split the result
+    * into world strips translated back to [-180,180]. Coordinates are
+    * assumed already within [-180,180]; the unwrap step may carry them
+    * outside before the strip split brings every piece back. */
+  def datelineWrap(g: Geometry): Geometry = {
+    val unwrapped = unwrapGeom(g)
+    val env = unwrapped.getEnvelopeInternal
+    if (env.getMinX >= -180 && env.getMaxX <= 180) unwrapped
+    else {
+      val kMin = math.floor((env.getMinX + 180) / 360).toInt
+      val kMax = math.floor((env.getMaxX + 180 - 1e-12) / 360).toInt
+      val parts = (kMin to kMax).flatMap { k =>
+        val strip = bbox(k * 360.0 - 180, -90, k * 360.0 + 180, 90)
+        val piece = unwrapped.intersection(strip)
+        if (piece.isEmpty) None
+        else Some(if (k == 0) piece else translate(piece, -360.0 * k, 0))
+      }
+      if (parts.isEmpty) factory.createGeometryCollection(Array.empty)
+      else if (parts.size == 1) parts.head
+      else factory.buildGeometry(java.util.Arrays.asList(parts: _*))
+    }
+  }
+
+  /** Rewrite each linear component so consecutive vertices differ by at
+    * most 180 degrees of longitude (adding +-360 where a segment would
+    * otherwise take the long way). Falls back to the input component if
+    * unwrapping would leave a ring unclosed (a ring circling the globe). */
+  private def unwrapGeom(g: Geometry): Geometry = g match {
+    case p: Polygon =>
+      val shell = unwrapRing(p.getExteriorRing.getCoordinates)
+      val shellMid = (shell.map(_.x).min + shell.map(_.x).max) / 2
+      val holes = (0 until p.getNumInteriorRing).map { i =>
+        val h = unwrapRing(p.getInteriorRingN(i).getCoordinates)
+        // re-anchor the hole next to its shell (each ring unwraps from
+        // its own first vertex, which may sit a world away)
+        val hMid = (h.map(_.x).min + h.map(_.x).max) / 2
+        val k = math.round((shellMid - hMid) / 360.0)
+        val shifted = if (k == 0) h else h.map(c => new Coordinate(c.x + 360.0 * k, c.y))
+        factory.createLinearRing(shifted)
+      }.toArray
+      factory.createPolygon(factory.createLinearRing(shell), holes)
+    case l: org.locationtech.jts.geom.LineString if !l.isInstanceOf[org.locationtech.jts.geom.LinearRing] =>
+      factory.createLineString(unwrapLine(l.getCoordinates))
+    case m: org.locationtech.jts.geom.GeometryCollection =>
+      val parts = (0 until m.getNumGeometries).map(i => unwrapGeom(m.getGeometryN(i)))
+      factory.buildGeometry(java.util.Arrays.asList(parts: _*))
+    case other => other // points and rings-as-geometries: nothing to unwrap
+  }
+
+  private def unwrapLine(cs: Array[Coordinate]): Array[Coordinate] = {
+    val out = new Array[Coordinate](cs.length)
+    var i = 0
+    while (i < cs.length) {
+      if (i == 0) out(0) = new Coordinate(cs(0))
+      else {
+        var x = cs(i).x
+        val prev = out(i - 1).x
+        while (x - prev > 180) x -= 360
+        while (prev - x > 180) x += 360
+        out(i) = new Coordinate(x, cs(i).y)
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def unwrapRing(cs: Array[Coordinate]): Array[Coordinate] = {
+    val out = unwrapLine(cs)
+    // a ring that accumulates a net +-360 circles the globe; the wrap
+    // interpretation is meaningless there — keep the literal ring
+    if (math.abs(out(out.length - 1).x - out(0).x) > 1e-9) cs.map(new Coordinate(_)) else out
   }
 
   def translate(g: Geometry, dx: Double, dy: Double): Geometry = {

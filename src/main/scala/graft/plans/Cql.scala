@@ -59,6 +59,10 @@ import graft.geom.{GeomOps => G}
  */
 object Cql {
 
+  /** The world polygon query literals are trimmed to — the reference's
+    * FilterHelper.WholeWorldPolygon. */
+  private[plans] val WorldPolygon: org.locationtech.jts.geom.Geometry = G.worldPolygon
+
   /** Compile a CQL filter to a Column predicate. `props` overrides how
     * named properties resolve (e.g. "geom" -> st_makePoint(lon, lat) on
     * a lon/lat table, which keeps SpatialFilterRule pushdown working);
@@ -331,8 +335,20 @@ object Cql {
               s"unsupported CRS '$crs' (engine stores EPSG:4326)")
           }
           expectOp(")")
-          StFunctions.fn("st_intersects")(g, lit(G.toWkb(G.bbox(
-            math.min(x1, x2), math.min(y1, y2), math.max(x1, x2), math.max(y1, y2)))))
+          // the reference's query normalization (FilterHelper
+          // .visitBinarySpatialOp:54-77): trim to world — whole-world
+          // boxes become INCLUDE, fully out-of-bounds boxes EXCLUDE. A
+          // BBOX is explicit min/max, never dateline-reinterpreted
+          // (addWayPointsToBBOX pins that interpretation).
+          val (bxMin, byMin) = (math.min(x1, x2), math.min(y1, y2))
+          val (bxMax, byMax) = (math.max(x1, x2), math.max(y1, y2))
+          if (bxMin <= -180 && byMin <= -90 && bxMax >= 180 && byMax >= 90) lit(true)
+          else {
+            val (cxMin, cyMin) = (math.max(bxMin, -180.0), math.max(byMin, -90.0))
+            val (cxMax, cyMax) = (math.min(bxMax, 180.0), math.min(byMax, 90.0))
+            if (cxMin > cxMax || cyMin > cyMax) lit(false)
+            else StFunctions.fn("st_intersects")(g, lit(G.toWkb(G.bbox(cxMin, cyMin, cxMax, cyMax))))
+          }
         case "RELATE" =>
           val a = geomArg(); expectOp(",")
           val b = geomArg(); expectOp(",")
@@ -340,8 +356,8 @@ object Cql {
           expectOp(")")
           StFunctions.fn("st_relateBool")(a, b, lit(pattern))
         case "DWITHIN" | "BEYOND" =>
-          val a = geomArg(); expectOp(",")
-          val b = geomArg(); expectOp(",")
+          val (a, ga) = geomArgWithLit(); expectOp(",")
+          val (b, gb) = geomArgWithLit(); expectOp(",")
           val d = numArg(); expectOp(",")
           // units may be quoted ('kilometers') or bare (meters) — the
           // reference's test filters use both forms
@@ -358,24 +374,82 @@ object Cql {
             case "statute miles" | "miles" | "mi" => 1609.344
             case u => sys.error(s"unsupported DWITHIN unit '$u'")
           })
-          val within = StFunctions.fn("st_dwithin")(a, b, lit(meters))
+          def dw(x: Column, y: Column) = StFunctions.fn("st_dwithin")(x, y, lit(meters))
+          // the reference normalizes dwithin literals too (FilterHelper
+          // .visitDwithin — same trim + IDL split, parts OR'd)
+          val within = (ga, gb) match {
+            case (None, Some(g)) => orOverParts(g, p => dw(a, geomLit(p)))
+            case (Some(g), None) => orOverParts(g, p => dw(geomLit(p), b))
+            case _ => dw(a, b)
+          }
           if (op == "DWITHIN") within else !within
         case name =>
-          val a = geomArg(); expectOp(",")
-          val b = geomArg()
+          val (a, ga) = geomArgWithLit(); expectOp(",")
+          val (b, gb) = geomArgWithLit()
           expectOp(")")
-          name match {
-            case "INTERSECTS" => StFunctions.fn("st_intersects")(a, b)
-            case "DISJOINT" => StFunctions.fn("st_disjoint")(a, b)
-            case "CONTAINS" => StFunctions.fn("st_contains")(a, b)
-            case "WITHIN" => StFunctions.fn("st_within")(a, b)
-            case "TOUCHES" => StFunctions.fn("st_touches")(a, b)
-            case "CROSSES" => StFunctions.fn("st_crosses")(a, b)
-            case "OVERLAPS" => StFunctions.fn("st_overlaps")(a, b)
-            case "EQUALS" => StFunctions.fn("st_equals")(a, b)
+          def make(x: Column, y: Column): Column = name match {
+            case "INTERSECTS" => StFunctions.fn("st_intersects")(x, y)
+            case "DISJOINT" => StFunctions.fn("st_disjoint")(x, y)
+            case "CONTAINS" => StFunctions.fn("st_contains")(x, y)
+            case "WITHIN" => StFunctions.fn("st_within")(x, y)
+            case "TOUCHES" => StFunctions.fn("st_touches")(x, y)
+            case "CROSSES" => StFunctions.fn("st_crosses")(x, y)
+            case "OVERLAPS" => StFunctions.fn("st_overlaps")(x, y)
+            case "EQUALS" => StFunctions.fn("st_equals")(x, y)
+          }
+          // the ops the reference's QueryPlanFilterVisitor normalizes
+          // (:76-96): BBOX/Within/Intersects/Overlaps/Contains
+          val visited = Set("INTERSECTS", "WITHIN", "OVERLAPS", "CONTAINS")
+          if (!visited.contains(name)) make(a, b)
+          else (ga, gb) match {
+            case (None, Some(g)) => normalizedSpatial(name, g, litFirst = false,
+              p => make(a, geomLit(p)))
+            case (Some(g), None) => normalizedSpatial(name, g, litFirst = true,
+              p => make(geomLit(p), b))
+            case _ => make(a, b)
           }
       }
     }
+
+    private def geomLit(g: org.locationtech.jts.geom.Geometry): Column = lit(G.toWkb(g))
+
+    /** A geometry argument plus, when it is a direct WKT literal, the
+      * driver-parsed geometry (so the query normalization can inspect it). */
+    private def geomArgWithLit(): (Column, Option[org.locationtech.jts.geom.Geometry]) = peek match {
+      case t: TIdent if GeomKeywords.contains(t.s.toUpperCase) =>
+        val g = wktGeometry()
+        (geomLit(g), Some(g))
+      case _ => (expr(), None)
+    }
+
+    /** The reference's query normalization for a spatial-literal operand
+      * (FilterHelper.visitBinarySpatialOp:54-77 + isFilterWholeWorld
+      * :157-180): trim the literal to the world polygon (EXCLUDE when
+      * empty), INCLUDE when the trimmed literal covers the whole world
+      * (in the op/argument orders the reference accepts), then apply the
+      * IDL dateline split and OR the resulting parts. */
+    private def normalizedSpatial(op: String, g: org.locationtech.jts.geom.Geometry,
+                                  litFirst: Boolean,
+                                  pred: org.locationtech.jts.geom.Geometry => Column): Column = {
+      val includeOk = op match {
+        case "INTERSECTS" | "OVERLAPS" => true
+        case "WITHIN" => !litFirst // prop WITHIN whole-world
+        case "CONTAINS" => litFirst // whole-world CONTAINS prop
+        case _ => false
+      }
+      if (includeOk && G.coversWorld(g.intersection(Cql.WorldPolygon))) lit(true)
+      else orOverParts(g, pred)
+    }
+
+    /** IDL-split a literal and OR the per-part predicates — the
+      * reference's recreateAsIdlSafeFilter (FilterHelper:123-136), which
+      * also ORs explicit multi-geometries apart. */
+    private def orOverParts(g: org.locationtech.jts.geom.Geometry,
+                            pred: org.locationtech.jts.geom.Geometry => Column): Column =
+      G.queryParts(g) match {
+        case Seq() => lit(false)
+        case parts => parts.map(pred).reduce(_ || _)
+      }
 
     /** A geometry argument: WKT literal (driver-parsed → WKB literal),
       * property reference, or function call producing a geometry. */
@@ -386,7 +460,9 @@ object Cql {
 
     /** Slice the raw WKT text (keyword + balanced parens) from the
       * input and parse it once on the driver. */
-    private def wktLiteral(): Column = {
+    private def wktLiteral(): Column = lit(G.toWkb(wktGeometry()))
+
+    private def wktGeometry(): org.locationtech.jts.geom.Geometry = {
       val kw = next().asInstanceOf[TIdent]
       var depth = 0
       var endOff = kw.end
@@ -410,7 +486,7 @@ object Cql {
             endOff = t.end; pos += 1
         }
       }
-      lit(G.toWkb(G.fromWkt(input.substring(kw.start, endOff))))
+      G.fromWkt(input.substring(kw.start, endOff))
     }
 
     private def numArg(): Double = {

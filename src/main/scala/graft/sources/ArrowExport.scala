@@ -65,9 +65,41 @@ object ArrowExport {
    * whose cardinality exceeds `maxDictSize` falls back to plain UTF8
    * (encoding stays lossless); the returned set names the columns
    * actually dictionary-encoded.
+   *
+   * `sortBy = Some((field, reverse))` is the sorted-batch mode — the
+   * analog of the reference's sorted delta merge (DeltaWriter
+   * .scala:389-430, SimpleFeatureArrowIO.getSortAsMetadata at :298):
+   * rows are globally ordered by the field (Spark's range-partitioned
+   * sort replaces the reference's single-node k-way batch merge), so
+   * every batch is internally sorted AND the `part-NNNNN.arrow` files
+   * are globally ordered by part id; consumers can binary-search or
+   * streaming-merge. The sort is recorded in each file's schema
+   * metadata under the reference's own keys (`sort-field`,
+   * `sort-order` = ascending|descending). If the sort field is also
+   * dictionary-encoded, rows are still ordered by VALUE (the encoding
+   * is applied after the sort); dictionary codes themselves stay in
+   * TopK order.
    */
-  def write(df: DataFrame, path: String, batchRows: Int = 4096,
-            dictColumns: Seq[String] = Nil, maxDictSize: Int = 1000): Set[String] = {
+  def write(df0: DataFrame, path: String, batchRows: Int = 4096,
+            dictColumns: Seq[String] = Nil, maxDictSize: Int = 1000,
+            sortBy: Option[(String, Boolean)] = None): Set[String] = {
+    val df = sortBy match {
+      case Some((field, reverse)) =>
+        require(df0.schema.fieldNames.contains(field), s"sortBy column $field not in schema")
+        val sortCol = if (reverse) col(field).desc else col(field).asc
+        // range partition + in-partition sort = a total order across the
+        // part files while keeping the caller's write parallelism (a
+        // plain orderBy lets AQE coalesce small outputs to one file)
+        df0.repartitionByRange(math.max(1, df0.rdd.getNumPartitions), sortCol)
+          .sortWithinPartitions(sortCol)
+      case None => df0
+    }
+    val schemaMeta: Map[String, String] = sortBy match {
+      // the reference's metadata contract (SimpleFeatureArrowIO.Metadata)
+      case Some((field, reverse)) =>
+        Map("sort-field" -> field, "sort-order" -> (if (reverse) "descending" else "ascending"))
+      case None => Map.empty
+    }
     val sparkSchema = df.schema
     // global dictionaries (small by construction: <= maxDictSize values)
     val dicts: Map[String, Array[String]] = dictColumns.flatMap { c =>
@@ -115,7 +147,8 @@ object ArrowExport {
           case None => arrowField(f)
         }
       }
-      val root = VectorSchemaRoot.create(new Schema(fieldsArrow.toSeq.asJava), allocator)
+      val root = VectorSchemaRoot.create(
+        new Schema(fieldsArrow.toSeq.asJava, schemaMeta.asJava), allocator)
       val writer = new ArrowFileWriter(root, provider, Channels.newChannel(out))
       writer.start()
       try {
@@ -188,6 +221,27 @@ object ArrowExport {
       x.setSafe(r, row.getAs[java.sql.Timestamp](c).toInstant.toEpochMilli * 1000L +
         row.getAs[java.sql.Timestamp](c).getNanos / 1000 % 1000)
     case (other, d) => throw new IllegalStateException(s"unexpected vector $other for $d")
+  }
+
+  /** The sort recorded in an exported directory's schema metadata
+    * (field, reverse), if the export used sorted-batch mode — read from
+    * the first IPC file's schema, the reference's Metadata contract. */
+  def sortOf(path: String): Option[(String, Boolean)] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val files = fs.listStatus(new Path(path))
+      .map(_.getPath).filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
+    files.headOption.flatMap { f =>
+      val in = fs.open(f)
+      val len = fs.getFileStatus(f).getLen.toInt
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes); in.close()
+      val allocator = new RootAllocator(Long.MaxValue)
+      val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+      try {
+        val meta = reader.getVectorSchemaRoot.getSchema.getCustomMetadata
+        Option(meta.get("sort-field")).map(f => (f, meta.get("sort-order") == "descending"))
+      } finally { reader.close(); allocator.close() }
+    }
   }
 
   /** Read a directory of Arrow IPC files back as a DataFrame (the

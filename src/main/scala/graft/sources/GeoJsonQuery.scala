@@ -146,8 +146,18 @@ object GeoJsonQuery {
             case ("$bbox", b) if b.isArray && b.size == 4 =>
               Some((b.get(0).asDouble, b.get(1).asDouble, b.get(2).asDouble, b.get(3).asDouble))
             case (op, o) if Set("$intersects", "$within", "$contains", "$dwithin")(op) =>
-              Option(o.get("$geometry")).map { gj =>
-                val e = GeoJson.read(gj.toString).getEnvelopeInternal
+              Option(o.get("$geometry")).flatMap { gj =>
+                // envelope of the NORMALIZED literal: after an IDL
+                // dateline split the raw envelope misses the wrapped
+                // parts and would prune rows the predicate matches
+                val parts = G.queryParts(GeoJson.read(gj.toString))
+                if (parts.isEmpty) None // predicate is EXCLUDE anyway
+                else {
+                  val e = new org.locationtech.jts.geom.Envelope(parts.head.getEnvelopeInternal)
+                  parts.drop(1).foreach(p => e.expandToInclude(p.getEnvelopeInternal))
+                  Some(e)
+                }
+              }.map { e =>
                 if (op == "$dwithin") {
                   val dist = Option(o.get("$dist")).map(_.asDouble).getOrElse(0.0)
                   val unit = Option(o.get("$unit")).map(_.asText).getOrElse("meters")
@@ -240,15 +250,25 @@ object GeoJsonQuery {
     def cmp(f: (Column, Column) => Column): Column =
       if (v.isNumber) numCmp(propCol(prop, props), v, f)
       else f(propCol(prop, props), lit(v.asText))
-    def queryGeomWkb: Array[Byte] = {
+    def queryGeom: org.locationtech.jts.geom.Geometry = {
       val g = Option(v.get("$geometry")).getOrElse(
         throw new IllegalArgumentException(s"$op needs a '$$geometry'"))
-      G.toWkb(GeoJson.read(g.toString))
+      GeoJson.read(g.toString)
     }
-    def spatial(f: (Column, Column) => Column): Column = {
+    // the reference routes geojson queries through its index query
+    // planner, so literals get the same normalization as CQL filters
+    // (FilterHelper.visitBinarySpatialOp: trim to world, EXCLUDE when
+    // empty, INCLUDE for whole-world intersects/within, IDL dateline
+    // split with parts OR'd)
+    def spatial(f: (Column, Column) => Column, includeOk: Boolean): Column = {
       require(prop == geomName || prop == "geometry",
         s"spatial operator $op applies to the geometry member, got '$prop'")
-      f(geom, lit(queryGeomWkb))
+      val g = queryGeom
+      if (includeOk && G.coversWorld(g.intersection(G.worldPolygon))) lit(true)
+      else G.queryParts(g) match {
+        case Seq() => lit(false)
+        case parts => parts.map(p => f(geom, lit(G.toWkb(p)))).reduce(_ || _)
+      }
     }
     op match {
       case "$lt"  => cmp(_ < _)
@@ -260,10 +280,17 @@ object GeoJsonQuery {
         val Seq(x0, y0, x1, y1) = (0 until 4).map(v.get(_).asDouble)
         require(prop == geomName || prop == "geometry",
           s"$$bbox applies to the geometry member, got '$prop'")
-        StFunctions.stIntersects(geom, lit(G.toWkb(G.bbox(x0, y0, x1, y1))))
-      case "$intersects" => spatial(StFunctions.stIntersects(_, _))
-      case "$within"     => spatial(StFunctions.stWithin(_, _))
-      case "$contains"   => spatial(StFunctions.stContains(_, _))
+        // explicit min/max box: trim to world, never dateline-reinterpret
+        if (x0 <= -180 && y0 <= -90 && x1 >= 180 && y1 >= 90) lit(true)
+        else {
+          val (cx0, cy0) = (math.max(x0, -180.0), math.max(y0, -90.0))
+          val (cx1, cy1) = (math.min(x1, 180.0), math.min(y1, 90.0))
+          if (cx0 > cx1 || cy0 > cy1) lit(false)
+          else StFunctions.stIntersects(geom, lit(G.toWkb(G.bbox(cx0, cy0, cx1, cy1))))
+        }
+      case "$intersects" => spatial(StFunctions.stIntersects(_, _), includeOk = true)
+      case "$within"     => spatial(StFunctions.stWithin(_, _), includeOk = true)
+      case "$contains"   => spatial(StFunctions.stContains(_, _), includeOk = false)
       case "$dwithin" =>
         val dist = Option(v.get("$dist")).map(_.asDouble).getOrElse(
           throw new IllegalArgumentException("$dwithin needs '$dist'"))
@@ -274,9 +301,7 @@ object GeoJsonQuery {
           case "statute miles" => dist * 1609.344
           case u => throw new IllegalArgumentException(s"unknown $$dwithin unit '$u'")
         }
-        require(prop == geomName || prop == "geometry",
-          s"$$dwithin applies to the geometry member, got '$prop'")
-        StFunctions.stDWithin(geom, lit(queryGeomWkb), lit(meters))
+        spatial(StFunctions.stDWithin(_, _, lit(meters)), includeOk = false)
       case other => throw new IllegalArgumentException(s"invalid predicate '$other'")
     }
   }

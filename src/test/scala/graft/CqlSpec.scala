@@ -112,6 +112,46 @@ class CqlSpec extends AnyFunSuite with Matchers with SparkTest {
     ids(people, "DWITHIN(geom, POINT (1 1), 656168, 'feet')") shouldBe Set(1L)
   }
 
+  test("query normalization: IDL polygons split, whole-world INCLUDE, out-of-bounds trim") {
+    // the QueryPlanFilterVisitor semantics (FilterHelperTest): a polygon
+    // spanning > 180 degrees of longitude means "crosses the
+    // antimeridian" — rows near +-180 match, rows in the naive interior
+    // do not
+    val pts = Seq(
+      (1L, -175.0, 18.0), // inside the west IDL piece
+      (2L, 170.0, 18.0),  // inside the east IDL piece
+      (3L, 0.0, 20.0),    // inside the NAIVE (unsplit) polygon only
+      (4L, -60.0, -60.0)  // nowhere near
+    ).toDF("id", "lon", "lat")
+      .withColumn("geom", StFunctions.stMakePoint(col("lon"), col("lat")))
+    val idl = "POLYGON ((-150 23, -164 11, 45 23, 49 30, -150 23))"
+    ids(pts, s"INTERSECTS(geom, $idl)") shouldBe Set(1L, 2L)
+    ids(pts, s"INTERSECTS($idl, geom)") shouldBe Set(1L, 2L)
+    ids(pts, s"DWITHIN(geom, $idl, 100000, meters)") shouldBe Set(1L, 2L)
+    // out-of-bounds bbox covers the world -> INCLUDE (matches even a
+    // row whose geometry is null, because the filter is dropped)
+    val withNull = pts.withColumn("geom",
+      when(col("id") === 4L, lit(null).cast("binary")).otherwise(col("geom")))
+    ids(withNull, "BBOX(geom, -181, -91, 181, 91)") shouldBe Set(1L, 2L, 3L, 4L)
+    // whole-world polygon literal -> INCLUDE for intersects
+    ids(withNull, "INTERSECTS(geom, POLYGON ((-180 -90, -180 90, 180 90, 180 -90, -180 -90)))") shouldBe
+      Set(1L, 2L, 3L, 4L)
+    // ... and for prop WITHIN whole-world, but NOT for whole-world WITHIN prop
+    ids(withNull, "WITHIN(geom, POLYGON ((-180 -90, -180 90, 180 90, 180 -90, -180 -90)))") shouldBe
+      Set(1L, 2L, 3L, 4L)
+    ids(pts, "WITHIN(POLYGON ((-180 -90, -180 90, 180 90, 180 -90, -180 -90)), geom)") shouldBe Set.empty
+    // bbox partially out of bounds trims (not dateline-reinterpreted)
+    ids(pts, "BBOX(geom, -200, 10, -160, 30)") shouldBe Set(1L)
+    // bbox entirely outside the world -> EXCLUDE
+    ids(pts, "BBOX(geom, 200, 10, 250, 30)") shouldBe Set.empty
+    // out-of-bounds polygon literal is trimmed like the reference's
+    // planner (intersection with the world polygon, no translation)
+    ids(pts, "INTERSECTS(geom, POLYGON ((-200 10, -200 30, -160 30, -160 10, -200 10)))") shouldBe Set(1L)
+    // explicit multi-geometries OR apart (recreateAsIdlSafeFilter)
+    ids(pts, "INTERSECTS(geom, MULTIPOLYGON (((-176 17, -176 19, -174 19, -174 17, -176 17)), ((-1 19, -1 21, 1 21, 1 19, -1 19))))") shouldBe
+      Set(1L, 3L)
+  }
+
   test("temporal: DURING strict interval, instant/period forms") {
     ids(people, "dtg DURING 2014-01-01T00:00:00Z/2014-02-03T00:00:00Z") shouldBe Set(1L, 2L)
     ids(people, "dtg during 2014-02-01T00:00:00.000Z/2014-02-03T00:00:00.000Z") shouldBe Set(2L)

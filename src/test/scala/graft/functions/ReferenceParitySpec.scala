@@ -284,6 +284,29 @@ class ReferenceParitySpec extends AnyFunSuite with SparkTest {
     assert(isNull("st_bufferPoint(null, null)"))
   }
 
+  test("dateline rule splits FilterHelperTest's wide IDL polygon into the reference's exact halves") {
+    // FilterHelperTest.scala:96-98 ("fix IDL polygons in intersects"):
+    // a polygon spanning more than 180 degrees of longitude is
+    // interpreted as crossing the antimeridian and split at +-180
+    val got = GeomOps.antimeridianSafe(
+      GeomOps.fromWkt("POLYGON((-150 23,-164 11,45 23,49 30,-150 23))"))
+    assert(got.getNumGeometries == 2, GeomOps.toWkt(got))
+    val parts = (0 until 2).map(got.getGeometryN).sortBy(_.getEnvelopeInternal.getMinX)
+    val west = GeomOps.fromWkt("POLYGON ((-180 12.271523178807946, -180 24.304347826086957, " +
+      "-150 23, -164 11, -180 12.271523178807946))")
+    val east = GeomOps.fromWkt("POLYGON ((180 24.304347826086957, 180 12.271523178807946, " +
+      "45 23, 49 30, 180 24.304347826086957))")
+    assert(parts(0).norm().equalsExact(west.norm(), 1e-9), GeomOps.toWkt(parts(0)))
+    assert(parts(1).norm().equalsExact(east.norm(), 1e-9), GeomOps.toWkt(parts(1)))
+    // idempotent (FilterHelperTest "be idempotent with intersects"):
+    // re-normalizing the split parts changes nothing
+    val again = GeomOps.antimeridianSafe(got)
+    assert(again.norm().equalsExact(got.norm(), 1e-9), GeomOps.toWkt(again))
+    // valid geometries pass through unchanged ("not modify valid intersects")
+    val valid = GeomOps.fromWkt("POLYGON((45 23, 45 27, 48 27, 48 23, 45 23))")
+    assert(GeomOps.antimeridianSafe(valid).equalsExact(valid))
+  }
+
   test("st_antimeridianSafeGeom splits the reference's test polygon into its exact halves") {
     // reference :64-82
     val got = geomOf("st_antimeridianSafeGeom(st_geomFromWKT('POLYGON((-190 50, -190 60, -170 60, -170 50, -190 50))'))")

@@ -97,6 +97,46 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     } else cancel("pyarrow not available in this environment")
   }
 
+  test("Arrow sorted-batch mode: global order, per-file order, reference metadata keys") {
+    import spark.implicits._
+    // deliberately unsorted, multi-partition input
+    val df = (0 until 500).map(i => ((i * 7919) % 500L, s"row_$i"))
+      .toDF("k", "s").repartition(4)
+    val dir = tmp() + "/arrowsorted"
+    ArrowExport.write(df, dir, batchRows = 32, sortBy = Some(("k", false)))
+    // the reference's Metadata contract round-trips
+    assert(ArrowExport.sortOf(dir).contains(("k", false)))
+    // per-file: batches internally sorted; across files: globally ordered
+    // by part id (range-partitioned sort)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
+    assert(files.length > 1, "want a multi-file export to prove global ordering")
+    val keysByFile: Seq[Seq[Long]] = files.toSeq.map { f =>
+      val one = tmp() + s"/one_${f.getName}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(one))
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(one, f.getName))
+      ArrowExport.read(spark, one, df.schema).collect().map(_.getLong(0)).toSeq
+    }
+    keysByFile.foreach(ks => assert(ks == ks.sorted, "file not internally sorted"))
+    val flat = keysByFile.flatten
+    assert(flat == flat.sorted, "files not globally ordered by part id")
+    assert(flat.size == 500 && flat.distinct.size == 500)
+    // descending mode
+    val dir2 = tmp() + "/arrowsorted_desc"
+    ArrowExport.write(df, dir2, batchRows = 64, sortBy = Some(("k", true)))
+    assert(ArrowExport.sortOf(dir2).contains(("k", true)))
+    val back2 = ArrowExport.read(spark, dir2, df.schema).collect().map(_.getLong(0))
+    assert(back2.sorted.toSeq == (0L until 500L))
+    // unsorted export records no sort metadata
+    assert(ArrowExport.sortOf(tmp_dirOf(df)).isEmpty)
+  }
+
+  private def tmp_dirOf(df: org.apache.spark.sql.DataFrame): String = {
+    val d = tmp() + "/arrownosort"
+    ArrowExport.write(df, d)
+    d
+  }
+
   test("Shapefile export: .shp/.shx/.dbf parse back per the ESRI spec") {
     StFunctions.register(spark)
     import spark.implicits._

@@ -173,6 +173,39 @@ class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
     assert(joined == brute && brute.nonEmpty)
   }
 
+  test("query normalization: IDL split + whole-world INCLUDE through both scan and indexed paths") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, -175.0, 18.0), (2L, 170.0, 18.0), (3L, 0.0, 20.0), (4L, -60.0, -60.0))
+      .toDF("id", "x", "y").selectExpr("id", "st_makePoint(x, y) AS geom")
+    val dir = tmp() + "/idl"
+    Export.geoJson(docs, "geom", dir)
+    val parsed = GeoJsonQuery.read(spark, dir).cache()
+    def ids(q: String): Seq[Long] =
+      GeoJsonQuery.query(parsed, q)
+        .select(get_json_object(col("properties"), "$.id").cast("long"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // wide polygon = IDL-crossing (reference planner rule): matches the
+    // dateline rows, NOT the naive interior row
+    val idl = """{"geometry":{"$intersects":{"$geometry":{"type":"Polygon",
+      "coordinates":[[[-150,23],[-164,11],[45,23],[49,30],[-150,23]]]}}}}"""
+    assert(ids(idl) == Seq(1L, 2L))
+    // whole-world literal -> INCLUDE
+    assert(ids("""{"geometry":{"$intersects":{"$geometry":{"type":"Polygon",
+      "coordinates":[[[-180,-90],[180,-90],[180,90],[-180,90],[-180,-90]]]}}}}""") == Seq(1L, 2L, 3L, 4L))
+    // out-of-bounds bbox -> INCLUDE; trimmed bbox stays a plain box
+    assert(ids("""{"geometry":{"$bbox":[-181,-91,181,91]}}""") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("""{"geometry":{"$bbox":[-200,10,-160,30]}}""") == Seq(1L))
+    // the indexed (pruned) path returns the same rows for the IDL query
+    // — the pruning envelope must cover the SPLIT parts
+    val root = tmp() + "/idl_store"
+    GeoJsonQuery.index(spark, parsed, root)
+    val viaIndex = GeoJsonQuery.queryIndexed(spark, root, queryJson = idl)
+      .select(get_json_object(col("properties"), "$.id").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaIndex == Seq(1L, 2L))
+  }
+
   test("query language: spatial predicates over the geometry member") {
     StFunctions.register(spark)
     import spark.implicits._
