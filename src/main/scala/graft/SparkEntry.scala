@@ -413,6 +413,33 @@ object SparkEntry {
         FROM events GROUP BY event_type""")
     }),
 
+    "q_enrich" -> ((s, dir) => {
+      // converter enrichment (EnrichmentCacheTest analog): a config-driven
+      // converter with an inline cache labels event types in-scan
+      // (cacheLookup -> literal map, no join), with a $name
+      // back-reference deriving a second field from the first
+      t(s, dir, "events").createOrReplaceTempView("events")
+      val lines = s.sql(
+        "SELECT concat(CAST(event_id AS STRING), ',', event_type) AS value FROM events")
+      val cfg =
+        """{ "type": "delimited",
+          |  "caches": {
+          |    "sev": {"type": "simple", "data": {
+          |      "error": {"label": "bad", "weight": "3"},
+          |      "purchase": {"label": "good", "weight": "2"},
+          |      "signup": {"label": "good", "weight": "1"}}}
+          |  },
+          |  "fields": [
+          |    {"name": "event_id", "transform": "$1::long"},
+          |    {"name": "kind",     "transform": "toString($2)"},
+          |    {"name": "label",    "transform": "try(cacheLookup('sev', $kind, 'label'), 'other')"},
+          |    {"name": "weight",   "transform": "try(cacheLookup('sev', $kind, 'weight')::int, 0)"}] }"""
+          .stripMargin
+      sources.ConverterConfig(lines, "value", sources.ConverterConfig.parse(cfg))
+        .groupBy("kind", "label")
+        .agg(count(lit(1)).as("n"), sum("weight").as("total_weight"))
+    }),
+
     "q_image_features" -> ((s, dir) => {
       // multimodal decode + feature extraction over real PNG binary
       // payloads. PNG is lossless, so the decoded pixels equal the
@@ -1143,6 +1170,16 @@ object SparkEntry {
           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  COUNT(*) AS n
           |FROM events GROUP BY event_type""".stripMargin,
+
+      "q_enrich" ->
+        """SELECT event_type AS kind,
+          |  CASE WHEN event_type = 'error' THEN 'bad'
+          |       WHEN event_type IN ('purchase', 'signup') THEN 'good'
+          |       ELSE 'other' END AS label,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CASE event_type WHEN 'error' THEN 3 WHEN 'purchase' THEN 2
+          |       WHEN 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS total_weight
+          |FROM events GROUP BY 1, 2""".stripMargin,
 
       "q_changelog_replay" ->
         s"""WITH $ptsCte,

@@ -28,10 +28,17 @@ import org.apache.spark.sql.functions._
  *     {"name": "t",   "transform": "concat(trim($1), '-', $2)"}
  *   ],
  *   "lon-field": "lon", "lat-field": "lat",   // optional geom derivation
+ *   "caches": {                                // enrichment lookups
+ *     "test": {"type": "simple", "data": {"1": {"name": "foo"}}}
+ *   },
  *   "routes": [                                // composite only
  *     {"when-matches": "^\\{", "converter": { ...nested config... }}
  *   ] }
  * }}}
+ *
+ * Transforms may back-reference earlier fields by `$name` and call
+ * `cacheLookup('cache', $key, 'field')` over the declared caches — the
+ * reference's EnrichmentCacheTest shape.
  */
 object ConverterConfig {
 
@@ -41,7 +48,8 @@ object ConverterConfig {
     fields: Seq[Converters.Field],
     lonField: Option[String],
     latField: Option[String],
-    routes: Seq[(String, Parsed)])
+    routes: Seq[(String, Parsed)],
+    caches: Map[String, Transformers.SimpleCache] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -82,11 +90,32 @@ object ConverterConfig {
     }
     if (typ == "composite") require(routes.nonEmpty, "composite converter needs 'routes'")
     else require(fields.nonEmpty, s"converter type '$typ' needs 'fields'")
+    // enrichment caches (the reference's `caches` converter section,
+    // EnrichmentCacheTest): only inline "simple" data — external KV
+    // backends map to the broadcast-join path (Converters.enrich)
+    val caches = Option(n.get("caches")).map { cs =>
+      cs.properties().asScala.map { e =>
+        val cName = e.getKey
+        val c = e.getValue
+        val cTyp = Option(c.get("type")).map(_.asText).getOrElse("simple")
+        require(cTyp == "simple",
+          s"cache '$cName': only 'simple' inline caches are supported " +
+            "(use Converters.enrich for external lookup tables)")
+        val data = Option(c.get("data")).map { d =>
+          d.properties().asScala.map { kv =>
+            kv.getKey -> kv.getValue.properties().asScala
+              .map(f => f.getKey -> f.getValue.asText).toMap
+          }.toMap
+        }.getOrElse(Map.empty[String, Map[String, String]])
+        cName -> Transformers.SimpleCache(data)
+      }.toMap
+    }.getOrElse(Map.empty[String, Transformers.SimpleCache])
     Parsed(typ, delimiter,
       fields,
       Option(n.get("lon-field")).map(_.asText),
       Option(n.get("lat-field")).map(_.asText),
-      routes)
+      routes,
+      caches)
   }
 
   /** Apply a parsed config to a one-string-column DataFrame. */
@@ -96,9 +125,12 @@ object ConverterConfig {
         cfg.routes.map { case (re, sub) =>
           ((line: Column) => line.rlike(re), sub.fields, sub.delimiter)
         }
-      Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
+      // routes may use the top-level caches plus their own declarations
+      val allCaches = cfg.caches ++ cfg.routes.flatMap(_._2.caches)
+      Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField, allCaches)
     case _ =>
-      Converters.convert(df, lineCol, cfg.fields, cfg.delimiter, cfg.lonField, cfg.latField)
+      Converters.convert(df, lineCol, cfg.fields, cfg.delimiter, cfg.lonField, cfg.latField,
+        cfg.caches)
   }
 
   /** Config string + text path -> converted DataFrame (the CLI shape). */

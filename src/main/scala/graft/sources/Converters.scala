@@ -57,7 +57,9 @@ object Converters {
     }
   }
 
-  private def extract(line: Column, f: Field, delimiter: String): Column = {
+  private def extract(line: Column, f: Field, delimiter: String,
+                      named: Map[String, Column] = Map.empty,
+                      caches: Map[String, Transformers.SimpleCache] = Map.empty): Column = {
     val raw = f.spec match {
       // try_element_at: a line with too few fields is a parse error to
       // skip (null), not an ANSI INVALID_ARRAY_INDEX job failure
@@ -65,12 +67,12 @@ object Converters {
       case FixedWidth(start, len) => trim(substring(line, start + 1, len))
       case JsonPath(p) => get_json_object(line, p)
       case XPath(p) => xpathUdf(line, lit(p))
-      case Transform(e) => Transformers.forDelimited(e, line, delimiter)
+      case Transform(e) => Transformers.forDelimited(e, line, delimiter, named, caches)
     }
     // try_cast: a malformed value under ANSI mode is a parse error to
     // skip (null), not a CAST_INVALID_INPUT job failure. An empty castTo
     // keeps the extractor's own type (transforms carry theirs).
-    (if (f.castTo.isEmpty) raw else raw.try_cast(f.castTo)).as(f.name)
+    if (f.castTo.isEmpty) raw else raw.try_cast(f.castTo)
   }
 
   /**
@@ -81,8 +83,17 @@ object Converters {
    */
   def convert(df: DataFrame, lineCol: String, fields: Seq[Field],
               delimiter: String = ",",
-              lonField: Option[String] = None, latField: Option[String] = None): DataFrame = {
-    val cols = fields.map(f => extract(col(lineCol), f, delimiter))
+              lonField: Option[String] = None, latField: Option[String] = None,
+              caches: Map[String, Transformers.SimpleCache] = Map.empty): DataFrame = {
+    // fields compile in order and later transforms may back-reference
+    // earlier ones by `$name` (the reference's evaluation order —
+    // EnrichmentCacheTest's `point($lon, $lat)`); the refs inline the
+    // referenced expression, staying one flat projection
+    val built = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    fields.foreach { f =>
+      built += f.name -> extract(col(lineCol), f, delimiter, built.toMap, caches)
+    }
+    val cols = built.map { case (n, c) => c.as(n) }.toSeq
     val parsed = df.select(cols: _*)
       .where(fields.map(f => col(f.name).isNotNull).reduce(_ || _))
     (lonField, latField) match {
@@ -96,8 +107,21 @@ object Converters {
   /** Read a text file and convert (the usual entry point). */
   def fromText(spark: SparkSession, path: String, fields: Seq[Field],
                delimiter: String = ",",
-               lonField: Option[String] = None, latField: Option[String] = None): DataFrame =
-    convert(spark.read.text(path), "value", fields, delimiter, lonField, latField)
+               lonField: Option[String] = None, latField: Option[String] = None,
+               caches: Map[String, Transformers.SimpleCache] = Map.empty): DataFrame =
+    convert(spark.read.text(path), "value", fields, delimiter, lonField, latField, caches)
+
+  /** The scale path for enrichment lookups that don't fit a plan
+    * literal: left broadcast-join the lookup table (the reference's
+    * non-simple EnrichmentCache backends are external KV stores; on
+    * Spark the idiomatic equivalent is a broadcast dimension join that
+    * AQE keeps shuffle-free). Lookup columns join onto `df` by
+    * `df(dfKey) == lookup(lookupKey)`; `lookupKey` itself is dropped. */
+  def enrich(df: DataFrame, lookup: DataFrame, dfKey: String, lookupKey: String): DataFrame = {
+    val renamed = lookup.withColumnRenamed(lookupKey, "__cache_key")
+    df.join(broadcast(renamed), col(dfKey) === col("__cache_key"), "left")
+      .drop("__cache_key")
+  }
 
   /** Streaming entry point — the StreamDataStore analog (the reference's
     * generic stream source runs a converter over an arriving feed;
@@ -118,12 +142,14 @@ object Converters {
    */
   def composite(df: DataFrame, lineCol: String,
                 routes: Seq[(Column => Column, Seq[Field], String)],
-                lonField: Option[String] = None, latField: Option[String] = None): DataFrame = {
+                lonField: Option[String] = None, latField: Option[String] = None,
+                caches: Map[String, Transformers.SimpleCache] = Map.empty): DataFrame = {
     val parts = routes.zipWithIndex.map { case ((pred, fields, delim), i) =>
       // earlier routes win: exclude lines matched by any earlier route
       val notEarlier = routes.take(i).map(r => !coalesce(r._1(col(lineCol)), lit(false)))
         .foldLeft(lit(true))(_ && _)
-      convert(df.where(pred(col(lineCol)) && notEarlier), lineCol, fields, delim, lonField, latField)
+      convert(df.where(pred(col(lineCol)) && notEarlier), lineCol, fields, delim,
+        lonField, latField, caches)
     }
     parts.reduce(_ union _)
   }

@@ -117,6 +117,45 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     assert(rows.forall(!_.isNullAt(2)))
   }
 
+  test("enrichment caches + $name back-references: the reference's EnrichmentCacheTest shape") {
+    // geomesa-convert-common EnrichmentCacheTest: a converter declares a
+    // simple inline cache, one field looks a value up by an earlier
+    // field's value, and geom is built from $lon/$lat back-references
+    import spark.implicits._
+    val df = Seq("1,35.0,36.0", "2,10.0,11.0").toDF("value")
+    val cfg =
+      """{ "type": "delimited",
+        |  "caches": {
+        |    "test": {"type": "simple", "data": {"1": {"name": "foo"}}}
+        |  },
+        |  "fields": [
+        |    {"name": "id",          "transform": "toString($1)"},
+        |    {"name": "keytolookup", "transform": "cacheLookup('test', $id, 'name')"},
+        |    {"name": "lat",         "transform": "$2::double"},
+        |    {"name": "lon",         "transform": "$3::double"},
+        |    {"name": "geom",        "transform": "point($lon, $lat)"}] }""".stripMargin
+    val out = ConverterConfig(df, "value", ConverterConfig.parse(cfg)).orderBy("id")
+    val rows = out.collect()
+    // cache hit resolves; miss is null (the reference returns null too)
+    assert(rows.map(r => Option(r.getString(1))).toSeq == Seq(Some("foo"), None))
+    val wkts = out.selectExpr("st_asText(geom)").collect().map(_.getString(0))
+    assert(wkts.toSeq == Seq("POINT (36 35)", "POINT (11 10)"))
+    // the whole thing is one projection over one scan — no joins, no
+    // exchanges, no UDFs for the lookup (literal map + element_at)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan.take(500))
+    // unknown cache names fail loudly at compile time
+    val bad = cfg.replace("'test'", "'nope'")
+    intercept[IllegalArgumentException](ConverterConfig(df, "value", ConverterConfig.parse(bad)))
+    // external lookup tables go through the broadcast-join path
+    val lookup = Seq(("1", "FOO"), ("9", "ZAP")).toDF("k", "label")
+    val enriched = Converters.enrich(out, lookup, "id", "k").orderBy("id")
+    assert(enriched.select("label").collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("FOO"), None))
+    val eplan = enriched.queryExecution.executedPlan.toString
+    assert(eplan.contains("BroadcastHashJoin"), eplan.take(500))
+  }
+
   test("config-driven composite converter routes by regex") {
     import spark.implicits._
     val df = Seq("""{"id": 1, "v": 7.5}""", "2,8.5", "noise").toDF("value")
