@@ -198,16 +198,25 @@ object GeomOps {
   /** A query literal normalized the way the reference's query planner
     * does it (FilterHelper.visitBinarySpatialOp:54-77): trimmed to the
     * world polygon, then IDL dateline-split, returned as the flat list
-    * of parts to OR together. Nil means the literal lies entirely
-    * outside the world (the filter is EXCLUDE). */
-  def queryParts(g: Geometry): Seq[Geometry] = {
+    * of parts to OR together. `None` means the trimmed literal covers
+    * the whole world (the caller's INCLUDE case — the world rectangle
+    * must NOT reach the dateline unwrap, whose 360-degree edges would
+    * collapse it to a sliver); `Some(Nil)` means the literal lies
+    * entirely outside the world (EXCLUDE). */
+  def queryPartsOrWorld(g: Geometry): Option[Seq[Geometry]] = {
     val trimmed = g.intersection(worldPolygon)
-    if (trimmed.isEmpty) Nil
-    else datelineWrap(trimmed) match {
+    if (trimmed.isEmpty) Some(Nil)
+    else if (coversWorld(trimmed)) None
+    else Some(datelineWrap(trimmed) match {
       case gc: GeometryCollection => (0 until gc.getNumGeometries).map(gc.getGeometryN).toSeq
       case one => Seq(one)
-    }
+    })
   }
+
+  /** queryPartsOrWorld with the whole-world case flattened to the world
+    * polygon itself (for callers whose operator has no INCLUDE rule). */
+  def queryParts(g: Geometry): Seq[Geometry] =
+    queryPartsOrWorld(g).getOrElse(Seq(worldPolygon))
 
   /** The reference's full dateline rule (st_antimeridianSafeGeom /
     * st_idlSafeGeom — GeometricProcessingFunctions.scala:41-56 delegating
@@ -259,6 +268,7 @@ object GeomOps {
     * otherwise take the long way). Falls back to the input component if
     * unwrapping would leave a ring unclosed (a ring circling the globe). */
   private def unwrapGeom(g: Geometry): Geometry = g match {
+    case e if e.isEmpty => e // empty rings have no coordinates to walk
     case p: Polygon =>
       val shell = unwrapRing(p.getExteriorRing.getCoordinates)
       val shellMid = (shell.map(_.x).min + shell.map(_.x).max) / 2

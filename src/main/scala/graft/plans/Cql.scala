@@ -437,8 +437,12 @@ object Cql {
         case "CONTAINS" => litFirst // whole-world CONTAINS prop
         case _ => false
       }
-      if (includeOk && G.coversWorld(g.intersection(Cql.WorldPolygon))) lit(true)
-      else orOverParts(g, pred)
+      G.queryPartsOrWorld(g) match {
+        case None if includeOk => lit(true)
+        case None => pred(G.worldPolygon)
+        case Some(Seq()) => lit(false)
+        case Some(parts) => parts.map(pred).reduce(_ || _)
+      }
     }
 
     /** IDL-split a literal and OR the per-part predicates — the

@@ -82,16 +82,21 @@ object ArrowExport {
    */
   def write(df0: DataFrame, path: String, batchRows: Int = 4096,
             dictColumns: Seq[String] = Nil, maxDictSize: Int = 1000,
-            sortBy: Option[(String, Boolean)] = None): Set[String] = {
+            sortBy: Option[(String, Boolean)] = None,
+            sortPartitions: Int = 0): Set[String] = {
     val df = sortBy match {
       case Some((field, reverse)) =>
         require(df0.schema.fieldNames.contains(field), s"sortBy column $field not in schema")
         val sortCol = if (reverse) col(field).desc else col(field).asc
         // range partition + in-partition sort = a total order across the
-        // part files while keeping the caller's write parallelism (a
-        // plain orderBy lets AQE coalesce small outputs to one file)
-        df0.repartitionByRange(math.max(1, df0.rdd.getNumPartitions), sortCol)
-          .sortWithinPartitions(sortCol)
+        // part files. An explicit partition count (default: the session's
+        // shuffle parallelism) both keeps AQE from coalescing small
+        // outputs to one file and avoids materializing the plan just to
+        // count input partitions (df.rdd would run the upstream stages
+        // once extra under AQE).
+        val n = if (sortPartitions > 0) sortPartitions
+          else df0.sparkSession.sessionState.conf.numShufflePartitions
+        df0.repartitionByRange(math.max(1, n), sortCol).sortWithinPartitions(sortCol)
       case None => df0
     }
     val schemaMeta: Map[String, String] = sortBy match {
@@ -231,12 +236,34 @@ object ArrowExport {
     val files = fs.listStatus(new Path(path))
       .map(_.getPath).filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
     files.headOption.flatMap { f =>
+      // footer-only read: ArrowFileReader seeks to the schema via the
+      // channel, so no byte-array copy of the (possibly multi-GB) file
       val in = fs.open(f)
-      val len = fs.getFileStatus(f).getLen.toInt
-      val bytes = new Array[Byte](len)
-      in.readFully(bytes); in.close()
+      val len = fs.getFileStatus(f).getLen
+      val ch = new java.nio.channels.SeekableByteChannel {
+        private var position0 = 0L
+        private var open = true
+        override def read(dst: java.nio.ByteBuffer): Int = {
+          val want = dst.remaining()
+          val buf = new Array[Byte](want)
+          val n = in.read(position0, buf, 0, want)
+          if (n > 0) { dst.put(buf, 0, n); position0 += n }
+          n
+        }
+        override def write(src: java.nio.ByteBuffer): Int = throw new UnsupportedOperationException
+        override def position(): Long = position0
+        override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+          position0 = newPosition; this
+        }
+        override def size(): Long = len
+        override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+          throw new UnsupportedOperationException
+        override def isOpen: Boolean = open
+        override def close(): Unit = { open = false; in.close() }
+      }
       val allocator = new RootAllocator(Long.MaxValue)
-      val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+      val reader = new ArrowFileReader(
+        new org.apache.arrow.vector.ipc.SeekableReadChannel(ch), allocator)
       try {
         val meta = reader.getVectorSchemaRoot.getSchema.getCustomMetadata
         Option(meta.get("sort-field")).map(f => (f, meta.get("sort-order") == "descending"))

@@ -121,13 +121,13 @@ object ConverterConfig {
   /** Apply a parsed config to a one-string-column DataFrame. */
   def apply(df: DataFrame, lineCol: String, cfg: Parsed): DataFrame = cfg.typ match {
     case "composite" =>
-      val rs: Seq[(Column => Column, Seq[Converters.Field], String)] =
-        cfg.routes.map { case (re, sub) =>
-          ((line: Column) => line.rlike(re), sub.fields, sub.delimiter)
-        }
-      // routes may use the top-level caches plus their own declarations
-      val allCaches = cfg.caches ++ cfg.routes.flatMap(_._2.caches)
-      Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField, allCaches)
+      // caches scope per route: the route's own declarations shadow the
+      // top-level ones, and routes never see each other's caches
+      val rs = cfg.routes.map { case (re, sub) =>
+        Converters.Route((line: Column) => line.rlike(re), sub.fields, sub.delimiter,
+          cfg.caches ++ sub.caches)
+      }
+      Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
     case _ =>
       Converters.convert(df, lineCol, cfg.fields, cfg.delimiter, cfg.lonField, cfg.latField,
         cfg.caches)

@@ -87,14 +87,20 @@ object Converters {
               caches: Map[String, Transformers.SimpleCache] = Map.empty): DataFrame = {
     // fields compile in order and later transforms may back-reference
     // earlier ones by `$name` (the reference's evaluation order —
-    // EnrichmentCacheTest's `point($lon, $lat)`); the refs inline the
-    // referenced expression, staying one flat projection
-    val built = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    // EnrichmentCacheTest's `point($lon, $lat)`). Each field becomes its
+    // own projection referencing the PREVIOUS field's column, so a
+    // back-reference reuses the computed VALUE (matters for
+    // non-deterministic transforms like uuid(); Catalyst's
+    // CollapseProject still folds the deterministic chain into one
+    // projection). The raw line is kept under a private name so a field
+    // may legally be called `lineCol` without breaking later `$N` refs.
+    val line = "__graft_line"
+    var cur = df.select(col(lineCol).as(line))
     fields.foreach { f =>
-      built += f.name -> extract(col(lineCol), f, delimiter, built.toMap, caches)
+      val named = fields.takeWhile(_ ne f).map(p => p.name -> col(p.name)).toMap
+      cur = cur.withColumn(f.name, extract(col(line), f, delimiter, named, caches))
     }
-    val cols = built.map { case (n, c) => c.as(n) }.toSeq
-    val parsed = df.select(cols: _*)
+    val parsed = cur.select(fields.map(f => col(f.name)): _*)
       .where(fields.map(f => col(f.name).isNotNull).reduce(_ || _))
     (lonField, latField) match {
       case (Some(lo), Some(la)) =>
@@ -140,16 +146,22 @@ object Converters {
    * all routes must produce the same schema (the reference's composite
    * converter contract). Unmatched lines are dropped.
    */
+  /** A composite route: predicate on the raw line, converter fields,
+    * delimiter, and the route's own enrichment caches (caches scope to
+    * the declaring converter, like the reference — a shared cache is
+    * passed to every route explicitly). */
+  final case class Route(pred: Column => Column, fields: Seq[Field], delimiter: String = ",",
+                         caches: Map[String, Transformers.SimpleCache] = Map.empty)
+
   def composite(df: DataFrame, lineCol: String,
-                routes: Seq[(Column => Column, Seq[Field], String)],
-                lonField: Option[String] = None, latField: Option[String] = None,
-                caches: Map[String, Transformers.SimpleCache] = Map.empty): DataFrame = {
-    val parts = routes.zipWithIndex.map { case ((pred, fields, delim), i) =>
+                routes: Seq[Route],
+                lonField: Option[String] = None, latField: Option[String] = None): DataFrame = {
+    val parts = routes.zipWithIndex.map { case (r, i) =>
       // earlier routes win: exclude lines matched by any earlier route
-      val notEarlier = routes.take(i).map(r => !coalesce(r._1(col(lineCol)), lit(false)))
+      val notEarlier = routes.take(i).map(e => !coalesce(e.pred(col(lineCol)), lit(false)))
         .foldLeft(lit(true))(_ && _)
-      convert(df.where(pred(col(lineCol)) && notEarlier), lineCol, fields, delim,
-        lonField, latField, caches)
+      convert(df.where(r.pred(col(lineCol)) && notEarlier), lineCol, r.fields, r.delimiter,
+        lonField, latField, r.caches)
     }
     parts.reduce(_ union _)
   }

@@ -263,11 +263,11 @@ object GeoJsonQuery {
     def spatial(f: (Column, Column) => Column, includeOk: Boolean): Column = {
       require(prop == geomName || prop == "geometry",
         s"spatial operator $op applies to the geometry member, got '$prop'")
-      val g = queryGeom
-      if (includeOk && G.coversWorld(g.intersection(G.worldPolygon))) lit(true)
-      else G.queryParts(g) match {
-        case Seq() => lit(false)
-        case parts => parts.map(p => f(geom, lit(G.toWkb(p)))).reduce(_ || _)
+      G.queryPartsOrWorld(queryGeom) match {
+        case None if includeOk => lit(true)
+        case None => f(geom, lit(G.toWkb(G.worldPolygon)))
+        case Some(Seq()) => lit(false)
+        case Some(parts) => parts.map(p => f(geom, lit(G.toWkb(p)))).reduce(_ || _)
       }
     }
     op match {

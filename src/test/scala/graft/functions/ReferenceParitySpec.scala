@@ -305,6 +305,11 @@ class ReferenceParitySpec extends AnyFunSuite with SparkTest {
     // valid geometries pass through unchanged ("not modify valid intersects")
     val valid = GeomOps.fromWkt("POLYGON((45 23, 45 27, 48 27, 48 23, 45 23))")
     assert(GeomOps.antimeridianSafe(valid).equalsExact(valid))
+    // empty geometries pass through, not crash (regression: empty rings
+    // have no coordinates to unwrap)
+    assert(GeomOps.antimeridianSafe(GeomOps.fromWkt("POLYGON EMPTY")).isEmpty)
+    assert(GeomOps.antimeridianSafe(GeomOps.fromWkt(
+      "GEOMETRYCOLLECTION (POLYGON EMPTY, POINT (1 2))")).getNumGeometries == 2)
   }
 
   test("st_antimeridianSafeGeom splits the reference's test polygon into its exact halves") {

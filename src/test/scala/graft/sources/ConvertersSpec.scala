@@ -70,8 +70,8 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     val csvFields = Seq(Field("id", Col(0), "bigint"), Field("v", Col(1), "double"))
     val jsonFields = Seq(Field("id", JsonPath("$.id"), "bigint"), Field("v", JsonPath("$.v"), "double"))
     val out = Converters.composite(df, "value", Seq(
-      ((l: org.apache.spark.sql.Column) => l.startsWith("{"), jsonFields, ","),
-      ((l: org.apache.spark.sql.Column) => l.rlike("^[0-9]+,"), csvFields, ",")))
+      Converters.Route(l => l.startsWith("{"), jsonFields),
+      Converters.Route(l => l.rlike("^[0-9]+,"), csvFields)))
     val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(m == Map(1L -> 7.5, 2L -> 8.5, 3L -> 9.5))
   }
@@ -154,6 +154,50 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
       Seq(Some("FOO"), None))
     val eplan = enriched.queryExecution.executedPlan.toString
     assert(eplan.contains("BroadcastHashJoin"), eplan.take(500))
+  }
+
+  test("$name back-references reuse the computed VALUE, not the expression") {
+    // a non-deterministic field (uuid) referenced by a later field must
+    // see the same value the field stores — the reference evaluates
+    // fields sequentially, so $id is the materialized id
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("value")
+    val out = Converters.convert(df, "value",
+      Seq(Field("id", Transform("uuid()"), ""),
+          Field("tagged", Transform("concat($id, '-x')"), "")))
+    out.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(0) + "-x", r.toString)
+    }
+    // a field may shadow the input column name without breaking $N refs
+    val out2 = Converters.convert(df, "value",
+      Seq(Field("value", Transform("uppercase($1)"), ""),
+          Field("echo", Transform("concat($value, '!')"), "")))
+    assert(out2.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("A", "A!"), ("B", "B!")))
+  }
+
+  test("composite routes keep their own caches (same name, different data)") {
+    import spark.implicits._
+    val df = Seq("csv:1", "json:1").toDF("value")
+    val cfg =
+      """{ "type": "composite",
+        |  "routes": [
+        |    {"when-matches": "^csv:", "converter": {
+        |      "type": "delimited", "delimiter": ":",
+        |      "caches": {"c": {"type": "simple", "data": {"1": {"label": "from-csv"}}}},
+        |      "fields": [
+        |        {"name": "k",   "transform": "toString($2)"},
+        |        {"name": "lbl", "transform": "cacheLookup('c', $k, 'label')"}] }},
+        |    {"when-matches": "^json:", "converter": {
+        |      "type": "delimited", "delimiter": ":",
+        |      "caches": {"c": {"type": "simple", "data": {"1": {"label": "from-json"}}}},
+        |      "fields": [
+        |        {"name": "k",   "transform": "toString($2)"},
+        |        {"name": "lbl", "transform": "cacheLookup('c', $k, 'label')"}] }}
+        |  ] }""".stripMargin
+    val out = ConverterConfig(df, "value", ConverterConfig.parse(cfg))
+    assert(out.select("lbl").collect().map(_.getString(0)).toSet ==
+      Set("from-csv", "from-json"))
   }
 
   test("config-driven composite converter routes by regex") {

@@ -103,7 +103,7 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     val df = (0 until 500).map(i => ((i * 7919) % 500L, s"row_$i"))
       .toDF("k", "s").repartition(4)
     val dir = tmp() + "/arrowsorted"
-    ArrowExport.write(df, dir, batchRows = 32, sortBy = Some(("k", false)))
+    ArrowExport.write(df, dir, batchRows = 32, sortBy = Some(("k", false)), sortPartitions = 4)
     // the reference's Metadata contract round-trips
     assert(ArrowExport.sortOf(dir).contains(("k", false)))
     // per-file: batches internally sorted; across files: globally ordered

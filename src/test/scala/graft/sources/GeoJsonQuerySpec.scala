@@ -204,6 +204,18 @@ class GeoJsonQuerySpec extends AnyFunSuite with SparkTest {
       .select(get_json_object(col("properties"), "$.id").cast("long"))
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(viaIndex == Seq(1L, 2L))
+    // whole-world literal through the INDEXED path: the pruning envelope
+    // must be the world, not a dateline-collapsed sliver (the world
+    // rectangle's 360-degree edges must never reach the unwrap)
+    val world = """{"geometry":{"$intersects":{"$geometry":{"type":"Polygon",
+      "coordinates":[[[-180,-90],[180,-90],[180,90],[-180,90],[-180,-90]]]}}}}"""
+    val worldViaIndex = GeoJsonQuery.queryIndexed(spark, root, queryJson = world)
+      .select(get_json_object(col("properties"), "$.id").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(worldViaIndex == Seq(1L, 2L, 3L, 4L))
+    // ... and $contains (no INCLUDE rule) still compiles against the
+    // world polygon rather than a collapsed literal
+    assert(GeoJsonQuery.queryEnvelope(world).contains((-180.0, -90.0, 180.0, 90.0)))
   }
 
   test("query language: spatial predicates over the geometry member") {
