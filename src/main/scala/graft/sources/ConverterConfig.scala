@@ -49,7 +49,8 @@ object ConverterConfig {
     lonField: Option[String],
     latField: Option[String],
     routes: Seq[(String, Parsed)],
-    caches: Map[String, Transformers.SimpleCache] = Map.empty)
+    caches: Map[String, Transformers.SimpleCache] = Map.empty,
+    sft: Option[graft.table.Sft.Schema] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -110,27 +111,61 @@ object ConverterConfig {
         cName -> Transformers.SimpleCache(data)
       }.toMap
     }.getOrElse(Map.empty[String, Transformers.SimpleCache])
+    // paired schema — the reference's converters always carry an sft
+    // (SimpleFeatureConverter.createConverter(sft, config)); declared as
+    // the same spec-string grammar, it types/orders the output below
+    val sft = Option(n.get("sft")).map { s =>
+      val name = Option(n.get("type-name")).map(_.asText).getOrElse("converted")
+      graft.table.Sft.parse(name, s.asText)
+    }
     Parsed(typ, delimiter,
       fields,
       Option(n.get("lon-field")).map(_.asText),
       Option(n.get("lat-field")).map(_.asText),
       routes,
-      caches)
+      caches,
+      sft)
   }
 
   /** Apply a parsed config to a one-string-column DataFrame. */
-  def apply(df: DataFrame, lineCol: String, cfg: Parsed): DataFrame = cfg.typ match {
-    case "composite" =>
-      // caches scope per route: the route's own declarations shadow the
-      // top-level ones, and routes never see each other's caches
-      val rs = cfg.routes.map { case (re, sub) =>
-        Converters.Route((line: Column) => line.rlike(re), sub.fields, sub.delimiter,
-          cfg.caches ++ sub.caches)
-      }
-      Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
-    case _ =>
-      Converters.convert(df, lineCol, cfg.fields, cfg.delimiter, cfg.lonField, cfg.latField,
-        cfg.caches)
+  def apply(df: DataFrame, lineCol: String, cfg: Parsed): DataFrame = {
+    val converted = cfg.typ match {
+      case "composite" =>
+        // caches scope per route: the route's own declarations shadow the
+        // top-level ones, and routes never see each other's caches
+        val rs = cfg.routes.map { case (re, sub) =>
+          Converters.Route((line: Column) => line.rlike(re), sub.fields, sub.delimiter,
+            cfg.caches ++ sub.caches)
+        }
+        Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
+      case _ =>
+        Converters.convert(df, lineCol, cfg.fields, cfg.delimiter, cfg.lonField, cfg.latField,
+          cfg.caches)
+    }
+    cfg.sft.map(coerceToSft(converted, _)).getOrElse(converted)
+  }
+
+  /** Align the converted frame to the declared sft: columns in sft order
+    * with sft types (try_cast semantics — malformed values become null,
+    * like the reference's ErrorMode.SkipBadRecords), geometry columns
+    * from WKT text when needed, unmapped attributes as typed nulls, and
+    * the `sft.*` metadata stamped on each column so `Sft.fromSchema`
+    * round-trips the declaration off any downstream DataFrame. */
+  private def coerceToSft(df: DataFrame, sft: graft.table.Sft.Schema): DataFrame = {
+    val out = sft.fields.map { f =>
+      val target = f.toStructField
+      val coerced =
+        if (!df.columns.contains(f.name)) lit(null).cast(target.dataType)
+        else {
+          val cur = df.schema(f.name).dataType
+          val c = col(f.name)
+          if (cur == target.dataType) c
+          else if (f.isGeometry) graft.functions.StFunctions.fn("st_geomFromWKT")(c)
+          else c.try_cast(target.dataType)
+        }
+      coerced.as(f.name, target.metadata)
+    }
+    df.select(out: _*)
   }
 
   /** Config string + text path -> converted DataFrame (the CLI shape). */

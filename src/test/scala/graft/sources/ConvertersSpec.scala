@@ -270,4 +270,39 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     assert(back.selectExpr("CAST(ts AS STRING)").collect()
       .forall(_.getString(0).endsWith("10:00:00.123456")))
   }
+
+  test("converter config with a paired sft spec types, orders and stamps the output") {
+    import spark.implicits._
+    val df = Seq(
+      "1|alice|2024-03-01T10:00:00Z|10.5|45.25",
+      "2|bob|not-a-date|-3.0|7.75").toDF("value")
+    val cfg =
+      """{ "type": "delimited", "delimiter": "|",
+        |  "fields": [
+        |    {"name": "id",   "col": 0},
+        |    {"name": "name", "col": 1},
+        |    {"name": "dtg",  "col": 2},
+        |    {"name": "lon",  "col": 3, "type": "double"},
+        |    {"name": "lat",  "col": 4, "type": "double"}],
+        |  "lon-field": "lon", "lat-field": "lat",
+        |  "type-name": "people",
+        |  "sft": "id:Long,name:String,dtg:Date,score:Double,*geom:Point:srid=4326" }""".stripMargin
+    val out = ConverterConfig(df, "value", ConverterConfig.parse(cfg))
+    // sft order + types, including the unmapped 'score' as a typed null
+    assert(out.columns.toSeq == Seq("id", "name", "dtg", "score", "geom"))
+    assert(out.schema("id").dataType.typeName == "long")
+    assert(out.schema("dtg").dataType.typeName == "timestamp")
+    assert(out.schema("score").dataType.typeName == "double")
+    assert(out.schema("geom").dataType.typeName == "binary")
+    // sft metadata survives on the output schema and round-trips
+    val back = graft.table.Sft.fromSchema("people", out.schema)
+    assert(back.defaultGeometry.contains("geom"))
+    assert(back.encode() == "id:Long,name:String,dtg:Date,score:Double,*geom:Point:srid=4326")
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(3))) // score unmapped -> null
+    assert(!rows(0).isNullAt(2) && rows(1).isNullAt(2)) // bad date -> null, not a crash
+    assert(out.selectExpr("st_asText(geom)").collect().map(_.getString(0)).toSet ==
+      Set("POINT (10.5 45.25)", "POINT (-3 7.75)"))
+  }
 }
