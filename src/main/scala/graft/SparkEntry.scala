@@ -731,6 +731,26 @@ object SparkEntry {
       operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 6)
     }),
 
+    "q_dedup_groups" -> ((s, dir) => {
+      // near-dup PAIRS -> transitive GROUPS through the real large-star/
+      // small-star components operator. The planted edge set (intra-block
+      // chains + shortcut edges over id blocks of 10, first 60% of docs;
+      // multi-hop, so transitivity is genuinely exercised) is pure SQL,
+      // so DuckDB recomputes the components independently with a
+      // recursive-CTE transitive closure — not the closed form.
+      val docs = t(s, dir, "documents")
+      docs.createOrReplaceTempView("documents")
+      val pairs = s.sql(
+        """WITH cut AS (SELECT count(*) div 10 * 6 AS c FROM documents)
+          |SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents, cut
+          |WHERE doc_id < c AND doc_id % 10 < 9
+          |UNION ALL
+          |SELECT doc_id, doc_id + 5 FROM documents, cut
+          |WHERE doc_id < c AND doc_id % 10 < 5""".stripMargin)
+      operators.Dedup.labelComponents(docs, "doc_id", pairs)
+        .select("doc_id", "component", "is_canonical")
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       operators.TextAnalysis.withLangId(t(s, dir, "documents"), "text")
         .select("doc_id", "lang_pred")
@@ -1317,6 +1337,23 @@ object SparkEntry {
           |        c -> CAST(ascii(c) AS BIGINT))),
           |    (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
           |FROM documents""".stripMargin,
+
+      "q_dedup_groups" ->
+        """WITH RECURSIVE
+          |cut AS (SELECT count(*) // 10 * 6 AS c FROM documents),
+          |e0 AS (
+          |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents, cut
+          |  WHERE doc_id < c AND doc_id % 10 < 9
+          |  UNION ALL
+          |  SELECT doc_id, doc_id + 5 FROM documents, cut
+          |  WHERE doc_id < c AND doc_id % 10 < 5),
+          |edges AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+          |reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
+          |SELECT id AS doc_id, min(r) AS component, (min(r) = id) AS is_canonical
+          |FROM reach GROUP BY id""".stripMargin,
 
       "q_hamming_pairs" ->
         """WITH h AS (SELECT doc_id,

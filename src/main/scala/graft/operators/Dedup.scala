@@ -224,6 +224,103 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  // ---- connected components (pairs -> dedup groups) --------------------
+
+  /**
+   * Distributed connected components over a pair table — the step that
+   * turns near-duplicate PAIRS into dedup GROUPS (a doc near-dups B,
+   * B near-dups C => {A,B,C} is one group even when A-C was never a
+   * candidate pair). Alternating large-star / small-star (Kiveris et
+   * al., "Connected Components in MapReduce and Beyond", ACM SoCC
+   * 2014): converges in O(log^2 n) rounds, each round two hash
+   * shuffles on node id with map-side-partial `min` — no driver-side
+   * graph state, no vertex ever holds its full neighbor list in memory.
+   * Min-label propagation by contrast needs DIAMETER rounds (a chain of
+   * 10^6 near-dup docs needs 10^6 rounds there, ~20 here), which is why
+   * the star algorithm is the published 10^12-edge shape.
+   *
+   * Output: one row per distinct id appearing in `pairs`, labeled with
+   * the minimum id of its component (`id`, `component`). Ids must be an
+   * orderable type. Lineage is cut with an eager localCheckpoint every
+   * round so the plan stays O(1) deep across iterations (a cluster
+   * deployment would point spark.checkpoint.dir at reliable storage and
+   * call checkpoint() — identical shape, resumable).
+   */
+  def components(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
+    val init = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = init.select(col("u").as("id")).union(init.select(col("v").as("id"))).distinct()
+
+    // set signature for the convergence test: (count, hash-xor) — edges
+    // are distinct, so xor over per-edge hashes identifies the set; one
+    // cheap aggregate per round instead of an except() anti-join
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // large-star: for each node, hang all LARGER neighbors off the
+    // neighborhood minimum (incl. self). Symmetrize -> per-node min ->
+    // re-join; emitted edge count never exceeds the symmetric edge count.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+
+    // small-star: orient each edge large->small; hang all smaller
+    // neighbors AND self off the per-node minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min("v").as("m")) // all v < u, so min(N+self) = min(N)
+      val fromNeighbors = dir.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+      fromNeighbors.union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    var edges = init
+    var sig = signature(edges)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nsig = signature(next)
+      if (edges ne init) edges.unpersist()
+      edges = next
+      converged = nsig == sig
+      sig = nsig
+      it += 1
+    }
+    require(converged, s"components did not converge in $maxIter rounds")
+    // fixpoint = star edges (child -> component-min root); roots have no
+    // outgoing edge. min() guards the (impossible at fixpoint) multi-edge.
+    nodes.join(edges.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("__c"), col("id"))).as("component"))
+  }
+
+  /** Label every row of `df` with its near-dup component — rows in no
+    * pair are their own (singleton) component — plus a canonical flag
+    * (the component minimum: the row dedup keeps). */
+  def labelComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+                      aCol: String = "id1", bCol: String = "id2"): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component"))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("is_canonical", col("component") === col(idCol))
+  }
+
+  /** End-to-end text dedup: LSH near-dup pairs -> transitive groups ->
+    * canonical flag per row. Filter on `is_canonical` to keep one
+    * representative per near-dup cluster. */
+  def dedupGroups(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8, w: Int = 3): DataFrame =
+    labelComponents(df, idCol, nearDuplicates(df, idCol, textCol, threshold, w), "id1", "id2")
+
   // ---- embedding near-dup ---------------------------------------------
 
   /** Cosine near-duplicate pairs over an embedding column, via
