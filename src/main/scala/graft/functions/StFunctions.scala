@@ -53,14 +53,21 @@ object StFunctions {
   val stPointFromText: UserDefinedFunction = udf((s: String) => nn(s)(x => w(G.fromWkt(x).asInstanceOf[Point])).asInstanceOf[Array[Byte]])
   val stPolygonFromText: UserDefinedFunction = udf((s: String) => nn(s)(x => w(G.fromWkt(x).asInstanceOf[Polygon])).asInstanceOf[Array[Byte]])
   val stPointFromWKB: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(g(x).asInstanceOf[Point])).asInstanceOf[Array[Byte]])
-  // 2-arg like the reference (geohash, precision-in-bits): the hash is
-  // truncated to prec/5 characters before decoding
-  private def hashPrefix(s: String, precBits: Int): String =
-    s.substring(0, math.min(s.length, math.max(1, precBits / 5)))
+  // 2-arg like the reference (geohash, precision-in-BITS): decodes the
+  // first `prec` interleaved bits, so odd precisions (25, 27, 40...)
+  // give the exact reference cell, not a character-rounded one
+  private def ghAt(s: String, prec: Int) =
+    graft.cells.GeoHash(s, math.min(math.max(1, prec), math.min(63, s.length * 5)))
   val stGeomFromGeoHash: UserDefinedFunction = udf((s: String, prec: Int) =>
-    nn(s)(x => w(G.geohashGeom(hashPrefix(x, prec)))).asInstanceOf[Array[Byte]])
+    nn(s) { x =>
+      val gh = ghAt(x, prec)
+      w(G.bbox(gh.lonMin, gh.latMin, gh.lonMax, gh.latMax))
+    }.asInstanceOf[Array[Byte]])
   val stPointFromGeoHash: UserDefinedFunction = udf((s: String, prec: Int) =>
-    nn(s)(x => w(G.geohashCentroid(hashPrefix(x, prec)))).asInstanceOf[Array[Byte]])
+    nn(s) { x =>
+      val gh = ghAt(x, prec)
+      w(G.point(gh.x, gh.y))
+    }.asInstanceOf[Array[Byte]])
 
   // -- accessors --------------------------------------------------------
   val stBoundary: UserDefinedFunction = udf((b: Array[Byte]) => nn(b)(x => w(g(x).getBoundary)).asInstanceOf[Array[Byte]])
@@ -180,7 +187,8 @@ object StFunctions {
   }.asInstanceOf[String])
   val stGeoHash: UserDefinedFunction = udf((b: Array[Byte], bits: Int) => nn(b) { x =>
     val c = g(x).getCentroid
-    G.geohash(c.getX, c.getY, bits)
+    // bit precision like the reference: ceil(bits/5) chars, rest zeroed
+    graft.cells.GeoHash(c.getX, c.getY, math.min(math.max(1, bits), 63)).hash
   }.asInstanceOf[String])
 
   // -- casts ------------------------------------------------------------

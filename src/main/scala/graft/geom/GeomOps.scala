@@ -323,64 +323,25 @@ object GeomOps {
     out
   }
 
-  // ---- Geohash (public base-32 geohash algorithm, from the Wikipedia spec) ----
-  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+  // ---- Geohash: delegates to the bit-precision graft.cells.GeoHash ----
 
-  def geohash(lon: Double, lat: Double, precisionBits: Int): String = {
-    var latMin = -90.0; var latMax = 90.0
-    var lonMin = -180.0; var lonMax = 180.0
-    val sb = new StringBuilder
-    var bit = 0
-    var ch = 0
-    var even = true
-    val nChars = math.max(1, precisionBits / 5)
-    while (sb.length < nChars) {
-      if (even) {
-        val mid = (lonMin + lonMax) / 2
-        if (lon >= mid) { ch = (ch << 1) | 1; lonMin = mid } else { ch = ch << 1; lonMax = mid }
-      } else {
-        val mid = (latMin + latMax) / 2
-        if (lat >= mid) { ch = (ch << 1) | 1; latMin = mid } else { ch = ch << 1; latMax = mid }
-      }
-      even = !even
-      bit += 1
-      if (bit == 5) { sb.append(Base32.charAt(ch)); bit = 0; ch = 0 }
-    }
-    sb.toString
-  }
+  def geohash(lon: Double, lat: Double, precisionBits: Int): String =
+    graft.cells.GeoHash(lon, lat, math.min(math.max(1, precisionBits), 63)).hash
 
   /** Decode a geohash to its bbox (lonMin, latMin, lonMax, latMax). */
   def geohashBBox(hash: String): (Double, Double, Double, Double) = {
-    var latMin = -90.0; var latMax = 90.0
-    var lonMin = -180.0; var lonMax = 180.0
-    var even = true
-    hash.foreach { c =>
-      val cd = Base32.indexOf(c.toLower)
-      require(cd >= 0, s"invalid geohash char: $c")
-      var mask = 16
-      while (mask > 0) {
-        if (even) {
-          val mid = (lonMin + lonMax) / 2
-          if ((cd & mask) != 0) lonMin = mid else lonMax = mid
-        } else {
-          val mid = (latMin + latMax) / 2
-          if ((cd & mask) != 0) latMin = mid else latMax = mid
-        }
-        even = !even
-        mask >>= 1
-      }
-    }
-    (lonMin, latMin, lonMax, latMax)
+    val gh = graft.cells.GeoHash(hash)
+    (gh.lonMin, gh.latMin, gh.lonMax, gh.latMax)
   }
 
   def geohashCentroid(hash: String): Geometry = {
-    val (x0, y0, x1, y1) = geohashBBox(hash)
-    point((x0 + x1) / 2, (y0 + y1) / 2)
+    val gh = graft.cells.GeoHash(hash)
+    point(gh.x, gh.y)
   }
 
   def geohashGeom(hash: String): Geometry = {
-    val (x0, y0, x1, y1) = geohashBBox(hash)
-    bbox(x0, y0, x1, y1)
+    val gh = graft.cells.GeoHash(hash)
+    bbox(gh.lonMin, gh.latMin, gh.lonMax, gh.latMax)
   }
 
   /**
