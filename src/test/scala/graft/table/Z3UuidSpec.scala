@@ -1,0 +1,58 @@
+package graft.table
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cells.BinnedTime
+
+/** Ported from the reference's Z3FeatureIdGeneratorTest
+  * (geomesa-utils/.../uuid/Z3FeatureIdGeneratorTest.scala:46-80):
+  * the z3-derived most-significant half is asserted byte-for-byte. */
+class Z3UuidSpec extends AnyFunSuite {
+
+  private val time = 1435598908099L
+  private val period = BinnedTime.Week
+
+  test("point uuid has the reference's exact z3 prefix, version 4, IETF variant") {
+    val id = Z3Uuid(-78.1, 38.2, time, period)
+    assert(id.toString.substring(0, 18) == "e09456f9-fc84-4f5c")
+    assert(id.version() == 4)
+    assert(id.variant() == 2)
+  }
+
+  test("polygon centroid uuid has the reference's exact z3 prefix") {
+    // POLYGON((-78.1 38.2, -78.1 39, -78 39, -78 38.2, -78.1 38.2))
+    // centroid = (-78.05, 38.6)
+    val id = Z3Uuid(-78.05, 38.6, time, period)
+    assert(id.toString.substring(0, 18) == "909456f9-fc86-4fcd")
+    assert(id.version() == 4)
+    assert(id.variant() == 2)
+  }
+
+  test("msb is deterministic; lsb varies; injected lsb is reproducible") {
+    val a = Z3Uuid(-78.1, 38.2, time, period)
+    val b = Z3Uuid(-78.1, 38.2, time, period)
+    assert(a.getMostSignificantBits == b.getMostSignificantBits)
+    assert(a.getLeastSignificantBits != b.getLeastSignificantBits)
+    val c = Z3Uuid.withLsb(-78.1, 38.2, time, period, 12345L)
+    val d = Z3Uuid.withLsb(-78.1, 38.2, time, period, 12345L)
+    assert(c == d)
+    assert(c.variant() == 2) // variant forced even on injected lsb
+  }
+
+  test("nearby points and times share prefixes; far ones differ") {
+    val base = Z3Uuid.msb(-78.1, 38.2, time, period)
+    val near = Z3Uuid.msb(-78.1000001, 38.2000001, time + 10, period)
+    val far = Z3Uuid.msb(100.0, -40.0, time, period)
+    // same shard+z3 to within the dropped low bits -> near ids equal here
+    assert(base == near)
+    assert(base != far)
+  }
+
+  test("shard nibble round-trips and spreads over 16 values") {
+    val id = Z3Uuid(-78.1, 38.2, time, period)
+    assert(Z3Uuid.shard(id) == 0xe.toByte)
+    val shards = (0 until 200).map { i =>
+      Z3Uuid.shard(Z3Uuid(-170 + i * 1.7, -80 + i * 0.8, time + i * 86400000L, period))
+    }.toSet
+    assert(shards.size > 8)
+  }
+}
