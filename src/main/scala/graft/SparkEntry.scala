@@ -659,7 +659,9 @@ object SparkEntry {
       StFunctions.register(s)
       val win = (-45.0, -20.0, 60.0, 40.0)
       val df = pts(s, dir).withColumn("z2", expr("st_z2(st_makePoint(lon, lat))"))
-      df.where(plans.ZQuery.z2Filter(col("z2"), win, maxRanges = 48))
+      // function form: z2 is COMPUTED, so the OR-of-BETWEENs form would
+      // re-run st_z2 once per range term (ZQuery.z3FilterFn scaladoc)
+      df.where(plans.ZQuery.z2FilterFn(col("z2"), win, maxRanges = 48))
         .where(col("lon").between(win._1, win._3) && col("lat").between(win._2, win._4))
         .select("event_id")
     }),

@@ -153,52 +153,75 @@ object ZRangeCover {
   private def cover(qlo: Array[Long], qhi: Array[Long], dims: Int, bitsPerDim: Int,
                     maxRanges: Int, maxLevels: Int,
                     interleave: Array[Long] => Long): Seq[IndexRange] = {
+    // BFS over the prefix tree so the whole boundary refines at ONE
+    // uniform granularity and the budget is a real bound: descent stops
+    // as soon as the next level could exceed `maxRanges`, so the output
+    // never exceeds it (pre-merge). A DFS with a late cap spends the
+    // entire budget on fine detail near the first corner and then
+    // over-emits one range per pending node — covers came out 10-20x
+    // over budget, and an OR-of-BETWEENs predicate built from them
+    // re-evaluated its (possibly computed) column once per term.
+    val nChildren = 1 << dims
     val out = scala.collection.mutable.ArrayBuffer.empty[IndexRange]
     // node = cell at `level` with per-dim prefix coords; cell spans
     // [prefix << shift, (prefix+1) << shift) per dim where shift = bitsPerDim - level
     def emit(prefix: Array[Long], level: Int, contained: Boolean): Unit = {
       val shift = bitsPerDim - level
       val lo = prefix.map(_ << shift)
-      val hi = prefix.map(p => ((p + 1) << shift) - 1)
-      val zlo = interleave(lo)
       // z of cell max corner: all low bits set within the cell
-      val zhi = interleave(hi)
-      out += IndexRange(zlo, zhi, contained)
-    }
-    def recurse(prefix: Array[Long], level: Int): Unit = {
-      val shift = bitsPerDim - level
-      val lo = prefix.map(_ << shift)
       val hi = prefix.map(p => ((p + 1) << shift) - 1)
+      out += IndexRange(interleave(lo), interleave(hi), contained)
+    }
+    // 1 = fully inside the window, -1 = disjoint, 0 = boundary
+    def classify(prefix: Array[Long], level: Int): Int = {
+      val shift = bitsPerDim - level
       var inside = true
-      var disjoint = false
       var d = 0
       while (d < dims) {
-        if (hi(d) < qlo(d) || lo(d) > qhi(d)) disjoint = true
-        if (lo(d) < qlo(d) || hi(d) > qhi(d)) inside = false
+        val lo = prefix(d) << shift
+        val hi = ((prefix(d) + 1) << shift) - 1
+        if (hi < qlo(d) || lo > qhi(d)) return -1
+        if (lo < qlo(d) || hi > qhi(d)) inside = false
         d += 1
       }
-      if (disjoint) ()
-      else if (inside) emit(prefix, level, contained = true)
-      else if (level >= maxLevels || level >= bitsPerDim || out.length >= maxRanges) {
-        emit(prefix, level, contained = false) // over-cover: budget exhausted
+      if (inside) 1 else 0
+    }
+    var frontier = scala.collection.mutable.ArrayBuffer(new Array[Long](dims))
+    var level = 0
+    classify(frontier.head, 0) match {
+      case 1 => emit(frontier.head, 0, contained = true); frontier.clear()
+      case -1 => frontier.clear()
+      case _ =>
+    }
+    while (frontier.nonEmpty) {
+      if (level >= bitsPerDim || level >= maxLevels ||
+          out.length + frontier.length * nChildren > maxRanges) {
+        // budget or depth reached: emit the remaining boundary as-is
+        frontier.foreach(p => emit(p, level, contained = false))
+        frontier.clear()
       } else {
-        // descend into the 2^dims children in z-order (child index bit d -> dim d)
-        var child = 0
-        val nChildren = 1 << dims
-        while (child < nChildren) {
-          val cp = new Array[Long](dims)
-          var i = 0
-          while (i < dims) {
-            cp(i) = (prefix(i) << 1) | ((child >> i) & 1)
-            i += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        frontier.foreach { p =>
+          var child = 0
+          while (child < nChildren) {
+            val cp = new Array[Long](dims)
+            var i = 0
+            while (i < dims) {
+              cp(i) = (p(i) << 1) | ((child >> i) & 1)
+              i += 1
+            }
+            classify(cp, level + 1) match {
+              case 1 => emit(cp, level + 1, contained = true)
+              case 0 => next += cp
+              case _ =>
+            }
+            child += 1
           }
-          recurse(cp, level + 1)
-          child += 1
         }
+        frontier = next
+        level += 1
       }
     }
-    recurse(new Array[Long](dims), 0)
-    // Children were visited in z-order, so output is sorted; merge adjacent.
     merge(out.toSeq)
   }
 

@@ -99,6 +99,26 @@ object ZQuery {
     check(binCol, zCol)
   }
 
+  /** Function-form z2 check: one evaluation of zCol per row with a
+    * binary search over the ranges — for COMPUTED z columns, where the
+    * OR-of-BETWEENs form would re-run the computing expression once per
+    * range term (see z3FilterFn). For stored columns prefer z2Filter. */
+  def z2FilterFn(zCol: Column, bbox: (Double, Double, Double, Double),
+                 maxRanges: Int = 64): Column = {
+    val sorted = z2Ranges(bbox, maxRanges).sortBy(_.lower)
+    val lo = sorted.map(_.lower).toArray
+    val hi = sorted.map(_.upper).toArray
+    val check = udf { (z: Long) =>
+      var i = java.util.Arrays.binarySearch(lo, z)
+      if (i >= 0) true
+      else {
+        i = -i - 2 // last range starting <= z
+        i >= 0 && z <= hi(i)
+      }
+    }
+    check(zCol)
+  }
+
   /** Cell-id range predicates at resolution `res` for a bbox — used for
     * partition pruning on cell-partitioned tables: contiguous runs of
     * Morton codes inside the bbox become BETWEENs on the cell column. */
