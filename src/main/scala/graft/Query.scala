@@ -73,7 +73,7 @@ object QueryRunner {
       "stats / density / BIN hints are mutually exclusive (reference QueryPlanner semantics)")
 
     var out = if (q.cql.trim.equalsIgnoreCase("INCLUDE")) df
-              else df.where(Cql.parse(q.cql, props, idColumn))
+              else Cql.filter(df, q.cql, props, idColumn) // schema-aware (array-attr semantics)
 
     q.sampling.foreach { frac =>
       require(frac > 0 && frac <= 1, s"sampling fraction out of (0,1]: $frac")

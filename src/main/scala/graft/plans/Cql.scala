@@ -69,20 +69,30 @@ object Cql {
     * unmapped names resolve to `col(name)`. Bare `IN (...)` feature-ID
     * filters compare against `idColumn`. */
   def parse(cql: String, props: Map[String, Column] = Map.empty,
-            idColumn: String = "id"): Column =
-    new Parser(cql, props, idColumn).compile()
+            idColumn: String = "id", arrayProps: Set[String] = Set.empty): Column =
+    new Parser(cql, props, idColumn, arrayProps).compile()
 
-  /** `df.where(cql)`. */
+  /** `df.where(cql)`. Multi-valued (List) attributes are detected from
+    * the schema automatically: a comparison on an ArrayType column
+    * matches when ANY element satisfies it — the reference's semantics
+    * for `fingers = 'index'` / `toes < 2.0` over `List[...]` attributes
+    * (its attribute index writes one row per element and the GeoTools
+    * evaluator matches any; AttributeIndexStrategyTest "lists of
+    * strings/doubles" cases). */
   def filter(df: DataFrame, cql: String, props: Map[String, Column] = Map.empty,
-             idColumn: String = "id"): DataFrame =
-    df.where(parse(cql, props, idColumn))
+             idColumn: String = "id"): DataFrame = {
+    val arrays = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+    }.toSet
+    df.where(parse(cql, props, idColumn, arrays))
+  }
 
   /** Compile a CQL *expression* (not a predicate) — the grammar the
     * reference's query transforms use ("derived=strConcat(a, b)"):
     * arithmetic, literals, property refs, function calls, WKT. */
   def parseExpression(text: String, props: Map[String, Column] = Map.empty,
                       idColumn: String = "id"): Column =
-    new Parser(text, props, idColumn).compileExpression()
+    new Parser(text, props, idColumn, Set.empty).compileExpression()
 
   // ---- lexer ----------------------------------------------------------
 
@@ -160,7 +170,8 @@ object Cql {
     "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION", "LINEARRING")
   private val PeriodRe = """(?i)-?P[0-9YMWD]+(T[0-9HMS.]+)?|-?PT[0-9HMS.]+|-?T\d+(\.\d+)?[HMS]""".r
 
-  private final class Parser(input: String, props: Map[String, Column], idColumn: String) {
+  private final class Parser(input: String, props: Map[String, Column], idColumn: String,
+                             arrayProps: Set[String]) {
     private val toks = lex(input)
     private var pos = 0
 
@@ -239,7 +250,26 @@ object Cql {
     /** expr followed by a comparison / BETWEEN / IN / LIKE / NULL /
       * temporal tail. */
     private def comparison(): Column = {
-      val lhs = expr()
+      // A bare multi-valued (ArrayType) property on the left compiles
+      // its predicate to "ANY element satisfies" — the reference's
+      // list-attribute semantics (GeoTools evaluates list attributes
+      // element-wise; the attribute index writes one row per element:
+      // AttributeIndexStrategyTest's `fingers = 'index'`, `toes < 2.0`,
+      // `fingers BETWEEN ...` cases). Only a bare reference is treated
+      // this way — an array inside arithmetic would not type-check.
+      val arrayRef: Option[Column] = peek match {
+        case t: TIdent if arrayProps.contains(t.s) &&
+          !(toks(pos + 1) match { case TOp("(", _, _) => true; case _ => false }) =>
+          pos += 1; Some(resolve(t.s))
+        case TQuotedIdent(s, _, _) if arrayProps.contains(s) =>
+          pos += 1; Some(resolve(s))
+        case _ => None
+      }
+      val lhs = arrayRef.getOrElse(expr())
+      def anyOf(f: Column => Column): Column = arrayRef match {
+        case Some(arr) => exists(arr, f)
+        case None => f(lhs)
+      }
       val negated = acceptKw("NOT")
       peek match {
         case TOp(op, _, _) if Set("=", "<>", "!=", "<", ">", "<=", ">=").contains(op) =>
@@ -247,31 +277,34 @@ object Cql {
           pos += 1
           val rhs = expr()
           op match {
-            case "=" => lhs === rhs
-            case "<>" | "!=" => lhs =!= rhs
-            case "<" => lhs < rhs
-            case ">" => lhs > rhs
-            case "<=" => lhs <= rhs
-            case ">=" => lhs >= rhs
+            case "=" => anyOf(_ === rhs)
+            case "<>" | "!=" => anyOf(_ =!= rhs)
+            case "<" => anyOf(_ < rhs)
+            case ">" => anyOf(_ > rhs)
+            case "<=" => anyOf(_ <= rhs)
+            case ">=" => anyOf(_ >= rhs)
           }
         case t: TIdent if t.s.equalsIgnoreCase("BETWEEN") =>
           pos += 1
           val lo = expr()
           if (!acceptKw("AND")) fail("expected AND in BETWEEN")
           val hi = expr()
-          val c = lhs >= lo && lhs <= hi
+          val c = anyOf(x => x >= lo && x <= hi)
           if (negated) !c else c
         case t: TIdent if t.s.equalsIgnoreCase("IN") =>
           pos += 1
-          val c = inList(lhs)
+          val vs = inValues()
+          val c = anyOf(x => vs.tail.foldLeft(x === vs.head)((acc, v) => acc || x === v))
           if (negated) !c else c
         case t: TIdent if t.s.equalsIgnoreCase("LIKE") =>
           pos += 1
-          val c = lhs.like(stringLit())
+          val pat = stringLit()
+          val c = anyOf(_.like(pat))
           if (negated) !c else c
         case t: TIdent if t.s.equalsIgnoreCase("ILIKE") =>
           pos += 1
-          val c = lhs.ilike(stringLit())
+          val pat = stringLit()
+          val c = anyOf(_.ilike(pat))
           if (negated) !c else c
         case t: TIdent if t.s.equalsIgnoreCase("IS") =>
           require(!negated, "write `x IS NOT NULL`, not `x NOT IS NULL`")
@@ -300,14 +333,18 @@ object Cql {
       }
     }
 
-    private def inList(lhs: Column): Column = {
+    private def inValues(): Vector[Column] = {
       expectOp("(")
       val vals = Vector.newBuilder[Column]
       vals += expr()
       while (peek match { case TOp(",", _, _) => pos += 1; true; case _ => false })
         vals += expr()
       expectOp(")")
-      val vs = vals.result()
+      vals.result()
+    }
+
+    private def inList(lhs: Column): Column = {
+      val vs = inValues()
       vs.tail.foldLeft(lhs === vs.head)((acc, v) => acc || lhs === v)
     }
 
@@ -565,6 +602,10 @@ object Cql {
       case TStr(s, _, _) => pos += 1; lit(s)
       case TDate(s, _, _) => pos += 1; lit(ts(parseInstant(s)))
       case TQuotedIdent(s, _, _) => pos += 1; resolve(s)
+      // ECQL boolean literals (`admin = false`); a column actually named
+      // "true"/"false" can still be referenced double-quoted.
+      case t: TIdent if t.s.equalsIgnoreCase("TRUE") => pos += 1; lit(true)
+      case t: TIdent if t.s.equalsIgnoreCase("FALSE") => pos += 1; lit(false)
       case t: TIdent if GeomKeywords.contains(t.s.toUpperCase) => wktLiteral()
       case t: TIdent =>
         if (toks(pos + 1) match { case TOp("(", _, _) => true; case _ => false })
