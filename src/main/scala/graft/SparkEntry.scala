@@ -758,6 +758,28 @@ object SparkEntry {
         .select("doc_id", "lang_pred")
     }),
 
+    "q_clean_corpus" -> ((s, dir) => {
+      // the composite corpus-cleaning pipeline (lang gate + quality gate
+      // + exact dedup + fingerprint near-dedup) in ONE plan. sf0.01 has
+      // no natural duplicates, so planted variants make every stage
+      // fire: byte-identical copies (exact_dup), upper-cased copies and
+      // double-spaced copies (near_dup — same normalized fingerprint,
+      // different raw bytes). The oracle recomputes all four stages in
+      // DuckDB, including the lang-id and quality replicas.
+      import org.apache.spark.sql.functions._
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val planted = base.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionAll(base.filter(col("doc_id") % 50 === 1)
+          .select((col("doc_id") + 2000000).as("doc_id"), upper(col("text")).as("text")))
+        .unionAll(base.filter(col("doc_id") % 50 === 2)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            regexp_replace(col("text"), " ", "  ").as("text")))
+      operators.TextAnalysis.cleanCorpus(base.unionAll(planted), "doc_id", "text",
+        minChars = 100L, minWords = 10L, minScoreE6 = 780000L,
+        langs = Seq("en", "de", "fr"))
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       operators.TextAnalysis.withFingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint")
@@ -1412,6 +1434,71 @@ object SparkEntry {
            |SELECT doc_id,
            |  CASE WHEN ranked[-1].s <= 0 THEN 'und' ELSE ranked[-1].l END AS lang_pred
            |FROM w""".stripMargin
+      },
+
+      // composite corpus cleaning: all four stages (lang+quality gate,
+      // exact dedup on raw text, fingerprint near-dedup) recomputed
+      // independently — the lang-id and quality replicas are the same
+      // SQL proven by q_lang_id / q_quality_score, applied to the base
+      // table plus the planted duplicate variants
+      "q_clean_corpus" -> {
+        def score(words: Seq[String], grams: Seq[String]): String = {
+          val w = words.map(s => s"'$s'").mkString(", ")
+          val g = grams.map(s => s"'$s'").mkString(", ")
+          s"2 * (CAST(len(list_filter(toks, x -> x IN ($w))) AS DOUBLE) / GREATEST(1, len(toks)))" +
+            s" + CAST(len(list_filter(tris, x -> x IN ($g))) AS DOUBLE) / GREATEST(1, len(tris))"
+        }
+        val sEn = score(Seq("the","and","of","to","in","is","that","for","with","it"), Seq("the","ing","and","ion","ent"))
+        val sEs = score(Seq("el","la","de","que","y","en","los","del","se","las"), Seq("que","ent","con","ado","cio"))
+        val sDe = score(Seq("der","die","und","das","ist","den","von","mit","sich","auf"), Seq("der","ein","ich","sch","und"))
+        val sFr = score(Seq("le","la","de","et","les","des","est","une","dans","que"), Seq("les","ent","que","ion","ait"))
+        s"""WITH docs2 AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+           |  UNION ALL SELECT doc_id + 2000000, upper(text) FROM documents WHERE doc_id % 50 = 1
+           |  UNION ALL SELECT doc_id + 3000000, replace(text, ' ', '  ') FROM documents WHERE doc_id % 50 = 2),
+           |lx AS (SELECT doc_id, lower(text) AS lt FROM docs2),
+           |lf AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lt, '\\s+'), x -> x <> '') AS toks,
+           |    list_filter([substr(g, CAST(i AS INT), 3) for i in generate_series(1, GREATEST(1, length(g) - 2))],
+           |                x -> NOT contains(x, ' ')) AS tris
+           |  FROM (SELECT doc_id, lt, regexp_replace(lt, '[^a-z ]', '', 'g') AS g FROM lx) s),
+           |sc AS (SELECT doc_id, $sEn AS s_en, $sEs AS s_es, $sDe AS s_de, $sFr AS s_fr FROM lf),
+           |lw AS (SELECT doc_id, list_sort([{'s': s_en, 'l': 'en'}, {'s': s_es, 'l': 'es'},
+           |               {'s': s_de, 'l': 'de'}, {'s': s_fr, 'l': 'fr'}]) AS ranked FROM sc),
+           |lang AS (SELECT doc_id, CASE WHEN ranked[-1].s <= 0 THEN 'und' ELSE ranked[-1].l END AS lang_pred FROM lw),
+           |qf AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nchars,
+           |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+           |  FROM docs2),
+           |qg AS (SELECT doc_id, nchars, GREATEST(1, len(toks)) AS n,
+           |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / GREATEST(1, nchars) AS punct,
+           |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / GREATEST(1, nchars) AS digits,
+           |    CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(1, len(toks)) AS uniq,
+           |    COALESCE(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE), 0.0) / GREATEST(1, len(toks)) AS mean_word
+           |  FROM qf),
+           |q AS (SELECT doc_id, nchars, CAST(n AS BIGINT) AS nwords,
+           |    CAST(floor(GREATEST(0.0, LEAST(1.0,
+           |      0.3 * (LEAST(1.0, nchars / 200.0) * (CASE WHEN nchars > 20000 THEN 0.5 ELSE 1.0 END)) +
+           |      0.25 * uniq + 0.2 * (1 - punct * 4) +
+           |      0.15 * LEAST(1.0, mean_word / 6.0) + 0.1 * (1 - digits * 2))) * 1000000 + 0.5) AS BIGINT) AS e6
+           |  FROM qg),
+           |fp AS (SELECT doc_id,
+           |    list_reduce(
+           |      list_prepend(CAST(7919 AS BIGINT),
+           |        list_transform(
+           |          string_split(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' '), ''),
+           |          c -> CAST(ascii(c) AS BIGINT))),
+           |      (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
+           |  FROM docs2),
+           |feat AS (SELECT d.doc_id, d.text, l.lang_pred, q.nchars, q.nwords, q.e6, f.fingerprint
+           |  FROM docs2 d JOIN lang l USING (doc_id) JOIN q USING (doc_id) JOIN fp f USING (doc_id)),
+           |pass AS (SELECT *, (nchars >= 100 AND nwords >= 10 AND e6 >= 780000 AND lang_pred IN ('en','de','fr')) AS p FROM feat),
+           |p2 AS (SELECT *, min(doc_id) OVER (PARTITION BY text) AS e_canon FROM pass WHERE p),
+           |p3 AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS f_canon FROM p2 WHERE doc_id = e_canon)
+           |SELECT doc_id, lang_pred, 'gate' AS fate FROM pass WHERE NOT p
+           |UNION ALL SELECT doc_id, lang_pred, 'exact_dup' FROM p2 WHERE doc_id <> e_canon
+           |UNION ALL SELECT doc_id, lang_pred, 'near_dup' FROM p3 WHERE doc_id <> f_canon
+           |UNION ALL SELECT doc_id, lang_pred, 'kept' FROM p3 WHERE doc_id = f_canon""".stripMargin
       },
 
       "q_tile_adaptive" -> {

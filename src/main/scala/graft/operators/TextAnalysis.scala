@@ -120,4 +120,55 @@ object TextAnalysis {
          |    c -> CAST(ascii(c) AS BIGINT)),
          |  CAST(7919 AS BIGINT),
          |  (acc, x) -> (acc * 31 + x) % 1000000000000037)""".stripMargin))
+
+  // ---- composite corpus cleaning --------------------------------------
+
+  /** The canonical pre-training corpus-cleaning pipeline as ONE plan:
+    * language gate + quality gate + exact dedup + fingerprint near-dedup,
+    * returning every document's fate:
+    *
+    *   'gate'      — failed the language/length/quality filters
+    *   'exact_dup' — survived the gate but byte-identical text already
+    *                 kept under a lower id (strict raw-text key)
+    *   'near_dup'  — exact-canonical, but its case/whitespace-normalized
+    *                 rolling-hash fingerprint already kept under a lower id
+    *   'kept'      — the surviving corpus
+    *
+    * 100-TB shape: all per-row features (lang id, quality, fingerprint,
+    * md5 exact key) are computed in a single projection pass over the
+    * scan, and the payload column is DROPPED before the first exchange —
+    * the two dedup shuffles (by exact key, then by fingerprint) carry
+    * ~50-byte rows regardless of document size. Canonical choice is
+    * min(id) per group, the same ownership rule the spatial join uses
+    * (no global distinct, no driver collect).
+    *
+    * Reference analog: the tail end of an ingest converter chain plus
+    * UniqueProcess (reference process/unique/UniqueProcess.scala) — the
+    * reference has no built-in corpus cleaner; this is the LLM-pipeline
+    * extension the survey calls for. */
+  def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
+                  minChars: Long, minWords: Long, minScoreE6: Long,
+                  langs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = withFingerprint(withQuality(withLangId(df, textCol), textCol), textCol)
+      .withColumn("__exact_key", md5(col(textCol)))
+      .select(col(idCol), col("lang_pred"), col("q_chars"), col("q_words"),
+        expr("CAST(floor(q_score * 1000000 + 0.5) AS BIGINT)").as("q_score_e6"),
+        col("fingerprint"), col("__exact_key"))
+    val gate = col("q_chars") >= minChars && col("q_words") >= minWords &&
+      col("q_score_e6") >= minScoreE6 && col("lang_pred").isInCollection(langs)
+    val tagged = feat.withColumn("__pass", gate)
+    def fate(d: DataFrame, f: String) =
+      d.select(col(idCol), col("lang_pred"), lit(f).as("fate"))
+    val failed = fate(tagged.filter(!col("__pass")), "gate")
+    val passed = tagged.filter(col("__pass"))
+    val p2 = passed.withColumn("__e",
+      min(idCol).over(Window.partitionBy("__exact_key")))
+    val exactDups = fate(p2.filter(col(idCol) =!= col("__e")), "exact_dup")
+    val p3 = p2.filter(col(idCol) === col("__e")).withColumn("__f",
+      min(idCol).over(Window.partitionBy("fingerprint")))
+    val nearDups = fate(p3.filter(col(idCol) =!= col("__f")), "near_dup")
+    val kept = fate(p3.filter(col(idCol) === col("__f")), "kept")
+    failed.unionAll(exactDups).unionAll(nearDups).unionAll(kept)
+  }
 }

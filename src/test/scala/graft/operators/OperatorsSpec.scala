@@ -473,4 +473,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
+
+  test("cleanCorpus assigns every doc exactly one fate, stages fire in order") {
+    ready
+    import spark.implicits._
+    val good = "the cat and the dog sat in the house with the mouse and " +
+      "the bird watched from the window while the sun set over the hills beyond"
+    val df = Seq(
+      (1L, good),                      // kept (canonical everywhere)
+      (2L, good),                      // exact_dup of 1
+      (3L, good.toUpperCase),          // near_dup of 1 (raw differs, fingerprint same)
+      (4L, good.replace(" ", "  ")),   // near_dup of 1 (whitespace variant)
+      (5L, "short"),                   // gate: too short
+      (6L, "el perro y el gato en la casa de la abuela que canta y baila " +
+        "todas las noches con los vecinos del barrio durante las fiestas del pueblo") // gate: lang
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanCorpus(df, "doc_id", "text",
+        minChars = 50L, minWords = 10L, minScoreE6 = 0L, langs = Seq("en", "de", "fr"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out.size == 6, "one fate per doc")
+    assert(out(1L) == "kept")
+    assert(out(2L) == "exact_dup")
+    assert(out(3L) == "near_dup" && out(4L) == "near_dup")
+    assert(out(5L) == "gate" && out(6L) == "gate")
+  }
 }
