@@ -157,18 +157,20 @@ object TextAnalysis {
         col("fingerprint"), col("__exact_key"))
     val gate = col("q_chars") >= minChars && col("q_words") >= minWords &&
       col("q_score_e6") >= minScoreE6 && col("lang_pred").isInCollection(langs)
-    val tagged = feat.withColumn("__pass", gate)
-    def fate(d: DataFrame, f: String) =
-      d.select(col(idCol), col("lang_pred"), lit(f).as("fate"))
-    val failed = fate(tagged.filter(!col("__pass")), "gate")
-    val passed = tagged.filter(col("__pass"))
-    val p2 = passed.withColumn("__e",
-      min(idCol).over(Window.partitionBy("__exact_key")))
-    val exactDups = fate(p2.filter(col(idCol) =!= col("__e")), "exact_dup")
-    val p3 = p2.filter(col(idCol) === col("__e")).withColumn("__f",
-      min(idCol).over(Window.partitionBy("fingerprint")))
-    val nearDups = fate(p3.filter(col(idCol) =!= col("__f")), "near_dup")
-    val kept = fate(p3.filter(col(idCol) === col("__f")), "kept")
-    failed.unionAll(exactDups).unionAll(nearDups).unionAll(kept)
+    // One linear plan — a 4-way union of filtered branches would
+    // recompute the scan + feature UDFs + windows once per branch.
+    // Gate-failed rows ride along with pass=false and are excluded from
+    // canonical election via the conditional min() windows.
+    feat.withColumn("__pass", gate)
+      .withColumn("__e", min(when(col("__pass"), col(idCol)))
+        .over(Window.partitionBy("__exact_key")))
+      .withColumn("__f", min(when(col("__pass") && col(idCol) === col("__e"), col(idCol)))
+        .over(Window.partitionBy("fingerprint")))
+      .withColumn("fate",
+        when(!col("__pass"), "gate")
+          .when(col(idCol) =!= col("__e"), "exact_dup")
+          .when(col(idCol) =!= col("__f"), "near_dup")
+          .otherwise("kept"))
+      .select(col(idCol), col("lang_pred"), col("fate"))
   }
 }
