@@ -123,15 +123,24 @@ object QueryRunner {
           d.lon, d.lat, res, weight)
 
       case (_, _, Some(b)) =>
+        // reference wire parity: BinaryOutputEncoder writes trackId as
+        // the attribute's Java String.hashCode (RecordIdxStrategyTest
+        // asserts "name2".hashCode) — native JavaHashString, not murmur
         operators.Stats.binRecords(
-          out.withColumn("__millis", unix_millis(col(b.dtg).cast("timestamp"))),
-          b.track, "__millis", b.lon, b.lat)
+          out.withColumn("__millis", unix_millis(col(b.dtg).cast("timestamp")))
+            .withColumn("__track_jh", operators.Transforms.javaHash(col(b.track))),
+          "__track_jh", "__millis", b.lon, b.lat, hashTrack = false)
 
       case _ =>
         if (q.transforms.nonEmpty) {
           val cols = q.transforms.map { t =>
             t.indexOf('=') match {
-              case -1 => col(t.trim)
+              // bare names resolve through `props` first — "geom" names
+              // the derived geometry on point tables, like a reference
+              // transform naming a real attribute of the feature type
+              case -1 =>
+                val name = t.trim
+                props.get(name).map(_.as(name)).getOrElse(col(name))
               case i =>
                 val name = t.substring(0, i).trim
                 Cql.parseExpression(t.substring(i + 1).trim, props, idColumn).as(name)
