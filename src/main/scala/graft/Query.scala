@@ -62,6 +62,32 @@ final case class BinHint(track: String, dtg: String,
 
 object QueryRunner {
 
+  /** Java `value.hashCode` of a column, per runtime type, with the
+    * reference's null -> 0 rule (BinaryOutputEncoder.convertToTrack):
+    * String.hashCode for strings (native JavaHashString), identity for
+    * int-width integrals, `(int)(v ^ (v >>> 32))` for longs and
+    * Date/Timestamp millis, Boolean.hashCode's 1231/1237. Other types
+    * fall back to the stringified hash (the exotic-track case; the
+    * reference's tracks are strings or integers). */
+  private[graft] def javaValueHash(df: DataFrame, field: String): Column = {
+    import org.apache.spark.sql.types._
+    def longHash(v: Column): Column = {
+      val x = shiftrightunsigned(v, 32).bitwiseXOR(v)
+      // Java (int) truncation, not ANSI cast (which overflows): keep the
+      // low 32 bits sign-extended via shift-left/shift-right
+      coalesce(shiftright(shiftleft(x, 32), 32).cast("int"), lit(0))
+    }
+    df.schema(field).dataType match {
+      case ByteType | ShortType | IntegerType => coalesce(col(field).cast("int"), lit(0))
+      case LongType => longHash(col(field))
+      case TimestampType | TimestampNTZType | DateType =>
+        longHash(unix_millis(col(field).cast("timestamp")))
+      case BooleanType =>
+        when(col(field).isNull, 0).when(col(field), 1231).otherwise(1237)
+      case _ => operators.Transforms.javaHash(col(field))
+    }
+  }
+
   /** Run a GraftQuery against a DataFrame (any source: raw parquet,
     * SpatialTable scan, converter output). `props` resolves CQL
     * properties (e.g. "geom" -> st_makePoint(lon, lat)); `idColumn`
@@ -124,11 +150,13 @@ object QueryRunner {
 
       case (_, _, Some(b)) =>
         // reference wire parity: BinaryOutputEncoder writes trackId as
-        // the attribute's Java String.hashCode (RecordIdxStrategyTest
-        // asserts "name2".hashCode) — native JavaHashString, not murmur
+        // the attribute VALUE's Java hashCode (convertToTrack — NOT the
+        // stringified hash: Integer(21).hashCode is 21, "21".hashCode is
+        // 1599), with null -> 0. Per-type columnar replicas below.
+        val trackHash = QueryRunner.javaValueHash(out, b.track)
         operators.Stats.binRecords(
           out.withColumn("__millis", unix_millis(col(b.dtg).cast("timestamp")))
-            .withColumn("__track_jh", operators.Transforms.javaHash(col(b.track))),
+            .withColumn("__track_jh", trackHash),
           "__track_jh", "__millis", b.lon, b.lat, hashTrack = false)
 
       case _ =>

@@ -251,7 +251,11 @@ object Dedup {
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = init.select(col("u").as("id")).union(init.select(col("v").as("id"))).distinct()
+    // eager + lineage-free so `init` can be unpersisted before returning
+    // (it otherwise pins a cached edge set per components() call for the
+    // lifetime of the context)
+    val nodes = init.select(col("u").as("id")).union(init.select(col("v").as("id")))
+      .distinct().localCheckpoint(true)
 
     // set signature for the convergence test: (count, hash-xor) — edges
     // are distinct, so xor over per-edge hashes identifies the set; one
@@ -298,8 +302,17 @@ object Dedup {
     require(converged, s"components did not converge in $maxIter rounds")
     // fixpoint = star edges (child -> component-min root); roots have no
     // outgoing edge. min() guards the (impossible at fixpoint) multi-edge.
-    nodes.join(edges.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
+    // Materialize the result, then release EVERY cached intermediate —
+    // without this, each components() call pins its edge set in the
+    // block manager for the lifetime of the context.
+    val result = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
       .groupBy("id").agg(min(coalesce(col("__c"), col("id"))).as("component"))
+      .localCheckpoint(true)
+    init.unpersist()
+    if (edges ne init) edges.unpersist()
+    nodes.unpersist()
+    result
   }
 
   /** Label every row of `df` with its near-dup component — rows in no

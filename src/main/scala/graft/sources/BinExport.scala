@@ -145,7 +145,9 @@ object BinExport {
         }
         buffered.writeTo(out)
       } finally out.close()
-      fs.rename(tmpPath, finalPath)
+      // same guard as the sibling exporters: a committed twin (retry /
+      // speculative attempt) wins; our tmp must never linger
+      if (fs.exists(finalPath) || !fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
       Iterator.single(n)
     }.collect()
     counts.sum
@@ -161,7 +163,12 @@ object BinExport {
   def explodeLine(df: DataFrame, geomCol: String, datesCol: String,
                   lonOut: String = "lon", latOut: String = "lat",
                   dtgOut: String = "dtg"): DataFrame =
-    df.withColumn("__vi", explode(sequence(lit(1), expr(s"st_numPoints($geomCol)"))))
+    // the n > 0 guard matters: Spark's sequence(1, 0) yields a
+    // DESCENDING [1, 0], not an empty array — an empty LineString must
+    // emit zero records (null geometry drops via explode(null) as-is)
+    df.withColumn("__vi", explode(
+        when(expr(s"st_numPoints($geomCol)") > 0,
+          sequence(lit(1), expr(s"st_numPoints($geomCol)")))))
       .withColumn(lonOut, expr(s"st_x(st_pointN($geomCol, __vi))"))
       .withColumn(latOut, expr(s"st_y(st_pointN($geomCol, __vi))"))
       .withColumn(dtgOut, element_at(col(datesCol), col("__vi")))

@@ -151,6 +151,15 @@ object ConverterConfig {
     * from WKT text when needed, unmapped attributes as typed nulls, and
     * the `sft.*` metadata stamped on each column so `Sft.fromSchema`
     * round-trips the declaration off any downstream DataFrame. */
+  // lenient WKT parse: malformed text -> null geometry, matching the
+  // try_cast semantics every non-geometry field gets (the reference's
+  // ErrorMode.SkipBadRecords nulls the field rather than failing the job)
+  private val tryGeomFromWkt = udf { (s: String) =>
+    if (s == null) null
+    else try graft.geom.GeomOps.toWkb(graft.geom.GeomOps.fromWkt(s))
+    catch { case _: Exception => null }
+  }
+
   private def coerceToSft(df: DataFrame, sft: graft.table.Sft.Schema): DataFrame = {
     val out = sft.fields.map { f =>
       val target = f.toStructField
@@ -160,7 +169,7 @@ object ConverterConfig {
           val cur = df.schema(f.name).dataType
           val c = col(f.name)
           if (cur == target.dataType) c
-          else if (f.isGeometry) graft.functions.StFunctions.fn("st_geomFromWKT")(c)
+          else if (f.isGeometry) tryGeomFromWkt(c) // null on bad WKT, like try_cast
           else c.try_cast(target.dataType)
         }
       coerced.as(f.name, target.metadata)

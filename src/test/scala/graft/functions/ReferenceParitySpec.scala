@@ -54,6 +54,11 @@ class ReferenceParitySpec extends AnyFunSuite with SparkTest {
     val p = geomOf("st_pointFromGeoHash('ezs42', 25)")
     assert(math.abs(p.getCoordinate.x - -5.603) < .022 && math.abs(p.getCoordinate.y - 42.605) < .022)
     assert(isNull("st_pointFromGeoHash(null, null)"))
+    // empty hash (zero decodable bits) = the whole world, not an error
+    val world = geomOf("st_geomFromGeoHash('', 0)").getEnvelopeInternal
+    assert(world.getMinX == -180 && world.getMaxX == 180 &&
+      world.getMinY == -90 && world.getMaxY == 90)
+    assert(geomOf("st_pointFromGeoHash('', 0)").getCoordinate.x == 0)
   }
 
   test("text constructors: geomFromWKT/geometryFromText/lineFromText/pointFromText/mLine/mPoint/mPoly/polygonFromText") {

@@ -99,6 +99,22 @@ class RecordStrategyParitySpec extends AnyFunSuite with Matchers with SparkTest 
     bins.map(_.getInt(0)).toSet shouldBe Set("track1".hashCode, "track2".hashCode)
   }
 
+  test("BIN trackId is the VALUE's Java hashCode for non-string tracks") {
+    // convertToTrack hashes the raw attribute: Integer(21).hashCode is
+    // 21, not "21".hashCode (1599); Long and Timestamp follow suit
+    import spark.implicits._
+    val lv = 1234567890123L
+    val t0 = ts("2014-01-01T08:00:00.000Z")
+    val df = Seq((1, 21, lv, t0, 45.0, 50.0))
+      .toDF("id", "itrack", "ltrack", "dtg", "lon", "lat")
+    def trackOf(track: String): Int =
+      QueryRunner.run(df, GraftQuery(binTrack = Some(BinHint(track, "dtg"))))
+        .head().getInt(0)
+    trackOf("itrack") shouldBe 21
+    trackOf("ltrack") shouldBe java.lang.Long.hashCode(lv)
+    trackOf("dtg") shouldBe java.lang.Long.hashCode(t0.getTime)
+  }
+
   // intersectIDFilters (:168-207), evaluated end-to-end: AND-ed id
   // filters must behave as the intersection of the id sets
   test("AND of a series of ID filters evaluates to their intersection") {

@@ -103,6 +103,15 @@ class BinExportSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("empty LineString emits zero records (sequence(1,0) would yield [1,0])") {
+    import spark.implicits._
+    StFunctions.register(spark)
+    val df = Seq(("t", 1L, Seq.empty[Timestamp]))
+      .toDF("track", "label", "dates")
+      .withColumn("geom", expr("st_geomFromWKT('LINESTRING EMPTY')"))
+    BinExport.explodeLine(df, "geom", "dates").count() shouldBe 0
+  }
+
   test("label conversion rules match the reference (numeric / string / null)") {
     BinExport.labelToLong(null) shouldBe 0L
     BinExport.labelToLong(java.lang.Long.valueOf(42L)) shouldBe 42L

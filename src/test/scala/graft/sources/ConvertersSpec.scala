@@ -305,4 +305,20 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     assert(out.selectExpr("st_asText(geom)").collect().map(_.getString(0)).toSet ==
       Set("POINT (10.5 45.25)", "POINT (-3 7.75)"))
   }
+
+  test("paired sft: malformed WKT geometry nulls the field, not the job") {
+    import spark.implicits._
+    val df = Seq("1|POINT (1 2)", "2|POINT (10.5").toDF("value")
+    val cfg =
+      """{ "type": "delimited", "delimiter": "|",
+        |  "fields": [
+        |    {"name": "id",   "col": 0},
+        |    {"name": "geom", "col": 1}],
+        |  "type-name": "shapes",
+        |  "sft": "id:Long,*geom:Point:srid=4326" }""".stripMargin
+    val out = ConverterConfig(df, "value", ConverterConfig.parse(cfg)).orderBy("id")
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(!rows(0).isNullAt(1) && rows(1).isNullAt(1)) // bad WKT -> null geometry
+  }
 }
