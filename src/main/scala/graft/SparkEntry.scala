@@ -291,8 +291,11 @@ object SparkEntry {
         val df = s.sql("""SELECT event_id FROM graft_rule_tbl
               |WHERE st_intersects(st_makePoint(lon, lat),
               |  st_geomFromWKT('POLYGON((-50 -20, 30 -20, 30 25, -50 25, -50 -20))'))""".stripMargin)
-        df.cache().count() // optimize + execute while the conf is set
-        df
+        // localCheckpoint, not cache(): both materialize while the conf
+        // is set, but checkpoint blocks are GC-cleanable once the result
+        // is dropped — cache() pins executor storage until an unpersist
+        // that no consumer of this Map would ever issue
+        df.localCheckpoint(true)
       } finally {
         prevRes match {
           case Some(v) => s.conf.set("spark.graft.index.res", v)
@@ -1017,8 +1020,11 @@ object SparkEntry {
         val df = graft.table.SpatialTable.queryCql(s, tableRoot("rule", dir), "s1",
             "BBOX(geom, -50, -20, 30, 25) AND value > 20", idColumn = "event_id")
           .select("event_id")
-        df.cache().count() // optimize + execute while the conf is set
-        df
+        // localCheckpoint, not cache(): both materialize while the conf
+        // is set, but checkpoint blocks are GC-cleanable once the result
+        // is dropped — cache() pins executor storage until an unpersist
+        // that no consumer of this Map would ever issue
+        df.localCheckpoint(true)
       } finally {
         prevRes match {
           case Some(v) => s.conf.set("spark.graft.index.res", v)

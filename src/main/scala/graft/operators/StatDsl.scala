@@ -170,15 +170,26 @@ object StatDsl {
 
   // ---- spec -> aggregation columns --------------------------------------
 
+  // named-udf registry refs, NOT expr("st_..."): the SQL text form only
+  // resolves when StFunctions.register was called on the session — a
+  // hidden dependency a bare StatDsl.parse caller would trip over
   private def z3Key(geom: String, dtg: String, period: String, res: Int): Column =
     concat_ws(":",
-      expr(s"st_z3bin(unix_millis(CAST($dtg AS TIMESTAMP)), '$period')"),
-      expr(s"st_cell($geom, $res)"))
+      graft.functions.StFunctions.fn("st_z3bin")(
+        unix_millis(col(dtg).cast("timestamp")), lit(period)),
+      graft.functions.StFunctions.fn("st_cell")(col(geom), lit(res)))
+
+  private def z3Bin(dtg: String, period: String): Column =
+    graft.functions.StFunctions.fn("st_z3bin")(
+      unix_millis(col(dtg).cast("timestamp")), lit(period))
 
   def columns(specs: Seq[Spec]): Seq[Column] = specs.flatMap {
     case CountSpec() => Seq(count(lit(1)).as("count"))
     case IteratorStackSpec() =>
-      Seq(count_distinct(spark_partition_id()).as("iterator_stack_count"))
+      // aggregates over nondeterministic expressions are rejected by the
+      // analyzer — parse() pre-projects the partition id into PidCol so
+      // the aggregate argument is a plain attribute
+      Seq(count_distinct(col(PidCol)).as("iterator_stack_count"))
     case MinMaxSpec(a) => Seq(
       min(col(a)).as(s"${a}_min"), max(col(a)).as(s"${a}_max"),
       approx_count_distinct(col(a)).as(s"${a}_cardinality"))
@@ -201,9 +212,8 @@ object StatDsl {
       // period-binned (Frequency.scala time-binned sketches).
       val eps = 1.0 / math.max(10, precision)
       val key = dtgOpt match {
-        case Some((dtg, period)) => concat_ws(":",
-          expr(s"st_z3bin(unix_millis(CAST($dtg AS TIMESTAMP)), '$period')"),
-          col(a).cast("string"))
+        case Some((dtg, period)) =>
+          concat_ws(":", z3Bin(dtg, period), col(a).cast("string"))
         case None => col(a).cast("string")
       }
       Seq(count_min_sketch(key, lit(eps), lit(0.99), lit(42)).as(s"${a}_frequency"))
@@ -218,15 +228,27 @@ object StatDsl {
   }
 
   /** Parse a stat string and run it as one aggregation pass. */
-  def parse(df: DataFrame, stat: String): DataFrame = parseSpecs(stat) match {
+  private val PidCol = "__graft_pid"
+
+  private def needsPid(specs: Seq[Spec]): Boolean = specs.exists {
+    case IteratorStackSpec() => true
+    case GroupBySpec(_, nested) => needsPid(nested)
+    case _ => false
+  }
+
+  def parse(df0: DataFrame, stat: String): DataFrame = parseSpecs(stat) match {
     case Seq() =>
       throw new IllegalArgumentException(
         s"stat string '$stat' contains no stats — expected e.g. \"MinMax(a);Count()\"")
-    case Seq(GroupBySpec(attr, nested)) =>
-      val cs = columns(nested)
-      df.groupBy(col(attr)).agg(cs.head, cs.tail: _*)
     case specs =>
-      val cs = columns(specs)
-      df.agg(cs.head, cs.tail: _*)
+      val df = if (needsPid(specs)) df0.withColumn(PidCol, spark_partition_id()) else df0
+      specs match {
+        case Seq(GroupBySpec(attr, nested)) =>
+          val cs = columns(nested)
+          df.groupBy(col(attr)).agg(cs.head, cs.tail: _*)
+        case _ =>
+          val cs = columns(specs)
+          df.agg(cs.head, cs.tail: _*)
+      }
   }
 }

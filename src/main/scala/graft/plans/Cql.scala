@@ -368,7 +368,10 @@ object Cql {
           if (peek match { case TOp(",", _, _) => true; case _ => false }) {
             pos += 1
             val crs = stringLit() // only EPSG:4326 storage, arg accepted for parity
-            require(crs.isEmpty || crs.toUpperCase.contains("4326") || crs.toUpperCase == "CRS:84",
+            // exact authority-code match — a substring test would accept
+            // e.g. EPSG:104326 (a real, different CRS) as degrees
+            val code = crs.toUpperCase.split(':').last
+            require(crs.isEmpty || code == "4326" || crs.toUpperCase == "CRS:84",
               s"unsupported CRS '$crs' (engine stores EPSG:4326)")
           }
           expectOp(")")

@@ -75,7 +75,11 @@ object Leaflet {
          |$geojson
          |};
          |var layer = L.geoJSON(features, {onEachFeature: function (f, l) {
-         |  l.bindPopup('<pre>' + JSON.stringify(f.properties, null, 2) + '</pre>'); }}).addTo(map);
+         |  // build the popup via textContent — string interpolation into
+         |  // popup HTML would execute markup hidden in property VALUES
+         |  var pre = document.createElement('pre');
+         |  pre.textContent = JSON.stringify(f.properties, null, 2);
+         |  l.bindPopup(pre); }}).addTo(map);
          |var heat = L.heatLayer($heat, {radius: 25}).addTo(map);
          |if (features.features.length > 0) { map.fitBounds(layer.getBounds()); }
          |else { map.setView([0, 0], 2); }

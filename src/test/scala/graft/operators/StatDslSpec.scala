@@ -21,6 +21,15 @@ class StatDslSpec extends AnyFunSuite with SparkTest {
     assert(r.getAs[Long]("count") == 6L)
   }
 
+  test("IteratorStackCount() aggregates the partition count legally") {
+    // an aggregate over spark_partition_id() directly is rejected by the
+    // analyzer; parse() pre-projects it
+    val r = StatDsl.parse(df.repartition(3), "IteratorStackCount();Count()").collect()(0)
+    assert(r.getAs[Long]("iterator_stack_count") >= 1L)
+    assert(r.getAs[Long]("iterator_stack_count") <= 3L)
+    assert(r.getAs[Long]("count") == 6L)
+  }
+
   test("SeqStat: MinMax(value);Count();Enumeration(name)") {
     val r = StatDsl.parse(df, "MinMax(value);Count();Enumeration(name)").collect()(0)
     assert(r.getAs[Double]("value_min") == -2.0)

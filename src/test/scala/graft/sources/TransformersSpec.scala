@@ -134,6 +134,11 @@ class TransformersSpec extends AnyFunSuite with SparkTest {
     assert(eval("stringToDouble($1, null)", "", "") == null)
     assert(eval("stringToBoolean($1, false)", "", "true") == true)
     assert(eval("stringToBoolean($1, null)", "", "18") == null)
+    // ::casts must be catchable by try() under ANSI mode (a plain cast
+    // would THROW on malformed input before coalesce ever sees a null)
+    assert(eval("try($1::int, 0)", "", "abcd") == 0)
+    assert(eval("try($1::double, -1.0)", "", "12x") == -1.0)
+    assert(eval("try($1::int, 0)", "", "17") == 17)
   }
 
   test("predicates (reference :653-740)") {
