@@ -165,12 +165,17 @@ object BinExport {
                   dtgOut: String = "dtg"): DataFrame =
     // the n > 0 guard matters: Spark's sequence(1, 0) yields a
     // DESCENDING [1, 0], not an empty array — an empty LineString must
-    // emit zero records (null geometry drops via explode(null) as-is)
-    df.withColumn("__vi", explode(
-        when(expr(s"st_numPoints($geomCol)") > 0,
-          sequence(lit(1), expr(s"st_numPoints($geomCol)")))))
-      .withColumn(lonOut, expr(s"st_x(st_pointN($geomCol, __vi))"))
-      .withColumn(latOut, expr(s"st_y(st_pointN($geomCol, __vi))"))
-      .withColumn(dtgOut, element_at(col(datesCol), col("__vi")))
-      .drop("__vi")
+    // emit zero records (null geometry drops via explode(null) as-is).
+    // Named-udf registry refs, not expr("st_...") SQL text, so this
+    // works on sessions that never called StFunctions.register.
+    {
+      val fn = graft.functions.StFunctions.fn _
+      val nPts = fn("st_numPoints")(col(geomCol))
+      def vertex = fn("st_pointN")(col(geomCol), col("__vi"))
+      df.withColumn("__vi", explode(when(nPts > 0, sequence(lit(1), nPts))))
+        .withColumn(lonOut, fn("st_x")(vertex))
+        .withColumn(latOut, fn("st_y")(vertex))
+        .withColumn(dtgOut, element_at(col(datesCol), col("__vi")))
+        .drop("__vi")
+    }
 }

@@ -15,7 +15,8 @@ import graft.functions.StFunctions
  *    properties from the remaining columns), text write — line-delimited
  *    GeoJSON, the standard big-data framing
  *  - BIN: the 16-byte (trackHash,dtgSecs,lat,lon) records as Parquet
- *    (Stats.binRecords does the packing projection)
+ *    (Stats.binRecords does the packing projection); the byte-exact
+ *    16/24-byte `.bin` wire files are written by BinExport
  *  - Arrow: real IPC files via the Arrow Java libraries Spark ships —
  *    see ArrowExport (one .arrow file per partition, pyarrow-readable)
  *  - Shapefile: .shp/.shx/.dbf (Point/MultiPoint/PolyLine/Polygon) from
