@@ -82,38 +82,57 @@ object SparkEntry {
    */
   def prepareTables(s: SparkSession, dir: String): Unit = {
     import graft.table.SpatialTable
-    SpatialTable.write(s, pts(s, dir), tableRoot("rule", dir), "s1",
-      "event_id", "lon", "lat", res = 9, prefixRes = 3, salts = 2, partitions = 8)
-    val withType = pts(s, dir)
-      .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
-    SpatialTable.write(s, withType, tableRoot("attr", dir), "s1",
-      "event_id", "lon", "lat", res = 9, prefixRes = 3, salts = 2, partitions = 8)
-    SpatialTable.writeAttributeIndex(s, tableRoot("attr", dir), "s1", "event_type", buckets = 8)
-    SpatialTable.write(s, pts(s, dir), tableRoot("idix", dir), "s1",
-      "event_id", "lon", "lat", res = 9, prefixRes = 3, salts = 2, partitions = 8)
-    SpatialTable.writeIdIndex(s, tableRoot("idix", dir), "s1", "event_id", buckets = 8)
-    // GeoJSON document store for q_geojson_query — the one-time
-    // serialization of events into line-delimited GeoJSON, so the query
-    // entry measures the document-store QUERY path (parse + predicate),
-    // not corpus construction; idempotent via the writer's _SUCCESS
-    val gjRoot = tableRoot("geojson", dir)
-    val gjPath = new org.apache.hadoop.fs.Path(gjRoot)
-    val gjFs = gjPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!gjFs.exists(new org.apache.hadoop.fs.Path(gjPath, "_SUCCESS"))) {
-      StFunctions.register(s)
-      pts(s, dir)
-        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
-        .selectExpr("""concat('{"type":"Feature","geometry":',
-          st_asGeoJSON(st_makePoint(lon, lat)),
-          ',"properties":',
-          to_json(named_struct('event_id', event_id, 'event_type', event_type, 'value', value)),
-          '}') AS value""")
-        .write.mode("overwrite").text(gjRoot)
-    }
-    // indexed form of the same document store (GeoJsonGtIndex analog) —
-    // q_geojson_indexed serves from this snapshot's pruned scan
-    sources.GeoJsonQuery.index(s, sources.GeoJsonQuery.read(s, gjRoot),
-      tableRoot("gjidx", dir), "docs", res = 9, prefixRes = 3, salts = 2, partitions = 8)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    StFunctions.register(s)
+    // shared inputs resolved ONCE on this thread (temp-view registration
+    // is not written from the workers below; DataFrames are safe for
+    // concurrent actions)
+    val p = pts(s, dir)
+    val withType = p.join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+    // the four snapshot chains are independent job DAGs; running them on
+    // the shared FIFO scheduler concurrently overlaps their fixed stage
+    // latencies (each chain is small at bench scale, so the cluster is
+    // otherwise underfilled during a sequential cold ingest)
+    val chains: Seq[() => Unit] = Seq(
+      () => SpatialTable.write(s, p, tableRoot("rule", dir), "s1",
+        "event_id", "lon", "lat", res = 9, prefixRes = 3, salts = 2, partitions = 8),
+      () => {
+        SpatialTable.write(s, withType, tableRoot("attr", dir), "s1",
+          "event_id", "lon", "lat", res = 9, prefixRes = 3, salts = 2, partitions = 8)
+        SpatialTable.writeAttributeIndex(s, tableRoot("attr", dir), "s1", "event_type", buckets = 8)
+      },
+      () => {
+        SpatialTable.write(s, p, tableRoot("idix", dir), "s1",
+          "event_id", "lon", "lat", res = 9, prefixRes = 3, salts = 2, partitions = 8)
+        SpatialTable.writeIdIndex(s, tableRoot("idix", dir), "s1", "event_id", buckets = 8)
+      },
+      () => {
+        // GeoJSON document store for q_geojson_query — the one-time
+        // serialization of events into line-delimited GeoJSON, so the
+        // query entry measures the document-store QUERY path (parse +
+        // predicate), not corpus construction; idempotent via _SUCCESS
+        val gjRoot = tableRoot("geojson", dir)
+        val gjPath = new org.apache.hadoop.fs.Path(gjRoot)
+        val gjFs = gjPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!gjFs.exists(new org.apache.hadoop.fs.Path(gjPath, "_SUCCESS"))) {
+          withType
+            .selectExpr("""concat('{"type":"Feature","geometry":',
+              st_asGeoJSON(st_makePoint(lon, lat)),
+              ',"properties":',
+              to_json(named_struct('event_id', event_id, 'event_type', event_type, 'value', value)),
+              '}') AS value""")
+            .write.mode("overwrite").text(gjRoot)
+        }
+        // indexed form of the same document store (GeoJsonGtIndex analog)
+        // — q_geojson_indexed serves from this snapshot's pruned scan
+        sources.GeoJsonQuery.index(s, sources.GeoJsonQuery.read(s, gjRoot),
+          tableRoot("gjidx", dir), "docs", res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
+    finally pool.shutdown()
   }
   private def zones(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
