@@ -285,4 +285,20 @@ class ProcessParitySpec extends AnyFunSuite with SparkTest {
     assert(pairs(100.0) == 6)
     assert(pairs(101.0) == 6)
   }
+
+  // SamplingProcessTest.scala:40-49 — 10 features (id "0".."9", track
+  // t-(i%2)); .2 keeps exactly features 0 and 5; .5 threaded by track
+  // keeps 0,1,4,5,8,9 (every-nth per key in id order)
+  test("SamplingProcess fixture: global and per-track every-nth sampling") {
+    import graft.{GraftQuery, QueryRunner}
+    val df = (0 until 10).map { i =>
+      (i.toString, s"t-${i % 2}", 45.0, 50.0 + i)
+    }.toDF("id", "track", "lon", "lat")
+    def ids(q: GraftQuery): Set[String] =
+      QueryRunner.run(df, q, idColumn = "id")
+        .select("id").collect().map(_.getString(0)).toSet
+    assert(ids(GraftQuery(sampling = Some(0.2))) == Set("0", "5"))
+    assert(ids(GraftQuery(sampling = Some(0.5), sampleBy = Some("track"))) ==
+      Set("0", "1", "4", "5", "8", "9"))
+  }
 }
