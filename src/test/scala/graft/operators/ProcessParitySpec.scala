@@ -301,4 +301,34 @@ class ProcessParitySpec extends AnyFunSuite with SparkTest {
     assert(ids(GraftQuery(sampling = Some(0.5), sampleBy = Some("track"))) ==
       Set("0", "1", "4", "5", "8", "9"))
   }
+
+  // UniqueProcessTest.scala:42-59 + MinMaxProcessTest.scala:40-52 — the
+  // same 10-feature fixture through the composed Query surface (CQL
+  // temporal filter + Stat DSL), asserting the reference's exact values
+  test("Unique and MinMax process fixtures via CQL + Stat DSL") {
+    import graft.{GraftQuery, QueryRunner}
+    import java.sql.Timestamp
+    import java.time.Instant
+    val df = (0 until 10).map { i =>
+      (i.toString, s"t-${i % 2}",
+        Timestamp.from(Instant.parse(s"2017-05-24T00:00:0$i.000Z")), 45.0, 50.0 + i)
+    }.toDF("id", "track", "dtg", "lon", "lat")
+    def enumOf(q: GraftQuery): Map[String, Long] =
+      QueryRunner.run(df, q, idColumn = "id")
+        .head().getAs[Map[String, Long]]("track_enumeration")
+    // unique values with counts
+    assert(enumOf(GraftQuery(statsString = Some("Enumeration(track)"))) ==
+      Map("t-0" -> 5L, "t-1" -> 5L))
+    // with the reference's BEFORE filter: three of each remain
+    assert(enumOf(GraftQuery(cql = "dtg BEFORE 2017-05-24T00:00:05.001Z",
+      statsString = Some("Enumeration(track)"))) == Map("t-0" -> 3L, "t-1" -> 3L))
+    // MinMax over dates and strings: min/max/cardinality
+    val d = QueryRunner.run(df, GraftQuery(statsString = Some("MinMax(dtg)")), idColumn = "id").head()
+    assert(d.getAs[Timestamp]("dtg_min") == Timestamp.from(Instant.parse("2017-05-24T00:00:00Z")))
+    assert(d.getAs[Timestamp]("dtg_max") == Timestamp.from(Instant.parse("2017-05-24T00:00:09Z")))
+    assert(d.getAs[Long]("dtg_cardinality") == 10L)
+    val t = QueryRunner.run(df, GraftQuery(statsString = Some("MinMax(track)")), idColumn = "id").head()
+    assert(t.getAs[String]("track_min") == "t-0" && t.getAs[String]("track_max") == "t-1")
+    assert(t.getAs[Long]("track_cardinality") == 2L)
+  }
 }
