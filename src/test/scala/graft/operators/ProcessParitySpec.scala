@@ -331,4 +331,25 @@ class ProcessParitySpec extends AnyFunSuite with SparkTest {
     assert(t.getAs[String]("track_min") == "t-0" && t.getAs[String]("track_max") == "t-1")
     assert(t.getAs[Long]("track_cardinality") == 2L)
   }
+
+  // QueryProcessTest.scala:42-61 — the reference's exact filter strings
+  // and transform projections over the same fixture
+  test("QueryProcess fixture: CQL filters and transforms") {
+    import graft.{GraftQuery, QueryRunner}
+    import org.apache.spark.sql.DataFrame
+    val df = (0 until 10).map { i =>
+      (i.toString, s"t-${i % 2}", 45.0, 50.0 + i)
+    }.toDF("id", "track", "lon", "lat")
+    val geomProp = Map("geom" -> expr("st_makePoint(lon, lat)"))
+    def run(q: GraftQuery): DataFrame = QueryRunner.run(df, q, geomProp, "id")
+    def ids(cql: String): Set[String] =
+      run(GraftQuery(cql = cql)).select("id").collect().map(_.getString(0)).toSet
+    assert(ids("track = 't-1'") == Set("1", "3", "5", "7", "9"))
+    assert(ids("bbox(geom,44,49,46,52)") == Set("0", "1", "2")) // lat 50+i in [49,52]
+    assert(run(GraftQuery(cql = "INCLUDE")).count() == 10)
+    val p2 = run(GraftQuery(cql = "track = 't-1'", transforms = Seq("track", "geom")))
+    assert(p2.columns.toSeq == Seq("track", "geom") && p2.count() == 5)
+    val p1 = run(GraftQuery(cql = "track = 't-1'", transforms = Seq("geom")))
+    assert(p1.columns.toSeq == Seq("geom") && p1.count() == 5)
+  }
 }
