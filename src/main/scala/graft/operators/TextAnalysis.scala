@@ -149,7 +149,6 @@ object TextAnalysis {
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
                   minChars: Long, minWords: Long, minScoreE6: Long,
                   langs: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val feat = withFingerprint(withQuality(withLangId(df, textCol), textCol), textCol)
       .withColumn("__exact_key", md5(col(textCol)))
       .select(col(idCol), col("lang_pred"), col("q_chars"), col("q_words"),
@@ -157,15 +156,24 @@ object TextAnalysis {
         col("fingerprint"), col("__exact_key"))
     val gate = col("q_chars") >= minChars && col("q_words") >= minWords &&
       col("q_score_e6") >= minScoreE6 && col("lang_pred").isInCollection(langs)
-    // One linear plan — a 4-way union of filtered branches would
-    // recompute the scan + feature UDFs + windows once per branch.
-    // Gate-failed rows ride along with pass=false and are excluded from
-    // canonical election via the conditional min() windows.
-    feat.withColumn("__pass", gate)
-      .withColumn("__e", min(when(col("__pass"), col(idCol)))
-        .over(Window.partitionBy("__exact_key")))
-      .withColumn("__f", min(when(col("__pass") && col(idCol) === col("__e"), col(idCol)))
-        .over(Window.partitionBy("fingerprint")))
+    // Canonical election is groupBy-min + equi-join, NOT a window: a
+    // window sorts each key group inside ONE task, so a hot key (a
+    // billion identical boilerplate docs) becomes a single-task
+    // bottleneck with no mitigation. The hash aggregate collapses hot
+    // keys map-side before its shuffle, and AQE's skew-join split
+    // handles the join back. The canon tables re-derive the feature
+    // projection (two extra map passes over the scan — linear, parallel
+    // work); gate-failed rows ride along with pass=false.
+    val tagged = feat.withColumn("__pass", gate)
+    val eCanon = tagged.where(col("__pass"))
+      .groupBy("__exact_key").agg(min(idCol).as("__e"))
+    val fCanon = tagged.where(col("__pass"))
+      .join(eCanon, Seq("__exact_key"))
+      .where(col(idCol) === col("__e"))
+      .groupBy("fingerprint").agg(min(idCol).as("__f"))
+    tagged
+      .join(eCanon, Seq("__exact_key"), "left")
+      .join(fCanon, Seq("fingerprint"), "left")
       .withColumn("fate",
         when(!col("__pass"), "gate")
           .when(col(idCol) =!= col("__e"), "exact_dup")
