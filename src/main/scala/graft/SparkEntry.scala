@@ -131,8 +131,15 @@ object SparkEntry {
       })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try Await.result(Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
-    finally pool.shutdown()
+    try {
+      // wait for EVERY chain (success or failure) before returning, so a
+      // failed call never leaves background threads still writing the
+      // table roots under a caller that retries; then rethrow the first
+      // failure
+      val outcomes = chains.map(c => Future(c()))
+        .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+    } finally pool.shutdown()
   }
   private def zones(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
@@ -1517,7 +1524,7 @@ object SparkEntry {
            |  FROM docs2),
            |feat AS (SELECT d.doc_id, d.text, l.lang_pred, q.nchars, q.nwords, q.e6, f.fingerprint
            |  FROM docs2 d JOIN lang l USING (doc_id) JOIN q USING (doc_id) JOIN fp f USING (doc_id)),
-           |pass AS (SELECT *, (nchars >= 100 AND nwords >= 10 AND e6 >= 780000 AND lang_pred IN ('en','de','fr')) AS p FROM feat),
+           |pass AS (SELECT *, COALESCE(nchars >= 100 AND nwords >= 10 AND e6 >= 780000 AND lang_pred IN ('en','de','fr'), FALSE) AS p FROM feat),
            |p2 AS (SELECT *, min(doc_id) OVER (PARTITION BY text) AS e_canon FROM pass WHERE p),
            |p3 AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS f_canon FROM p2 WHERE doc_id = e_canon)
            |SELECT doc_id, lang_pred, 'gate' AS fate FROM pass WHERE NOT p

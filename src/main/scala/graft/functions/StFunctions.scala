@@ -60,9 +60,10 @@ object StFunctions {
     graft.cells.GeoHash(s, math.min(math.max(1, prec), math.min(63, s.length * 5)))
   val stGeomFromGeoHash: UserDefinedFunction = udf((s: String, prec: Int) =>
     nn(s) { x =>
-      // zero decodable bits (empty hash) = the whole world, the
-      // reference's 0-precision cell — not an error
-      if (x.isEmpty) w(G.bbox(-180, -90, 180, 90))
+      // zero decodable bits (empty hash OR precision <= 0) = the whole
+      // world, the reference's 0-precision cell — not an error and not
+      // a 1-bit hemisphere
+      if (x.isEmpty || prec <= 0) w(G.bbox(-180, -90, 180, 90))
       else {
         val gh = ghAt(x, prec)
         w(G.bbox(gh.lonMin, gh.latMin, gh.lonMax, gh.latMax))
@@ -70,7 +71,7 @@ object StFunctions {
     }.asInstanceOf[Array[Byte]])
   val stPointFromGeoHash: UserDefinedFunction = udf((s: String, prec: Int) =>
     nn(s) { x =>
-      if (x.isEmpty) w(G.point(0, 0))
+      if (x.isEmpty || prec <= 0) w(G.point(0, 0))
       else {
         val gh = ghAt(x, prec)
         w(G.point(gh.x, gh.y))

@@ -302,16 +302,18 @@ object Dedup {
     require(converged, s"components did not converge in $maxIter rounds")
     // fixpoint = star edges (child -> component-min root); roots have no
     // outgoing edge. min() guards the (impossible at fixpoint) multi-edge.
-    // Materialize the result, then release EVERY cached intermediate —
-    // without this, each components() call pins its edge set in the
-    // block manager for the lifetime of the context.
+    // Materialize the result, then release the CacheManager-tracked
+    // persist (`init`) deterministically. The localCheckpoint blocks
+    // (loop intermediates, nodes, result) are NOT CacheManager entries —
+    // Dataset.unpersist would be a no-op on them; they are reclaimed by
+    // the ContextCleaner as the checkpointed RDDs become unreferenced,
+    // which happens as soon as this frame returns and the caller drops
+    // the result.
     val result = nodes
       .join(edges.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
       .groupBy("id").agg(min(coalesce(col("__c"), col("id"))).as("component"))
       .localCheckpoint(true)
     init.unpersist()
-    if (edges ne init) edges.unpersist()
-    nodes.unpersist()
     result
   }
 

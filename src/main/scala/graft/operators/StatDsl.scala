@@ -183,7 +183,10 @@ object StatDsl {
     graft.functions.StFunctions.fn("st_z3bin")(
       unix_millis(col(dtg).cast("timestamp")), lit(period))
 
-  def columns(specs: Seq[Spec]): Seq[Column] = specs.flatMap {
+  // private: IteratorStackCount's column references PidCol, which only
+  // parse() pre-projects — exposing this would hand callers a column
+  // set that cannot resolve on a raw DataFrame
+  private def columns(specs: Seq[Spec]): Seq[Column] = specs.flatMap {
     case CountSpec() => Seq(count(lit(1)).as("count"))
     case IteratorStackSpec() =>
       // aggregates over nondeterministic expressions are rejected by the

@@ -161,10 +161,13 @@ object TextAnalysis {
     // billion identical boilerplate docs) becomes a single-task
     // bottleneck with no mitigation. The hash aggregate collapses hot
     // keys map-side before its shuffle, and AQE's skew-join split
-    // handles the join back. The canon tables re-derive the feature
-    // projection (two extra map passes over the scan — linear, parallel
-    // work); gate-failed rows ride along with pass=false.
-    val tagged = feat.withColumn("__pass", gate)
+    // handles the join back. The plan carries the feature projection
+    // three times (main branch + each canon table) — deliberate: the
+    // per-row features are linear map work, while caching the projected
+    // corpus at real scale would pin tens of TB. __pass coalesces a
+    // NULL gate (null/absent text nulls every feature) to false so such
+    // rows are 'gate', never 'kept'.
+    val tagged = feat.withColumn("__pass", coalesce(gate, lit(false)))
     val eCanon = tagged.where(col("__pass"))
       .groupBy("__exact_key").agg(min(idCol).as("__e"))
     val fCanon = tagged.where(col("__pass"))

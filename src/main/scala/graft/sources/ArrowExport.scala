@@ -194,7 +194,11 @@ object ArrowExport {
         allocator.close(); out.close()
       }
       // first committer wins; a losing attempt cleans up its temp file
-      if (fs.exists(finalPath) || !fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+      // committed twin wins; a rename failure with NO twin fails the
+      // task loudly instead of silently discarding the partition
+      if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+      else if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
+        throw new java.io.IOException(s"ArrowExport: failed to commit $tmpPath -> $finalPath")
       Iterator.empty[Int]
     }.count() // force the write job
     val fs = new Path(path).getFileSystem(new Configuration())

@@ -97,7 +97,11 @@ object AvroExport {
           writer.append(rec)
         }
       } finally writer.close() // closes the stream too
-      if (fs.exists(finalPath) || !fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+      // committed twin wins; a rename failure with NO twin fails the
+      // task loudly instead of silently discarding the partition
+      if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+      else if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
+        throw new java.io.IOException(s"AvroExport: failed to commit $tmpPath -> $finalPath")
       Iterator.empty[Int]
     }.count()
     val fs = new Path(path).getFileSystem(new Configuration())

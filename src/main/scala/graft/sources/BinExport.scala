@@ -145,9 +145,13 @@ object BinExport {
         }
         buffered.writeTo(out)
       } finally out.close()
-      // same guard as the sibling exporters: a committed twin (retry /
-      // speculative attempt) wins; our tmp must never linger
-      if (fs.exists(finalPath) || !fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+      // a committed twin (retry / speculative attempt) wins and our tmp
+      // is dropped; a rename failure with NO committed twin must fail
+      // the task loudly — silently deleting the tmp would report n
+      // records that never reached the output
+      if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+      else if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
+        throw new java.io.IOException(s"BinExport: failed to commit $tmpPath -> $finalPath")
       Iterator.single(n)
     }.collect()
     counts.sum

@@ -150,7 +150,11 @@ object Gml {
         }
         out.write("</wfs:FeatureCollection>\n")
       } finally out.close()
-      if (fs.exists(finalPath) || !fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+      // committed twin wins; a rename failure with NO twin fails the
+      // task loudly instead of silently discarding the partition
+      if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+      else if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
+        throw new java.io.IOException(s"Gml: failed to commit $tmpPath -> $finalPath")
       Iterator.empty[Int]
     }.count()
     val fs = new Path(path).getFileSystem(new Configuration())
