@@ -70,6 +70,24 @@ object SparkEntry {
   private def tableRoot(prefix: String, dir: String): String =
     s"/tmp/graft_${prefix}_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** Run `body` with spark.graft.index.res set, materialize its result
+    * via localCheckpoint WHILE the conf is set, then restore the prior
+    * value. Session-global conf leaking res into later queries was the
+    * cross-table hazard SpatialFilterRule's scaladoc warns about (now
+    * also self-guarded by the res band escape). localCheckpoint, not
+    * cache(): both materialize under the conf, but checkpoint blocks are
+    * GC-cleanable once the result is dropped — cache() pins executor
+    * storage until an unpersist no consumer of `queries` would issue. */
+  private def withIndexRes(s: SparkSession, res: Int)(body: => DataFrame): DataFrame = {
+    val prevRes = s.conf.getOption("spark.graft.index.res")
+    s.conf.set("spark.graft.index.res", res.toString)
+    try body.localCheckpoint(true)
+    finally prevRes match {
+      case Some(v) => s.conf.set("spark.graft.index.res", v)
+      case None => s.conf.unset("spark.graft.index.res")
+    }
+  }
+
   /**
    * Build the three SpatialTable snapshot roots that q_rule_scan /
    * q_attr_scan / q_id_scan read (idempotent — commit markers make
@@ -306,27 +324,11 @@ object SparkEntry {
       StFunctions.register(s)
       val root = tableRoot("rule", dir)
       prepareTables(s, dir)
-      // session-global conf: set only for the optimization+materialization
-      // of THIS query, then restored — leaking res=9 into later queries in
-      // the same session was the cross-table hazard SpatialFilterRule's
-      // scaladoc warns about (now also self-guarded by the res band escape)
-      val prevRes = s.conf.getOption("spark.graft.index.res")
-      s.conf.set("spark.graft.index.res", "9")
-      try {
+      withIndexRes(s, 9) {
         graft.table.SpatialTable.read(s, root, "s1").createOrReplaceTempView("graft_rule_tbl")
-        val df = s.sql("""SELECT event_id FROM graft_rule_tbl
+        s.sql("""SELECT event_id FROM graft_rule_tbl
               |WHERE st_intersects(st_makePoint(lon, lat),
               |  st_geomFromWKT('POLYGON((-50 -20, 30 -20, 30 25, -50 25, -50 -20))'))""".stripMargin)
-        // localCheckpoint, not cache(): both materialize while the conf
-        // is set, but checkpoint blocks are GC-cleanable once the result
-        // is dropped — cache() pins executor storage until an unpersist
-        // that no consumer of this Map would ever issue
-        df.localCheckpoint(true)
-      } finally {
-        prevRes match {
-          case Some(v) => s.conf.set("spark.graft.index.res", v)
-          case None => s.conf.unset("spark.graft.index.res")
-        }
       }
     }),
 
@@ -1040,22 +1042,10 @@ object SparkEntry {
       // cell_prefix pruning, like q_rule_scan) and the residual refines
       StFunctions.register(s)
       prepareTables(s, dir)
-      val prevRes = s.conf.getOption("spark.graft.index.res")
-      s.conf.set("spark.graft.index.res", "9")
-      try {
-        val df = graft.table.SpatialTable.queryCql(s, tableRoot("rule", dir), "s1",
+      withIndexRes(s, 9) {
+        graft.table.SpatialTable.queryCql(s, tableRoot("rule", dir), "s1",
             "BBOX(geom, -50, -20, 30, 25) AND value > 20", idColumn = "event_id")
           .select("event_id")
-        // localCheckpoint, not cache(): both materialize while the conf
-        // is set, but checkpoint blocks are GC-cleanable once the result
-        // is dropped — cache() pins executor storage until an unpersist
-        // that no consumer of this Map would ever issue
-        df.localCheckpoint(true)
-      } finally {
-        prevRes match {
-          case Some(v) => s.conf.set("spark.graft.index.res", v)
-          case None => s.conf.unset("spark.graft.index.res")
-        }
       }
     }),
 

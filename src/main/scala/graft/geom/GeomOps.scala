@@ -23,6 +23,21 @@ object GeomOps {
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
   private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
 
+  /** Meters per distance unit — the ONE table shared by every surface
+    * that accepts a unit (CQL DWITHIN/BEYOND, GeoJSON $dwithin, and the
+    * $dwithin pruning envelope). Reference unit set: ECQL's
+    * {meters, kilometers, feet, statute miles} plus the common short and
+    * British spellings. Unknown units throw everywhere — a pruning path
+    * that silently defaulted to meters while the predicate threw would
+    * under-pad the box and drop matching rows. */
+  def unitToMeters(unit: String): Double = unit.trim.toLowerCase match {
+    case "meters" | "meter" | "metre" | "metres" | "m" => 1.0
+    case "kilometers" | "kilometer" | "kilometres" | "km" => 1000.0
+    case "feet" | "ft" => 0.3048
+    case "statute miles" | "miles" | "mi" => 1609.344
+    case u => throw new IllegalArgumentException(s"unsupported distance unit '$u'")
+  }
+
   def fromWkb(b: Array[Byte]): Geometry = if (b == null) null else wkbReader.get.read(b)
   def toWkb(g: Geometry): Array[Byte] = if (g == null) null else wkbWriter.get.write(g)
   def fromWkt(s: String): Geometry = if (s == null) null else wktReader.get.read(s)

@@ -400,20 +400,19 @@ object Cql {
           val (b, gb) = geomArgWithLit(); expectOp(",")
           val d = numArg(); expectOp(",")
           // units may be quoted ('kilometers') or bare (meters) — the
-          // reference's test filters use both forms
-          val units = next() match {
+          // reference's test filters use both forms. The one two-word
+          // unit, bare `statute miles`, lexes as two idents: keep
+          // consuming idents until the closing paren.
+          val first = next() match {
             case TStr(s, _, _) => s
             case TIdent(s, _, _) => s
             case _ => fail("expected a distance unit")
           }
+          val unitWords = scala.collection.mutable.ListBuffer(first)
+          while (peek.isInstanceOf[TIdent]) unitWords += next().asInstanceOf[TIdent].s
+          val units = unitWords.mkString(" ")
           expectOp(")")
-          val meters = d * (units.trim.toLowerCase match {
-            case "meters" | "metre" | "metres" | "m" => 1.0
-            case "kilometers" | "kilometres" | "km" => 1000.0
-            case "feet" | "ft" => 0.3048
-            case "statute miles" | "miles" | "mi" => 1609.344
-            case u => sys.error(s"unsupported DWITHIN unit '$u'")
-          })
+          val meters = d * G.unitToMeters(units)
           def dw(x: Column, y: Column) = StFunctions.fn("st_dwithin")(x, y, lit(meters))
           // the reference normalizes dwithin literals too (FilterHelper
           // .visitDwithin — same trim + IDL split, parts OR'd)

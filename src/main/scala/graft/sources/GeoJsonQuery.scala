@@ -161,12 +161,7 @@ object GeoJsonQuery {
                 if (op == "$dwithin") {
                   val dist = Option(o.get("$dist")).map(_.asDouble).getOrElse(0.0)
                   val unit = Option(o.get("$unit")).map(_.asText).getOrElse("meters")
-                  val m = unit match {
-                    case "kilometers" => dist * 1000.0
-                    case "feet" => dist * 0.3048
-                    case "statute miles" => dist * 1609.344
-                    case _ => dist
-                  }
+                  val m = dist * G.unitToMeters(unit)
                   // conservative meters -> degrees: latitude pad from the
                   // shortest meridian degree; longitude degrees-per-meter
                   // GROW toward the poles, so pad with the highest
@@ -294,13 +289,8 @@ object GeoJsonQuery {
       case "$dwithin" =>
         val dist = Option(v.get("$dist")).map(_.asDouble).getOrElse(
           throw new IllegalArgumentException("$dwithin needs '$dist'"))
-        val meters = Option(v.get("$unit")).map(_.asText).getOrElse("meters") match {
-          case "meters" => dist
-          case "kilometers" => dist * 1000.0
-          case "feet" => dist * 0.3048
-          case "statute miles" => dist * 1609.344
-          case u => throw new IllegalArgumentException(s"unknown $$dwithin unit '$u'")
-        }
+        val meters = dist * G.unitToMeters(
+          Option(v.get("$unit")).map(_.asText).getOrElse("meters"))
         spatial(StFunctions.stDWithin(_, _, lit(meters)), includeOk = false)
       case other => throw new IllegalArgumentException(s"invalid predicate '$other'")
     }

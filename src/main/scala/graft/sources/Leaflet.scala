@@ -33,11 +33,12 @@ object Leaflet {
     // heat-layer point after rounding (Gml.write skips empties the same way)
     val features = df.where(col(geomCol).isNotNull &&
         !StFunctions.stIsEmpty(col(geomCol)))
+      .withColumn("__c", StFunctions.stCentroid(col(geomCol)))
       .select(
         StFunctions.stAsGeoJSON(col(geomCol)).as("g"),
         to_json(struct(props.map(col): _*)).as("p"),
-        StFunctions.stX(StFunctions.stCentroid(col(geomCol))).as("x"),
-        StFunctions.stY(StFunctions.stCentroid(col(geomCol))).as("y"))
+        StFunctions.stX(col("__c")).as("x"),
+        StFunctions.stY(col("__c")).as("y"))
       .limit(maxFeatures + 1)
       .collect()
     require(features.length <= maxFeatures,

@@ -209,6 +209,14 @@ object Shapefile {
 
   private def dbfHeader(fieldDefs: Array[(String, Char, Int, Int)], nRecords: Int,
                         headerSize: Int, recSize: Int): Array[Byte] = {
+    // the dBASE header-size and record-size fields are unsigned 16-bit:
+    // putShort(x.toShort) emits the right bytes up to 0xFFFF, beyond that
+    // the file would 'succeed' with a garbage size and every reader would
+    // misalign all records — fail loudly instead (very wide schemas)
+    require(headerSize <= 0xFFFF,
+      s"dBASE header size $headerSize exceeds the format's 16-bit limit (too many columns)")
+    require(recSize <= 0xFFFF,
+      s"dBASE record size $recSize exceeds the format's 16-bit limit (too many/too wide columns)")
     val hb = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
     hb.put(0x03.toByte); hb.put(124.toByte); hb.put(1.toByte); hb.put(1.toByte) // version + YMD
     hb.putInt(nRecords); hb.putShort(headerSize.toShort); hb.putShort(recSize.toShort)

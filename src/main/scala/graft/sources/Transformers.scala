@@ -167,15 +167,35 @@ object Transformers {
     }
 
     private def quoted(): String = {
+      // Java-style escapes, matching the reference's unescapeJava over its
+      // non-greedy literal (EnhancedTokenParsers.scala:21-25): \\ \' \"
+      // \b \f \n \r \t \uXXXX. Crucially \\ consumes BOTH chars, so a
+      // literal ending in a backslash ('a\\') cannot swallow its closing
+      // quote; an unknown escape keeps the char (unescapeJava behavior).
       eat('\'')
       val sb = new StringBuilder
-      while (peek != '\'' || (pos > 0 && input(pos - 1) == '\\')) {
+      var closed = false
+      while (!closed) {
         require(pos < input.length, s"unterminated string in: $input")
-        if (peek == '\'' ) { sb.setLength(sb.length - 1); sb += '\'' } // \' escape
-        else sb += peek
-        pos += 1
+        input(pos) match {
+          case '\'' => closed = true; pos += 1
+          case '\\' =>
+            require(pos + 1 < input.length, s"unterminated string in: $input")
+            input(pos + 1) match {
+              case 'u' =>
+                require(pos + 5 < input.length, s"bad \\u escape in: $input")
+                sb += Integer.parseInt(input.substring(pos + 2, pos + 6), 16).toChar
+                pos += 6
+              case c =>
+                sb += (c match {
+                  case 'b' => '\b'; case 'f' => '\f'; case 'n' => '\n'
+                  case 'r' => '\r'; case 't' => '\t'; case other => other
+                })
+                pos += 2
+            }
+          case c => sb += c; pos += 1
+        }
       }
-      pos += 1
       sb.toString
     }
 

@@ -110,6 +110,10 @@ class CqlSpec extends AnyFunSuite with Matchers with SparkTest {
     ids(people, "BEYOND(geom, POINT (1 1), 200, 'kilometers')") shouldBe Set(2L, 3L, 4L)
     // feet: 200km = 656168 ft
     ids(people, "DWITHIN(geom, POINT (1 1), 656168, 'feet')") shouldBe Set(1L)
+    // the one two-word unit must parse BARE too (lexes as two idents)
+    ids(people, "DWITHIN(geom, POINT (1 1), 125, statute miles)") shouldBe Set(1L)
+    ids(people, "DWITHIN(geom, POINT (1 1), 125, 'statute miles')") shouldBe Set(1L)
+    an[Exception] should be thrownBy Cql.parse("DWITHIN(geom, POINT (1 1), 5, furlongs)")
   }
 
   test("query normalization: IDL polygons split, whole-world INCLUDE, out-of-bounds trim") {

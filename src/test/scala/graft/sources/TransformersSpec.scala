@@ -59,6 +59,19 @@ class TransformersSpec extends AnyFunSuite with SparkTest {
     assert(eval("printf('%s-%s-%sT00:00:00.000Z', '2015', '01', '01')") == "2015-01-01T00:00:00.000Z")
   }
 
+  test("string literals use Java escapes like the reference's unescapeJava") {
+    // \\ is an escaped backslash consuming BOTH chars — a literal that
+    // ENDS in a backslash must not swallow its closing quote
+    assert(eval("concat($1, '\\\\')", "", "dir") == "dir\\")
+    assert(eval("'a\\\\b'") == "a\\b")
+    assert(eval("'it\\'s'") == "it's")
+    assert(eval("'tab\\there'") == "tab\there")
+    assert(eval("'nl\\n'") == "nl\n")
+    assert(eval("'u\\u0041'") == "uA")
+    intercept[Exception](eval("'unterminated"))
+    intercept[Exception](eval("'ends-in-escape\\"))
+  }
+
   test("casts (reference :158-218)") {
     assert(eval("$2", "", "1", 2) == 2)
     assert(eval("$1::int", "", "1") == 1)
