@@ -352,4 +352,86 @@ class ProcessParitySpec extends AnyFunSuite with SparkTest {
     val p1 = run(GraftQuery(cql = "track = 't-1'", transforms = Seq("geom")))
     assert(p1.columns.toSeq == Seq("geom") && p1.count() == 5)
   }
+
+  // ---- StatsProcessTest.scala:21-51 ------------------------------------
+  // 10 features: track t-0/t-1 alternating, dtg 2017-05-24T00:00:0i,
+  // POINT(45 5i). The process runs a stat string over the collection,
+  // optionally over TRANSFORMED properties ("m=strConcat('m:', track)").
+  private lazy val statsProcDf = (0 until 10).map { i =>
+    (i.toString, s"t-${i % 2}", s"2017-05-24T00:00:0$i.000Z", 45.0, 50.0 + i)
+  }.toDF("id", "track", "dtg", "lon", "lat")
+
+  test("StatsProcess fixture: Count() over the collection") {
+    val r = StatDsl.parse(statsProcDf, "Count()").collect()(0)
+    assert(r.getAs[Long]("count") == 10L) // {"count":10}
+  }
+
+  test("StatsProcess fixture: stat over a projected property (m=strConcat('m:',track))") {
+    // the reference evaluates the stat against query-transform properties;
+    // here the transform is a derived column ahead of the same stat
+    val projected = statsProcDf.select(concat(lit("m:"), col("track")).as("m"))
+    val r = StatDsl.parse(projected, "Enumeration(m)").collect()(0)
+    // {"m:t-0":5,"m:t-1":5}
+    assert(r.getAs[Map[String, Long]]("m_enumeration") == Map("m:t-0" -> 5L, "m:t-1" -> 5L))
+  }
+
+  // ---- BinConversionProcessTest.scala:28-88 -----------------------------
+  // 10 features with two geometry and two date columns; trackId defaults
+  // to the feature ID's hashCode, alternates come from named attributes,
+  // and labels ride in 24-byte records.
+  private lazy val binProcDf = (0 until 10).map { i =>
+    (s"0$i", s"name$i", s"$i",
+      s"2017-02-20T00:00:0$i.000Z", s"2017-02-21T00:00:0$i.000Z",
+      40.0, 50.0 + i, 20.0, 30.0 + i)
+  }.toDF("id", "name", "track", "dtg", "dtg2", "lon", "lat", "lon2", "lat2")
+
+  private def binRoundTrip(dir: String, recordSize: Int): Seq[graft.sources.BinExport.EncodedValues] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val bytes = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".bin")).toSeq.sorted
+      .flatMap(p => Files.readAllBytes(Paths.get(p)).toSeq).toArray
+    graft.sources.BinExport.decodeAll(bytes, recordSize)
+  }
+
+  test("BinConversionProcess fixture: empty collection encodes to nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binproc").toString
+    val n = graft.sources.BinExport.write(binProcDf.limit(0), dir, "id", "dtg", "lon", "lat")
+    assert(n == 0L && binRoundTrip(dir, 16).isEmpty)
+  }
+
+  test("BinConversionProcess fixture: generic encoding (id hashCode, dtg, lonlat)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binproc").toString
+    graft.sources.BinExport.write(binProcDf, dir, "id", "dtg", "lon", "lat")
+    val decoded = binRoundTrip(dir, 16).map(v => ((v.trackId, v.dtg), (v.lat, v.lon))).toSet
+    val expected = (0 until 10).map { i =>
+      ((s"0$i".hashCode, java.time.Instant.parse(s"2017-02-20T00:00:0$i.000Z").toEpochMilli),
+        ((50.0 + i).toFloat, 40.0f))
+    }.toSet
+    assert(decoded == expected)
+  }
+
+  test("BinConversionProcess fixture: alternate track/geom/dtg attributes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binproc").toString
+    graft.sources.BinExport.write(binProcDf, dir, "name", "dtg2", "lon2", "lat2")
+    val decoded = binRoundTrip(dir, 16).map(v => ((v.trackId, v.dtg), (v.lat, v.lon))).toSet
+    val expected = (0 until 10).map { i =>
+      ((s"name$i".hashCode, java.time.Instant.parse(s"2017-02-21T00:00:0$i.000Z").toEpochMilli),
+        ((30.0 + i).toFloat, 20.0f))
+    }.toSet
+    assert(decoded == expected)
+  }
+
+  test("BinConversionProcess fixture: labeled 24-byte records") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binproc").toString
+    graft.sources.BinExport.write(binProcDf, dir, "id", "dtg", "lon", "lat", label = Some("track"))
+    val decoded = binRoundTrip(dir, 24)
+      .map(v => (((v.trackId, v.dtg), (v.lat, v.lon)), v.label)).toSet
+    val expected = (0 until 10).map { i =>
+      (((s"0$i".hashCode, java.time.Instant.parse(s"2017-02-20T00:00:0$i.000Z").toEpochMilli),
+        ((50.0 + i).toFloat, 40.0f)),
+        graft.sources.BinExport.labelToLong(s"$i"))
+    }.toSet
+    assert(decoded == expected)
+  }
 }
