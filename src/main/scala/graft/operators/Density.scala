@@ -35,6 +35,35 @@ object Density {
     agg(cells, weight)
   }
 
+  /**
+   * Viewport density — the reference's DensityScan grid semantics
+   * (geomesa-index-api/.../iterators/DensityScan.scala; grid kernel
+   * GridSnap, see [[graft.cells.GridSnap]]): a fixed width×height
+   * raster over an explicit envelope, rows snapped to cell CENTERS,
+   * out-of-envelope rows dropped. The snap is pure Catalyst arithmetic
+   * (floor + least — whole-stage codegen, no UDF), so the envelope
+   * filter pushes to the scan and the per-cell partial sums combine
+   * map-side exactly like the cell-based paths above.
+   */
+  def grid(df: DataFrame, lonCol: String, latCol: String,
+           minX: Double, minY: Double, maxX: Double, maxY: Double,
+           width: Int, height: Int, weight: Option[Column] = None): DataFrame = {
+    require(width > 0 && height > 0, "grid must have positive dimensions")
+    require(maxX > minX && maxY > minY, "envelope must be non-degenerate")
+    val dx = (maxX - minX) / width
+    val dy = (maxY - minY) / height
+    val w = weight.getOrElse(lit(1.0))
+    df.where(col(lonCol).between(minX, maxX) && col(latCol).between(minY, maxY))
+      .select(
+        least(floor((col(lonCol) - lit(minX)) / lit(dx)), lit(width - 1)).cast("int").as("i"),
+        least(floor((col(latCol) - lit(minY)) / lit(dy)), lit(height - 1)).cast("int").as("j"),
+        w.as("__w"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("weight"))
+      .withColumn("x", lit(minX + dx / 2) + lit(dx) * col("i"))
+      .withColumn("y", lit(minY + dy / 2) + lit(dy) * col("j"))
+  }
+
   private def agg(cells: DataFrame, weight: Option[Column]): DataFrame = {
     val w = weight.getOrElse(lit(1.0))
     cells.groupBy("cell").agg(

@@ -94,6 +94,58 @@ object Cql {
                       idColumn: String = "id"): Column =
     new Parser(text, props, idColumn, Set.empty).compileExpression()
 
+  /** Split a filter at its top-level ORs — the reference's
+    * OrSplittingFilter (geomesa-filter/.../visitor/OrSplittingFilter
+    * .scala; OrSplittingFilterTest): `A OR B OR C` yields 3 branches,
+    * nested parenthesized ORs recurse (`(A OR B) OR C` also yields 3),
+    * but the split never descends into NOT or AND ("not run through
+    * lower-level filters"). The branches feed [[Disjoint.makeDisjoint]]
+    * / per-index-range scans exactly like the reference's pipeline.
+    * Returns branch substrings so each can be planned independently. */
+  def splitOr(cql: String): Seq[String] = {
+    val toks = lex(cql)
+    // token index ranges, exclusive of TEof
+    def split(lo: Int, hi: Int): Seq[(Int, Int)] = {
+      var depth = 0
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = lo
+      while (i < hi) {
+        toks(i) match {
+          case TOp("(", _, _) => depth += 1
+          case TOp(")", _, _) => depth -= 1
+          case t: TIdent if depth == 0 && t.s.equalsIgnoreCase("OR") => cuts += i
+          case _ =>
+        }
+        i += 1
+      }
+      if (cuts.isEmpty) {
+        // fully-parenthesized branch: strip and recurse (nested ORs split)
+        val wrapped = hi - lo >= 2 && (toks(lo) match {
+          case TOp("(", _, _) =>
+            // the close matching toks(lo) must be the LAST token
+            var d = 0; var j = lo; var matchAt = -1
+            while (j < hi && matchAt < 0) {
+              toks(j) match {
+                case TOp("(", _, _) => d += 1
+                case TOp(")", _, _) => d -= 1; if (d == 0) matchAt = j
+                case _ =>
+              }
+              j += 1
+            }
+            matchAt == hi - 1
+          case _ => false
+        })
+        if (wrapped) split(lo + 1, hi - 1) else Seq((lo, hi))
+      } else {
+        val bounds = (lo +: cuts.map(_ + 1)).zip(cuts.map(c => c) :+ hi)
+        bounds.flatMap { case (a, b) => split(a, b) }.toSeq
+      }
+    }
+    val n = toks.length - 1 // drop TEof
+    if (n <= 0) Seq(cql)
+    else split(0, n).map { case (a, b) => cql.substring(toks(a).start, toks(b - 1).end) }
+  }
+
   // ---- lexer ----------------------------------------------------------
 
   private sealed trait Tok { def start: Int; def end: Int }

@@ -303,6 +303,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(d.exists(_.getAs[Long]("n") == 2)) // the two nearby points share a cell
   }
 
+  test("viewport grid density matches the GridSnap kernel cell-for-cell") {
+    ready
+    import spark.implicits._
+    // points spread over the envelope plus out-of-bounds strays and
+    // exact-edge hits (the inclusive max edge lands in the last cell)
+    val rng = new scala.util.Random(7)
+    val pts = (1 to 500).map(_ => (rng.nextDouble * 12 - 1, rng.nextDouble * 12 - 1)) ++
+      Seq((10.0, 10.0), (0.0, 0.0), (-0.5, 5.0), (5.0, 11.0))
+    val df = pts.toDF("lon", "lat")
+    val d = Density.grid(df, "lon", "lat", 0.0, 0.0, 10.0, 10.0, width = 8, height = 5)
+      .collect()
+    val snap = graft.cells.GridSnap(0.0, 0.0, 10.0, 10.0, 8, 5)
+    val expected = pts
+      .filter { case (x, y) => snap.i(x) >= 0 && snap.j(y) >= 0 }
+      .groupBy { case (x, y) => (snap.i(x), snap.j(y)) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val got = d.map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Long]("n")).toMap
+    assert(got == expected)
+    // cell-center coordinates match the kernel's snap
+    d.foreach { r =>
+      assert(r.getAs[Double]("x") == snap.x(r.getAs[Int]("i")))
+      assert(r.getAs[Double]("y") == snap.y(r.getAs[Int]("j")))
+    }
+    // codegen check: the snap must not introduce a ScalaUDF
+    val plan = Density.grid(df, "lon", "lat", 0.0, 0.0, 10.0, 10.0, 8, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), "grid snap must be pure Catalyst arithmetic")
+  }
+
   test("exact dedup groups identical content") {
     ready
     import spark.implicits._

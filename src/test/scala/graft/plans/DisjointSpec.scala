@@ -65,4 +65,44 @@ class DisjointSpec extends AnyFunSuite with SparkTest {
     assert(t2.count() == 2)
     assert(t2.where(col("a").isNull).head.getAs[Int]("branch") == 1)
   }
+
+  // Ported from OrSplittingFilterTest (geomesa-filter/src/test/.../
+  // OrSplittingFilterTest.scala:43-70): split counts per filter shape.
+  test("Cql.splitOr matches OrSplittingFilter's branch counts") {
+    val geom1 = "INTERSECTS(geom, POLYGON ((41 28, 42 28, 42 29, 41 29, 41 28)))"
+    val geom2 = "INTERSECTS(geom, POLYGON ((44 23, 46 23, 46 25, 44 25, 44 23)))"
+    val date1 = "(dtg BETWEEN '2000-01-01T00:00:00.000Z' AND '2020-12-31T23:59:59.000Z')"
+    def f(i: Int) = s"attr$i = 'val$i'"
+
+    // "not do anything to filters without a top-level OR"
+    for (s <- Seq(geom1, s"$geom1 AND $date1", s"${f(1)} AND ${f(2)}",
+        s"NOT (${f(3)} AND ${f(4)})", s"NOT (${f(1)} OR ${f(3)})"))
+      assert(Cql.splitOr(s) == Seq(s), s"expected no split for: $s")
+
+    // "split an OR into two pieces"
+    for (s <- Seq(s"$geom1 OR $geom2", s"$geom2 OR $date1",
+        s"${f(1)} OR ${f(2)}", s"$geom1 OR ${f(3)}"))
+      assert(Cql.splitOr(s).size == 2, s"expected 2 branches for: $s")
+
+    // "recursively split nested ORs"
+    for (s <- Seq(s"($geom1 OR $date1) OR $geom2",
+        s"${f(1)} OR ${f(2)} OR ${f(3)}",
+        s"${f(1)} OR (${f(2)} AND ${f(3)}) OR ${f(4)}",
+        s"${f(1)} OR ($geom2 OR $date1)"))
+      assert(Cql.splitOr(s).size == 3, s"expected 3 branches for: $s")
+
+    // "not run through lower-level filters"
+    assert(Cql.splitOr(s"NOT (${f(3)} OR ${f(4)}) OR (${f(1)} AND ${f(2)})").size == 2)
+
+    // every branch must itself parse, and the split round-trips: the OR
+    // of the branch predicates selects the same rows as the original
+    import spark.implicits._
+    val df = Seq((1, "val1", "val2"), (2, "x", "val2"), (3, "x", "x"))
+      .toDF("id", "attr1", "attr2")
+    val orig = s"${f(1)} OR (${f(2)} AND id < 3)"
+    val branches = Cql.splitOr(orig).map(b => Cql.parse(b))
+    val viaSplit = df.where(branches.reduce(_ || _)).select("id").as[Int].collect().sorted
+    val viaOrig = df.where(Cql.parse(orig)).select("id").as[Int].collect().sorted
+    assert(viaSplit.toSeq == viaOrig.toSeq && viaSplit.nonEmpty)
+  }
 }
