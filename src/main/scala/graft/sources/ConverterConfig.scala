@@ -50,7 +50,8 @@ object ConverterConfig {
     latField: Option[String],
     routes: Seq[(String, Parsed)],
     caches: Map[String, Transformers.SimpleCache] = Map.empty,
-    sft: Option[graft.table.Sft.Schema] = None)
+    sft: Option[graft.table.Sft.Schema] = None,
+    featurePath: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -72,11 +73,19 @@ object ConverterConfig {
         if (f.has("col")) Converters.Col(f.get("col").asInt)
         else if (f.has("fixed")) Converters.FixedWidth(
           f.get("fixed").get("start").asInt, f.get("fixed").get("len").asInt)
+        // json-path + transform on one field: $0 binds to the extracted
+        // value (the reference's `path = ..., transform = "fn($0)"` form)
+        else if (f.has("json-path") && f.has("transform"))
+          Converters.PathTransform(f.get("json-path").asText, f.get("transform").asText)
+        else if (f.has("root-path") && f.has("transform"))
+          Converters.PathTransform(f.get("root-path").asText, f.get("transform").asText,
+            fromRoot = true)
         else if (f.has("json-path")) Converters.JsonPath(f.get("json-path").asText)
+        else if (f.has("root-path")) Converters.RootJsonPath(f.get("root-path").asText)
         else if (f.has("xpath")) Converters.XPath(f.get("xpath").asText)
         else if (f.has("transform")) Converters.Transform(f.get("transform").asText)
         else throw new IllegalArgumentException(
-          s"field '$name' needs one of col | fixed | json-path | xpath | transform")
+          s"field '$name' needs one of col | fixed | json-path | root-path | xpath | transform")
       Converters.Field(name, spec, castTo)
     }
     val routes = Option(n.get("routes")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { r =>
@@ -118,13 +127,19 @@ object ConverterConfig {
       val name = Option(n.get("type-name")).map(_.asText).getOrElse("converted")
       graft.table.Sft.parse(name, s.asText)
     }
+    // feature-path (the reference's json converter key): one document
+    // explodes into one record per matched array element; `path` fields
+    // are then element-relative and `root-path` fields read the document
+    val featurePath = Option(n.get("feature-path")).map(_.asText)
+    featurePath.foreach(_ => require(typ == "json", "'feature-path' is json-only"))
     Parsed(typ, delimiter,
       fields,
       Option(n.get("lon-field")).map(_.asText),
       Option(n.get("lat-field")).map(_.asText),
       routes,
       caches,
-      sft)
+      sft,
+      featurePath)
   }
 
   /** Apply a parsed config to a one-string-column DataFrame. */
@@ -140,7 +155,7 @@ object ConverterConfig {
         Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
       case _ =>
         Converters.convert(df, lineCol, cfg.fields, cfg.delimiter, cfg.lonField, cfg.latField,
-          cfg.caches)
+          cfg.caches, cfg.featurePath)
     }
     cfg.sft.map(coerceToSft(converted, _)).getOrElse(converted)
   }

@@ -34,14 +34,26 @@ object Converters {
   final case class Col(i: Int) extends Spec
   /** fixed-width slice [start, start+len) (0-based chars) */
   final case class FixedWidth(start: Int, len: Int) extends Spec
-  /** JSON path, e.g. "$.props.k" */
+  /** JSON path, e.g. "$.props.k" — relative to the current record (the
+    * exploded element when a feature-path is set) */
   final case class JsonPath(path: String) extends Spec
+  /** JSON path against the WHOLE input document when a feature-path
+    * explodes it into per-feature records — the reference's `root-path`
+    * fields (JsonSimpleFeatureConverter.scala:151-152: with a
+    * feature-path, `path` is element-relative and `root-path` reads the
+    * global context). Without a feature-path it equals [[JsonPath]]. */
+  final case class RootJsonPath(path: String) extends Spec
   /** XPath over the record's XML, e.g. "/event/@id" or "/event/lon/text()" */
   final case class XPath(path: String) extends Spec
   /** A transform-language expression (the reference's `transform = "..."`
     * strings; sources/Transformers): `$0` is the raw record, `$N` the
     * N-th delimited token — e.g. "concat(trim($1), '-', $2::int)". */
   final case class Transform(expr: String) extends Spec
+  /** JSON path + transform on ONE field — the reference's combined form
+    * (`path = "$.id", transform = "toString($0)"`): `$0` binds to the
+    * EXTRACTED path value, not the raw record. */
+  final case class PathTransform(path: String, expr: String,
+                                 fromRoot: Boolean = false) extends Spec
 
   private val xpathUdf = udf { (xml: String, path: String) =>
     if (xml == null) null
@@ -57,7 +69,7 @@ object Converters {
     }
   }
 
-  private def extract(line: Column, f: Field, delimiter: String,
+  private def extract(line: Column, root: Column, f: Field, delimiter: String,
                       named: Map[String, Column] = Map.empty,
                       caches: Map[String, Transformers.SimpleCache] = Map.empty): Column = {
     val raw = f.spec match {
@@ -66,8 +78,12 @@ object Converters {
       case Col(i) => try_element_at(split(line, java.util.regex.Pattern.quote(delimiter)), lit(i + 1))
       case FixedWidth(start, len) => trim(substring(line, start + 1, len))
       case JsonPath(p) => get_json_object(line, p)
+      case RootJsonPath(p) => get_json_object(root, p)
       case XPath(p) => xpathUdf(line, lit(p))
       case Transform(e) => Transformers.forDelimited(e, line, delimiter, named, caches)
+      case PathTransform(p, e, fromRoot) =>
+        Transformers.forDelimited(e, get_json_object(if (fromRoot) root else line, p),
+          delimiter, named, caches)
     }
     // try_cast: a malformed value under ANSI mode is a parse error to
     // skip (null), not a CAST_INVALID_INPUT job failure. An empty castTo
@@ -84,7 +100,8 @@ object Converters {
   def convert(df: DataFrame, lineCol: String, fields: Seq[Field],
               delimiter: String = ",",
               lonField: Option[String] = None, latField: Option[String] = None,
-              caches: Map[String, Transformers.SimpleCache] = Map.empty): DataFrame = {
+              caches: Map[String, Transformers.SimpleCache] = Map.empty,
+              featurePath: Option[String] = None): DataFrame = {
     // fields compile in order and later transforms may back-reference
     // earlier ones by `$name` (the reference's evaluation order —
     // EnrichmentCacheTest's `point($lon, $lat)`). Each field becomes its
@@ -95,10 +112,32 @@ object Converters {
     // projection). The raw line is kept under a private name so a field
     // may legally be called `lineCol` without breaking later `$N` refs.
     val line = "__graft_line"
+    val root = "__graft_root"
     var cur = df.select(col(lineCol).as(line))
+    // feature-path (json only): one document yields one record per array
+    // element — the reference's JsonSimpleFeatureConverter `feature-path`
+    // (JsonConverterTest "parse multiple features out of a single
+    // document"). Spark-native: get_json_object extracts the array,
+    // from_json(array<string>) re-exposes each element as its own JSON
+    // text, explode makes it the per-feature record (a whole-stage-
+    // codegen Generate — no UDF). A document without the path yields no
+    // rows (from_json(null) explodes to nothing), the parse-error skip.
+    featurePath.foreach { fp =>
+      require(fp.endsWith("[*]"),
+        s"feature-path must select array elements, ending in [*]: '$fp'")
+      val base = fp.stripSuffix("[*]").stripSuffix(".") match {
+        case "$" | "" => "$"
+        case b => b
+      }
+      cur = cur
+        .withColumn(root, col(line))
+        .withColumn(line, explode(from_json(get_json_object(col(line), base),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))))
+    }
+    val rootCol = if (featurePath.isDefined) col(root) else col(line)
     fields.foreach { f =>
       val named = fields.takeWhile(_ ne f).map(p => p.name -> col(p.name)).toMap
-      cur = cur.withColumn(f.name, extract(col(line), f, delimiter, named, caches))
+      cur = cur.withColumn(f.name, extract(col(line), rootCol, f, delimiter, named, caches))
     }
     val parsed = cur.select(fields.map(f => col(f.name)): _*)
       .where(fields.map(f => col(f.name).isNotNull).reduce(_ || _))

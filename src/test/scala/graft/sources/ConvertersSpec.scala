@@ -45,6 +45,85 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     assert(r.getLong(0) == 5L && r.getString(1) == "POINT (1.5 2.5)")
   }
 
+  test("feature-path: one document yields one feature per array element " +
+      "(JsonConverterTest 'multiple features out of a single document')") {
+    import spark.implicits._
+    // the reference's fixture document (JsonConverterTest.scala:55-92)
+    val doc =
+      """{
+        |  "DataSource": { "name": "myjson" },
+        |  "Features": [
+        |    { "id": 1, "number": 123, "color": "red",
+        |      "physical": { "weight": 127.5, "height": "5'11" },
+        |      "lat": 0, "lon": 0 },
+        |    { "id": 2, "number": 456, "color": "blue",
+        |      "physical": { "weight": 150, "height": "5'11" },
+        |      "lat": 1, "lon": 1 }
+        |  ]
+        |}""".stripMargin
+    val cfg = ConverterConfig.parse(
+      """{ "type": "json",
+        |  "feature-path": "$.Features[*]",
+        |  "fields": [
+        |    {"name": "id",     "json-path": "$.id", "transform": "toString($0)"},
+        |    {"name": "number", "json-path": "$.number", "type": "int"},
+        |    {"name": "color",  "json-path": "$.color", "transform": "trim($0)"},
+        |    {"name": "weight", "json-path": "$.physical.weight", "type": "double"},
+        |    {"name": "lat",    "json-path": "$.lat", "type": "double"},
+        |    {"name": "lon",    "json-path": "$.lon", "type": "double"},
+        |    {"name": "geom",   "transform": "point($lon, $lat)"}
+        |  ] }""".stripMargin)
+    val out = ConverterConfig(Seq(doc).toDF("value"), "value", cfg)
+      .selectExpr("id", "number", "color", "weight", "st_asText(geom) AS g")
+      .orderBy("number").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "1" && out(0).getInt(1) == 123 &&
+      out(0).getString(2) == "red" && out(0).getDouble(3) == 127.5 &&
+      out(0).getString(4) == "POINT (0 0)")
+    assert(out(1).getString(0) == "2" && out(1).getInt(1) == 456 &&
+      out(1).getString(2) == "blue" && out(1).getDouble(3) == 150.0 &&
+      out(1).getString(4) == "POINT (1 1)")
+    // a document without the feature path yields no rows, not an error
+    val none = ConverterConfig(Seq("""{"DataSource": {"name": "x"}}""").toDF("value"),
+      "value", cfg)
+    assert(none.count() == 0)
+  }
+
+  test("feature-path + root-path: element fields read the element, root-path " +
+      "fields read the whole document (JsonConverterTest 'using arrays')") {
+    import spark.implicits._
+    // reference fixture: lat/lon live at DOCUMENT level (:119-156)
+    val doc =
+      """{
+        |  "DataSource": { "name": "myjson" },
+        |  "lat": 5, "lon": 4,
+        |  "Features": [
+        |    { "id": 1, "number": 123, "color": "red",
+        |      "physical": { "weight": 127.5, "height": "5'11" } },
+        |    { "id": 2, "number": 456, "color": "blue",
+        |      "physical": { "weight": 150, "height": "5'11" } }
+        |  ]
+        |}""".stripMargin
+    val cfg = ConverterConfig.parse(
+      """{ "type": "json",
+        |  "feature-path": "$.Features[*]",
+        |  "fields": [
+        |    {"name": "number", "json-path": "$.number", "type": "int"},
+        |    {"name": "weight", "json-path": "$.physical.weight", "type": "double"},
+        |    {"name": "lat",    "root-path": "$.lat", "type": "double"},
+        |    {"name": "lon",    "root-path": "$.lon", "type": "double"},
+        |    {"name": "geom",   "transform": "point($lon, $lat)"}
+        |  ] }""".stripMargin)
+    val out = ConverterConfig(Seq(doc).toDF("value"), "value", cfg)
+      .selectExpr("number", "weight", "st_asText(geom) AS g").orderBy("number").collect()
+    assert(out.length == 2)
+    // BOTH features take the document-level point (4 5)
+    assert(out(0).getInt(0) == 123 && out(0).getDouble(1) == 127.5 &&
+      out(0).getString(2) == "POINT (4 5)")
+    assert(out(1).getInt(0) == 456 && out(1).getDouble(1) == 150.0 &&
+      out(1).getString(2) == "POINT (4 5)")
+  }
+
   test("xml converter evaluates XPath per record") {
     import spark.implicits._
     val df = Seq(
