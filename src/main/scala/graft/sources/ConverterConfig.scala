@@ -51,7 +51,8 @@ object ConverterConfig {
     routes: Seq[(String, Parsed)],
     caches: Map[String, Transformers.SimpleCache] = Map.empty,
     sft: Option[graft.table.Sft.Schema] = None,
-    featurePath: Option[String] = None)
+    featurePath: Option[String] = None,
+    idField: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -67,10 +68,16 @@ object ConverterConfig {
       val name = Option(f.get("name")).map(_.asText).getOrElse(
         throw new IllegalArgumentException("field needs a 'name'"))
       // transforms keep their computed type unless 'type' is explicit
-      val castTo = Option(f.get("type")).map(_.asText)
-        .getOrElse(if (f.has("transform")) "" else "string")
+      val declaredType = Option(f.get("type")).map(_.asText)
+      val castTo =
+        if (declaredType.contains("geometry")) "" // geometry fields emit WKB directly
+        else declaredType.getOrElse(if (f.has("transform")) "" else "string")
       val spec: Converters.Spec =
-        if (f.has("col")) Converters.Col(f.get("col").asInt)
+        // json-type = "geometry": the path value is a GeoJSON geometry
+        // object (or WKT string), parsed to WKB in-scan
+        if (declaredType.contains("geometry") && f.has("json-path") && !f.has("transform"))
+          Converters.GeoJsonGeom(f.get("json-path").asText)
+        else if (f.has("col")) Converters.Col(f.get("col").asInt)
         else if (f.has("fixed")) Converters.FixedWidth(
           f.get("fixed").get("start").asInt, f.get("fixed").get("len").asInt)
         // json-path + transform on one field: $0 binds to the extracted
@@ -132,6 +139,10 @@ object ConverterConfig {
     // are then element-relative and `root-path` fields read the document
     val featurePath = Option(n.get("feature-path")).map(_.asText)
     featurePath.foreach(_ => require(typ == "json", "'feature-path' is json-only"))
+    // id-field (the reference's feature-ID derivation, e.g. "$id" or
+    // "md5(string2bytes($0))"): a transform expression over the record
+    // and named fields, materialized as a `fid` string column
+    val idField = Option(n.get("id-field")).map(_.asText)
     Parsed(typ, delimiter,
       fields,
       Option(n.get("lon-field")).map(_.asText),
@@ -139,25 +150,33 @@ object ConverterConfig {
       routes,
       caches,
       sft,
-      featurePath)
+      featurePath,
+      idField)
   }
 
   /** Apply a parsed config to a one-string-column DataFrame. */
   def apply(df: DataFrame, lineCol: String, cfg: Parsed): DataFrame = {
+    // id-field compiles as one more transform field named `fid`,
+    // evaluated LAST so it may back-reference every declared field
+    def withFid(fields: Seq[Converters.Field]): Seq[Converters.Field] =
+      cfg.idField.map(e => fields :+ Converters.Field("fid", Converters.Transform(e), "string"))
+        .getOrElse(fields)
     val converted = cfg.typ match {
       case "composite" =>
         // caches scope per route: the route's own declarations shadow the
         // top-level ones, and routes never see each other's caches
         val rs = cfg.routes.map { case (re, sub) =>
-          Converters.Route((line: Column) => line.rlike(re), sub.fields, sub.delimiter,
+          Converters.Route((line: Column) => line.rlike(re), withFid(sub.fields), sub.delimiter,
             cfg.caches ++ sub.caches)
         }
         Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
       case _ =>
-        Converters.convert(df, lineCol, cfg.fields, cfg.delimiter, cfg.lonField, cfg.latField,
-          cfg.caches, cfg.featurePath)
+        Converters.convert(df, lineCol, withFid(cfg.fields), cfg.delimiter,
+          cfg.lonField, cfg.latField, cfg.caches, cfg.featurePath)
     }
-    cfg.sft.map(coerceToSft(converted, _)).getOrElse(converted)
+    // the sft declares the feature ATTRIBUTES; a derived fid rides along
+    cfg.sft.map(coerceToSft(converted, _, keep = cfg.idField.map(_ => "fid").toSeq))
+      .getOrElse(converted)
   }
 
   /** Align the converted frame to the declared sft: columns in sft order
@@ -175,7 +194,8 @@ object ConverterConfig {
     catch { case _: Exception => null }
   }
 
-  private def coerceToSft(df: DataFrame, sft: graft.table.Sft.Schema): DataFrame = {
+  private def coerceToSft(df: DataFrame, sft: graft.table.Sft.Schema,
+                          keep: Seq[String] = Nil): DataFrame = {
     val out = sft.fields.map { f =>
       val target = f.toStructField
       val coerced =
@@ -189,7 +209,9 @@ object ConverterConfig {
         }
       coerced.as(f.name, target.metadata)
     }
-    df.select(out: _*)
+    val extras = keep.filter(k => df.columns.contains(k) && !sft.fields.exists(_.name == k))
+      .map(col)
+    df.select(out ++ extras: _*)
   }
 
   /** Config string + text path -> converted DataFrame (the CLI shape). */

@@ -54,6 +54,23 @@ object Converters {
     * EXTRACTED path value, not the raw record. */
   final case class PathTransform(path: String, expr: String,
                                  fromRoot: Boolean = false) extends Spec
+  /** A geometry embedded in the JSON record — the reference's
+    * `json-type = "geometry"` fields (JsonConverterTest "parse geojson
+    * geometries"): the value at the path is a GeoJSON geometry object
+    * (or a WKT string); parses to WKB, null on malformed input like
+    * every other field (ErrorMode.SkipBadRecords). */
+  final case class GeoJsonGeom(path: String) extends Spec
+
+  private val geomJsonUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      try {
+        val g = if (s.trim.startsWith("{")) graft.geom.GeoJson.read(s)
+                else graft.geom.GeomOps.fromWkt(s)
+        graft.geom.GeomOps.toWkb(g)
+      } catch { case _: Exception => null }
+    }
+  }
 
   private val xpathUdf = udf { (xml: String, path: String) =>
     if (xml == null) null
@@ -84,6 +101,7 @@ object Converters {
       case PathTransform(p, e, fromRoot) =>
         Transformers.forDelimited(e, get_json_object(if (fromRoot) root else line, p),
           delimiter, named, caches)
+      case GeoJsonGeom(p) => geomJsonUdf(get_json_object(line, p))
     }
     // try_cast: a malformed value under ANSI mode is a parse error to
     // skip (null), not a CAST_INVALID_INPUT job failure. An empty castTo

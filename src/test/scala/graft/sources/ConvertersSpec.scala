@@ -124,6 +124,53 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
       out(1).getString(2) == "POINT (4 5)")
   }
 
+  test("json-type geometry + id-field: GeoJSON objects, WKT strings, derived fid " +
+      "(JsonConverterTest 'geometry attributes'/'geojson geometries')") {
+    import spark.implicits._
+    // reference fixture (:609-672): mixed Point / LineString / Polygon
+    // GeoJSON objects at $.geometry; id-field = "$id"
+    val doc =
+      """{
+        |  "Features": [
+        |    { "id": 1, "number": 123,
+        |      "geometry": {"type": "Point", "coordinates": [55, 56]} },
+        |    { "id": 2, "number": 456,
+        |      "geometry": {"type": "LineString",
+        |        "coordinates": [[102.0, 0.0], [103.0, 1.0], [104.0, 0.0], [105.0, 1.0]]} },
+        |    { "id": 3, "number": 789,
+        |      "geometry": {"type": "Polygon",
+        |        "coordinates": [[[100.0, 0.0], [101.0, 0.0], [101.0, 1.0],
+        |                         [100.0, 1.0], [100.0, 0.0]]]} }
+        |  ]
+        |}""".stripMargin
+    val cfg = ConverterConfig.parse(
+      """{ "type": "json",
+        |  "id-field": "$id",
+        |  "feature-path": "$.Features[*]",
+        |  "fields": [
+        |    {"name": "id",     "json-path": "$.id", "transform": "toString($0)"},
+        |    {"name": "number", "json-path": "$.number", "type": "int"},
+        |    {"name": "geom",   "json-path": "$.geometry", "type": "geometry"}
+        |  ] }""".stripMargin)
+    val out = ConverterConfig(Seq(doc).toDF("value"), "value", cfg)
+      .selectExpr("fid", "number", "st_geometryType(geom) AS t", "st_asText(geom) AS g")
+      .orderBy("number").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("1", "2", "3")) // fid = $id
+    assert(out.map(_.getString(2)).toSeq == Seq("Point", "LineString", "Polygon"))
+    assert(out(0).getString(3) == "POINT (55 56)")
+    assert(out(1).getString(3) == "LINESTRING (102 0, 103 1, 104 0, 105 1)")
+    // WKT-string geometry values cast too ("allow specific sft geom"):
+    val wktDoc = """{"Features": [{"id": 9, "number": 1, "geometry": "LINESTRING (55 56, 56 57)"}]}"""
+    val w = ConverterConfig(Seq(wktDoc).toDF("value"), "value", cfg)
+      .selectExpr("st_asText(geom)").head.getString(0)
+    assert(w == "LINESTRING (55 56, 56 57)")
+    // malformed geometry nulls the field, not the job
+    val bad = """{"Features": [{"id": 9, "number": 1, "geometry": "oops"}]}"""
+    val b = ConverterConfig(Seq(bad).toDF("value"), "value", cfg)
+      .select("geom").head
+    assert(b.isNullAt(0))
+  }
+
   test("xml converter evaluates XPath per record") {
     import spark.implicits._
     val df = Seq(
