@@ -52,7 +52,8 @@ object ConverterConfig {
     caches: Map[String, Transformers.SimpleCache] = Map.empty,
     sft: Option[graft.table.Sft.Schema] = None,
     featurePath: Option[String] = None,
-    idField: Option[String] = None)
+    idField: Option[String] = None,
+    csv: Option[Map[String, String]] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -143,6 +144,31 @@ object ConverterConfig {
     // "md5(string2bytes($0))"): a transform expression over the record
     // and named fields, materialized as a `fid` string column
     val idField = Option(n.get("id-field")).map(_.asText)
+    // RFC4180-aware tokenization — the reference's `format` key
+    // (DelimitedTextConverter.scala:37-46: CSV/TSV/QUOTED over
+    // commons-csv) plus explicit `quote`/`escape` overrides. Without any
+    // of these, tokenization stays a plain split on the delimiter.
+    val fmt = Option(n.get("format")).map(_.asText.toUpperCase)
+    val quote = Option(n.get("quote")).map(_.asText)
+    val escape = Option(n.get("escape")).map(_.asText)
+    quote.foreach(q => require(q.length == 1, s"quote must be a single char: '$q'"))
+    escape.foreach(e => require(e.length == 1, s"escape must be a single char: '$e'"))
+    // escape defaults to the quote char: RFC4180 (and commons-csv
+    // DEFAULT) escape a quote by doubling it — Spark's univocity default
+    // of backslash would leave "say ""hi""" unparsed
+    def opts(q: String, extra: Map[String, String] = Map.empty) =
+      extra ++ Map("quote" -> q, "escape" -> escape.getOrElse(q))
+    val csvOpts: Option[Map[String, String]] = fmt match {
+      case Some("CSV" | "DEFAULT" | "RFC4180" | "QUOTED" | "EXCEL") =>
+        Some(opts(quote.getOrElse("\"")))
+      case Some("TDF" | "TSV" | "TAB") =>
+        Some(opts(quote.getOrElse("\""), Map("sep" -> "\t")))
+      case Some(other) => throw new IllegalArgumentException(s"unknown delimited format '$other'")
+      case None =>
+        if (quote.isEmpty && escape.isEmpty) None
+        else Some(opts(quote.getOrElse("\"")))
+    }
+    csvOpts.foreach(_ => require(typ == "delimited", "'format'/'quote' are delimited-only"))
     Parsed(typ, delimiter,
       fields,
       Option(n.get("lon-field")).map(_.asText),
@@ -151,7 +177,8 @@ object ConverterConfig {
       caches,
       sft,
       featurePath,
-      idField)
+      idField,
+      csvOpts)
   }
 
   /** Apply a parsed config to a one-string-column DataFrame. */
@@ -172,7 +199,7 @@ object ConverterConfig {
         Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
       case _ =>
         Converters.convert(df, lineCol, withFid(cfg.fields), cfg.delimiter,
-          cfg.lonField, cfg.latField, cfg.caches, cfg.featurePath)
+          cfg.lonField, cfg.latField, cfg.caches, cfg.featurePath, cfg.csv)
     }
     // the sft declares the feature ATTRIBUTES; a derived fid rides along
     cfg.sft.map(coerceToSft(converted, _, keep = cfg.idField.map(_ => "fid").toSeq))

@@ -86,21 +86,23 @@ object Converters {
     }
   }
 
-  private def extract(line: Column, root: Column, f: Field, delimiter: String,
+  private def extract(line: Column, root: Column, tokens: Column, f: Field, delimiter: String,
                       named: Map[String, Column] = Map.empty,
                       caches: Map[String, Transformers.SimpleCache] = Map.empty): Column = {
+    // $0 / the raw record = line; $N / Col(i) read the shared token array
+    def tokenOf(n: Int): Column = if (n == 0) line else try_element_at(tokens, lit(n))
     val raw = f.spec match {
       // try_element_at: a line with too few fields is a parse error to
       // skip (null), not an ANSI INVALID_ARRAY_INDEX job failure
-      case Col(i) => try_element_at(split(line, java.util.regex.Pattern.quote(delimiter)), lit(i + 1))
+      case Col(i) => tokenOf(i + 1)
       case FixedWidth(start, len) => trim(substring(line, start + 1, len))
       case JsonPath(p) => get_json_object(line, p)
       case RootJsonPath(p) => get_json_object(root, p)
       case XPath(p) => xpathUdf(line, lit(p))
-      case Transform(e) => Transformers.forDelimited(e, line, delimiter, named, caches)
+      case Transform(e) => Transformers.compile(e, tokenOf, named, caches)
       case PathTransform(p, e, fromRoot) =>
-        Transformers.forDelimited(e, get_json_object(if (fromRoot) root else line, p),
-          delimiter, named, caches)
+        val v = get_json_object(if (fromRoot) root else line, p)
+        Transformers.compile(e, { case 0 => v; case n => tokenOf(n) }, named, caches)
       case GeoJsonGeom(p) => geomJsonUdf(get_json_object(line, p))
     }
     // try_cast: a malformed value under ANSI mode is a parse error to
@@ -119,7 +121,8 @@ object Converters {
               delimiter: String = ",",
               lonField: Option[String] = None, latField: Option[String] = None,
               caches: Map[String, Transformers.SimpleCache] = Map.empty,
-              featurePath: Option[String] = None): DataFrame = {
+              featurePath: Option[String] = None,
+              csv: Option[Map[String, String]] = None): DataFrame = {
     // fields compile in order and later transforms may back-reference
     // earlier ones by `$name` (the reference's evaluation order —
     // EnrichmentCacheTest's `point($lon, $lat)`). Each field becomes its
@@ -153,9 +156,33 @@ object Converters {
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))))
     }
     val rootCol = if (featurePath.isDefined) col(root) else col(line)
+    // ONE shared token array per record. Plain mode is a regex split on
+    // the delimiter; csv mode (reference format = CSV/TSV/QUOTED —
+    // DelimitedTextConverter.scala:37-46 over commons-csv) parses
+    // RFC4180 quoting natively via from_csv (UnivocityParser, PERMISSIVE:
+    // malformed fields null out, the parse-error skip). from_csv needs a
+    // fixed width: the widest $N/Col reference across the fields.
+    val toks = "__graft_toks"
+    val tokensCol: Column = csv match {
+      case None => split(col(line), java.util.regex.Pattern.quote(delimiter))
+      case Some(opts) =>
+        val dollarRe = """\$(\d+)""".r
+        val maxRef = (fields.map(_.spec).collect { case Col(i) => i + 1 } ++
+          fields.map(_.spec).collect {
+            case Transform(e) =>
+              dollarRe.findAllMatchIn(e).map(_.group(1).toInt).maxOption.getOrElse(0)
+          } :+ 1).max
+        val schema = org.apache.spark.sql.types.StructType(
+          (0 until maxRef).map(i =>
+            org.apache.spark.sql.types.StructField(s"_c$i", org.apache.spark.sql.types.StringType)))
+        val parsed = from_csv(col(line), schema,
+          Map("sep" -> delimiter, "mode" -> "PERMISSIVE") ++ opts)
+        array((0 until maxRef).map(i => parsed.getField(s"_c$i")): _*)
+    }
+    cur = cur.withColumn(toks, tokensCol)
     fields.foreach { f =>
       val named = fields.takeWhile(_ ne f).map(p => p.name -> col(p.name)).toMap
-      cur = cur.withColumn(f.name, extract(col(line), rootCol, f, delimiter, named, caches))
+      cur = cur.withColumn(f.name, extract(col(line), rootCol, col(toks), f, delimiter, named, caches))
     }
     val parsed = cur.select(fields.map(f => col(f.name)): _*)
       .where(fields.map(f => col(f.name).isNotNull).reduce(_ || _))

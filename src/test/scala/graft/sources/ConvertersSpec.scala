@@ -22,6 +22,48 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
       Set((1L, "alice", "POINT (10.5 45.25)"), (2L, "bob", "POINT (-3 7.75)")))
   }
 
+  test("quoted CSV: format-aware tokenization honors quotes and escapes " +
+      "(DelimitedTextConverterTest quote cases)") {
+    import spark.implicits._
+    // RFC4180 double quotes: embedded delimiter and escaped quote
+    val cfg = ConverterConfig.parse(
+      """{ "type": "delimited", "format": "CSV",
+        |  "fields": [
+        |    {"name": "id",   "col": 0, "type": "bigint"},
+        |    {"name": "name", "col": 1},
+        |    {"name": "v",    "col": 2, "type": "double"}
+        |  ] }""".stripMargin)
+    val df = Seq(
+      "1,\"hello, world\",45.0",
+      "2,\"say \"\"hi\"\"\",46.5",
+      "3,plain,47.0").toDF("value")
+    val out = ConverterConfig(df, "value", cfg).orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("hello, world", "say \"hi\"", "plain"))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(45.0, 46.5, 47.0))
+
+    // the reference's single-quote configs (quote = "'")
+    val sq = ConverterConfig.parse(
+      """{ "type": "delimited", "format": "CSV", "quote": "'",
+        |  "fields": [
+        |    {"name": "id",   "col": 0, "type": "bigint"},
+        |    {"name": "name", "col": 1},
+        |    {"name": "both", "transform": "concat($1, '-', $2)"}
+        |  ] }""".stripMargin)
+    val out2 = ConverterConfig(Seq("1,'hello, world'").toDF("value"), "value", sq).head
+    assert(out2.getString(1) == "hello, world")
+    // transform $N refs read the SAME quote-aware tokens
+    assert(out2.getString(2) == "1-hello, world")
+
+    // quote must be a single char (reference "throw error on quote length > 1")
+    intercept[Exception](ConverterConfig.parse(
+      """{"type": "delimited", "quote": "''", "fields": [{"name": "a", "col": 0}]}"""))
+    // without a format/quote key, tokenization stays a plain split
+    val plain = ConverterConfig.parse(
+      """{"type": "delimited", "fields": [{"name": "a", "col": 1}]}""")
+    assert(ConverterConfig(Seq("x,\"y,z\"").toDF("value"), "value", plain)
+      .head.getString(0) == "\"y") // naive split, documented legacy mode
+  }
+
   test("fixed-width converter slices columns by position") {
     import spark.implicits._
     //            0123456789012345
