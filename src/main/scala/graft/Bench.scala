@@ -40,8 +40,12 @@ object Bench {
                     catch { case e: Throwable => Some(e.getClass.getSimpleName) }
     val ingest = ("ingest_tables", (System.nanoTime() - tIngest) / 1e9, ingestErr)
 
-    // a failing query must not masquerade as a wall time: record ok/error
-    val results = ingest +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // a failing query must not masquerade as a wall time: record ok/error.
+    // SPARK_GRAFT_ONLY=q_a,q_b narrows the suite for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = ingest +: selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }

@@ -290,7 +290,9 @@ object Dedup {
     var sig = signature(edges)
     var it = 0
     var converged = false
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (it < maxIter && !converged) {
+      val t0 = if (dbg) System.nanoTime() else 0L
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nsig = signature(next)
       if (edges ne init) edges.unpersist()
@@ -298,6 +300,7 @@ object Dedup {
       converged = nsig == sig
       sig = nsig
       it += 1
+      if (dbg) println(f"[cc] round $it: ${(System.nanoTime() - t0) / 1e9}%.2fs edges=${nsig._1}")
     }
     require(converged, s"components did not converge in $maxIter rounds")
     // fixpoint = star edges (child -> component-min root); roots have no
