@@ -38,6 +38,26 @@ object BinnedTime {
 
   private val Epoch = LocalDate.of(1970, 1, 1)
 
+  /** Inclusive lower bound of binnable time: the epoch (the reference's
+    * BinnedTime.ZMinDate, BinnedTime.scala:55-56). */
+  val MinMillis: Long = 0L
+
+  /** Exclusive upper bound of binnable time for a period — the bin index
+    * is a Short, so Short.MaxValue + 1 whole periods past the epoch
+    * (the reference's Days/Weeks/Months/YearsMaxDate, :58-62). Dates at
+    * or past this cannot be Z3-indexed; the converter's z-index
+    * validator rejects them. */
+  def maxMillis(p: Period): Long = {
+    val n = Short.MaxValue.toInt + 1
+    val d = p match {
+      case Day => Epoch.plusDays(n.toLong)
+      case Week => Epoch.plusWeeks(n.toLong)
+      case Month => Epoch.plusMonths(n.toLong)
+      case Year => Epoch.plusYears(n.toLong)
+    }
+    d.atStartOfDay.toInstant(ZoneOffset.UTC).toEpochMilli
+  }
+
   /** Exclusive upper bound on offsets per period (used as the time
     * dimension's normalization max). Month uses the 31-day maximum. */
   def maxOffset(p: Period): Long = p match {

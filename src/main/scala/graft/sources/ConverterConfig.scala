@@ -53,7 +53,16 @@ object ConverterConfig {
     sft: Option[graft.table.Sft.Schema] = None,
     featurePath: Option[String] = None,
     idField: Option[String] = None,
-    csv: Option[Map[String, String]] = None)
+    csv: Option[Map[String, String]] = None,
+    validation: Option[Validation] = None)
+
+  /** The reference's `options.validators` + `options.validation-mode`
+    * (convert/.../SimpleFeatureValidator + ValidatorTest): named row
+    * validators, applied after conversion; `raise` fails the JOB on the
+    * first invalid row (raise-errors), otherwise rows are filtered
+    * (skip-bad-records). */
+  final case class Validation(validators: Seq[String], raise: Boolean,
+                              zPeriod: graft.cells.BinnedTime.Period)
 
   private val mapper = new ObjectMapper()
 
@@ -169,6 +178,20 @@ object ConverterConfig {
         else Some(opts(quote.getOrElse("\"")))
     }
     csvOpts.foreach(_ => require(typ == "delimited", "'format'/'quote' are delimited-only"))
+    // options.validators / options.validation-mode (ValidatorTest):
+    // unknown names and modes are config errors, not silent no-ops
+    val validation = Option(n.get("options")).map { o =>
+      val names = Option(o.get("validators")).map(_.elements().asScala.map(_.asText).toSeq)
+        .getOrElse(Seq.empty)
+      names.foreach(v => require(Set("has-geo", "has-dtg", "z-index")(v),
+        s"unknown validator '$v' (expected has-geo | has-dtg | z-index)"))
+      val mode = Option(o.get("validation-mode")).map(_.asText).getOrElse("skip-bad-records")
+      require(Set("skip-bad-records", "raise-errors")(mode),
+        s"unknown validation-mode '$mode' (expected skip-bad-records | raise-errors)")
+      val period = graft.cells.BinnedTime.period(
+        Option(o.get("z-index-period")).map(_.asText).getOrElse("week"))
+      Validation(names, mode == "raise-errors", period)
+    }.filter(_.validators.nonEmpty)
     Parsed(typ, delimiter,
       fields,
       Option(n.get("lon-field")).map(_.asText),
@@ -178,7 +201,8 @@ object ConverterConfig {
       sft,
       featurePath,
       idField,
-      csvOpts)
+      csvOpts,
+      validation)
   }
 
   /** Apply a parsed config to a one-string-column DataFrame. */
@@ -202,8 +226,47 @@ object ConverterConfig {
           cfg.lonField, cfg.latField, cfg.caches, cfg.featurePath, cfg.csv)
     }
     // the sft declares the feature ATTRIBUTES; a derived fid rides along
-    cfg.sft.map(coerceToSft(converted, _, keep = cfg.idField.map(_ => "fid").toSeq))
+    val typed = cfg.sft.map(coerceToSft(converted, _, keep = cfg.idField.map(_ => "fid").toSeq))
       .getOrElse(converted)
+    cfg.validation.map(validate(typed, _, cfg.sft)).getOrElse(typed)
+  }
+
+  /** Apply the configured validators. Column resolution: geometry = the
+    * sft's default geometry when declared, else a column named `geom`;
+    * date = the sft's default date, else a column named `dtg`. skip mode
+    * filters invalid rows; raise mode fails the job at the FIRST invalid
+    * row via assert_true inside the same scan (no extra pass). */
+  private def validate(df: DataFrame, v: Validation,
+                       sft: Option[graft.table.Sft.Schema]): DataFrame = {
+    import graft.cells.BinnedTime
+    def resolve(preferred: Option[String], fallback: String, what: String): String = {
+      val name = preferred.getOrElse(fallback)
+      require(df.columns.contains(name),
+        s"validator needs a '$name' column ($what) — declare it or drop the validator")
+      name
+    }
+    lazy val geomCol = resolve(sft.flatMap(_.defaultGeometry), "geom", "geometry")
+    lazy val dtgCol = resolve(sft.flatMap(_.defaultDate), "dtg", "date")
+    val world = lit(graft.geom.GeomOps.toWkb(graft.geom.GeomOps.worldPolygon))
+    val checks: Seq[(String, Column)] = v.validators.flatMap {
+      case "has-geo" => Seq("has-geo: geometry is null" -> col(geomCol).isNotNull)
+      case "has-dtg" => Seq("has-dtg: date is null" -> col(dtgCol).isNotNull)
+      case "z-index" =>
+        // the reference's z-index validator: the date must be Z3-binnable
+        // (epoch <= dtg < Short.MaxValue+1 periods) and the geometry must
+        // lie in the index's lon/lat domain
+        val ts = col(dtgCol).cast("timestamp")
+        Seq(
+          s"z-index: date outside binnable range" ->
+            (ts.isNotNull && unix_millis(ts) >= lit(BinnedTime.MinMillis) &&
+              unix_millis(ts) < lit(BinnedTime.maxMillis(v.zPeriod))),
+          "z-index: geometry outside lon/lat bounds" ->
+            (col(geomCol).isNotNull && graft.functions.StFunctions.stWithin(col(geomCol), world)))
+    }
+    if (!v.raise) df.where(checks.map(_._2).reduce(_ && _))
+    else df.where(checks.map { case (msg, c) =>
+      coalesce(assert_true(c, lit(s"validation failed ($msg)")).cast("boolean"), lit(true))
+    }.reduce(_ && _))
   }
 
   /** Align the converted frame to the declared sft: columns in sft order

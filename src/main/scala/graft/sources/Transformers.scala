@@ -246,6 +246,14 @@ object Transformers {
 
   private val G = graft.functions.StFunctions
 
+  private val tryWktUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      try graft.geom.GeomOps.toWkb(graft.geom.GeomOps.fromWkt(s))
+      catch { case _: Exception => null }
+    }
+  }
+
   // java.time patterns of the reference's joda-named formats
   private val NamedDateFormats = Map(
     "datetime" -> "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX",
@@ -286,23 +294,29 @@ object Transformers {
     case "dateToString" => call_function("date_format", a(1), a(0))
     case "now" => current_timestamp()
     case "try" => coalesce(a(0), a(1))
-    // -- geometry (WKB columns like the rest of the engine)
-    case "point" if a.size == 2 => G.stMakePoint(a(0).cast("double"), a(1).cast("double"))
+    // -- geometry (WKB columns like the rest of the engine).
+    // try_cast, not cast: these run inside ingest scans under ANSI mode,
+    // where one malformed value must null the field (the reference's
+    // ErrorMode row skip), never fail the whole job.
+    case "point" if a.size == 2 => G.stMakePoint(a(0).try_cast("double"), a(1).try_cast("double"))
     case "point" | "linestring" | "polygon" | "multipoint" | "multilinestring" |
          "multipolygon" | "geometry" | "geometrycollection" =>
-      G.stGeomFromWKT(a.head.cast("string"))
+      // lenient WKT: the reference's converter catches per-feature
+      // transform exceptions and skips the feature; the Column analog is
+      // a nulled field (st_geomFromWKT itself throws, as its tests require)
+      tryWktUdf(a.head.cast("string"))
     // -- ids / hashes
     case "md5" => md5(a.head.cast("binary"))
     case "uuid" => expr("uuid()")
     case "base64" => base64(a.head.cast("binary"))
-    // -- math (double semantics like the reference)
-    case "add" => a.map(_.cast("double")).reduce(_ + _)
-    case "subtract" => a.map(_.cast("double")).reduce(_ - _)
-    case "multiply" => a.map(_.cast("double")).reduce(_ * _)
-    case "divide" => a.map(_.cast("double")).reduce(_ / _)
-    case "mean" => a.map(_.cast("double")).reduce(_ + _) / lit(a.size.toDouble)
-    case "min" => least(a.map(_.cast("double")): _*)
-    case "max" => greatest(a.map(_.cast("double")): _*)
+    // -- math (double semantics like the reference; try_cast as above)
+    case "add" => a.map(_.try_cast("double")).reduce(_ + _)
+    case "subtract" => a.map(_.try_cast("double")).reduce(_ - _)
+    case "multiply" => a.map(_.try_cast("double")).reduce(_ * _)
+    case "divide" => a.map(_.try_cast("double")).reduce(_ / _)
+    case "mean" => a.map(_.try_cast("double")).reduce(_ + _) / lit(a.size.toDouble)
+    case "min" => least(a.map(_.try_cast("double")): _*)
+    case "max" => greatest(a.map(_.try_cast("double")): _*)
     // -- stringTo with default
     case "stringToInt" | "stringToInteger" => withDefault(a, "int")
     case "stringToLong" => withDefault(a, "long")

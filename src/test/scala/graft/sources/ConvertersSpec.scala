@@ -387,6 +387,42 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     assert(m == Map(1L -> 7.5, 2L -> 8.5))
   }
 
+  test("validators: skip-bad-records filters, raise-errors fails the job, " +
+      "z-index bounds dates and geometries (ValidatorTest)") {
+    import spark.implicits._
+    def cfg(options: String) = ConverterConfig.parse(
+      s"""{ "type": "delimited",
+         |  "fields": [
+         |    {"name": "dtg",  "transform": "date('yyyyMMdd', $$1)"},
+         |    {"name": "geom", "transform": "point($$2, $$3)"}
+         |  ],
+         |  "options": $options }""".stripMargin)
+    val good = "20160101,2,2"
+    val badDate = ",2,2"
+    // reference: Short.MaxValue+1 weeks past the epoch is NOT binnable
+    val tooOld = "26000101,2,2"
+    val badLon = "20160101,200,2"
+    val df = Seq(good, badDate).toDF("value")
+
+    // skip-bad-records: invalid rows filter out
+    val skip = cfg("""{"validators": ["has-dtg"], "validation-mode": "skip-bad-records"}""")
+    assert(ConverterConfig(df, "value", skip).count() == 1)
+    // raise-errors: the job fails on the first invalid row
+    val raise = cfg("""{"validators": ["has-dtg"], "validation-mode": "raise-errors"}""")
+    assert(ConverterConfig(Seq(good).toDF("value"), "value", raise).count() == 1)
+    intercept[Exception](ConverterConfig(df, "value", raise).count())
+
+    // z-index: binnable dates pass, Short-bin overflow and bad lon skip
+    val z = cfg("""{"validators": ["z-index"], "validation-mode": "skip-bad-records"}""")
+    assert(ConverterConfig(Seq(good, tooOld, badLon).toDF("value"), "value", z).count() == 1)
+    // 2037 dates are binnable at week period (reference "20371231" case)
+    assert(ConverterConfig(Seq("20371231,2,2").toDF("value"), "value", z).count() == 1)
+
+    // unknown names/modes are config errors (reference StandardOptions)
+    intercept[Exception](cfg("""{"validators": ["foobar"]}"""))
+    intercept[Exception](cfg("""{"validators": ["has-geo"], "validation-mode": "foobar"}"""))
+  }
+
   test("config parse errors are explicit") {
     intercept[IllegalArgumentException](ConverterConfig.parse("""{"fields": []}"""))
     intercept[IllegalArgumentException](ConverterConfig.parse("""{"type": "bogus"}"""))
