@@ -99,6 +99,8 @@ object ConverterConfig {
             fromRoot = true)
         else if (f.has("json-path")) Converters.JsonPath(f.get("json-path").asText)
         else if (f.has("root-path")) Converters.RootJsonPath(f.get("root-path").asText)
+        else if (f.has("xpath") && f.has("transform"))
+          Converters.XPathTransform(f.get("xpath").asText, f.get("transform").asText)
         else if (f.has("xpath")) Converters.XPath(f.get("xpath").asText)
         else if (f.has("transform")) Converters.Transform(f.get("transform").asText)
         else throw new IllegalArgumentException(
@@ -148,7 +150,8 @@ object ConverterConfig {
     // explodes into one record per matched array element; `path` fields
     // are then element-relative and `root-path` fields read the document
     val featurePath = Option(n.get("feature-path")).map(_.asText)
-    featurePath.foreach(_ => require(typ == "json", "'feature-path' is json-only"))
+    featurePath.foreach(_ => require(typ == "json" || typ == "xml",
+      "'feature-path' applies to json and xml converters"))
     // id-field (the reference's feature-ID derivation, e.g. "$id" or
     // "md5(string2bytes($0))"): a transform expression over the record
     // and named fields, materialized as a `fid` string column
@@ -223,7 +226,8 @@ object ConverterConfig {
         Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
       case _ =>
         Converters.convert(df, lineCol, withFid(cfg.fields), cfg.delimiter,
-          cfg.lonField, cfg.latField, cfg.caches, cfg.featurePath, cfg.csv)
+          cfg.lonField, cfg.latField, cfg.caches, cfg.featurePath, cfg.csv,
+          xmlFeaturePath = cfg.typ == "xml")
     }
     // the sft declares the feature ATTRIBUTES; a derived fid rides along
     val typed = cfg.sft.map(coerceToSft(converted, _, keep = cfg.idField.map(_ => "fid").toSeq))

@@ -43,8 +43,14 @@ object Converters {
     * feature-path, `path` is element-relative and `root-path` reads the
     * global context). Without a feature-path it equals [[JsonPath]]. */
   final case class RootJsonPath(path: String) extends Spec
-  /** XPath over the record's XML, e.g. "/event/@id" or "/event/lon/text()" */
+  /** XPath over the record's XML, e.g. "/event/@id" or "/event/lon/text()".
+    * Under an XML feature-path, ABSOLUTE paths (leading '/') evaluate
+    * against the whole input document and relative paths against the
+    * exploded feature node — the reference's rule (XMLConverterTest:66-73
+    * "paths can be any xpath - relative to the feature-path, or absolute"). */
   final case class XPath(path: String) extends Spec
+  /** XPath + transform on ONE field: `$0` binds to the extracted value. */
+  final case class XPathTransform(path: String, expr: String) extends Spec
   /** A transform-language expression (the reference's `transform = "..."`
     * strings; sources/Transformers): `$0` is the raw record, `$N` the
     * N-th delimited token — e.g. "concat(trim($1), '-', $2::int)". */
@@ -72,17 +78,47 @@ object Converters {
     }
   }
 
+  private def parseXml(xml: String): org.w3c.dom.Document =
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+
   private val xpathUdf = udf { (xml: String, path: String) =>
     if (xml == null) null
     else {
       try {
-        val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-          .newDocumentBuilder()
-          .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+        val doc = parseXml(xml)
         val xp = javax.xml.xpath.XPathFactory.newInstance().newXPath()
-        val s = xp.evaluate(path, doc)
+        // context = the root ELEMENT, so relative paths resolve against
+        // the (possibly exploded feature) node like the reference's
+        // converter; absolute paths ignore the context anyway
+        val s = xp.evaluate(path, doc.getDocumentElement)
         if (s == null || s.isEmpty) null else s
       } catch { case _: Exception => null }
+    }
+  }
+
+  /** XML feature-path: evaluate the path as a NODESET and serialize each
+    * matched node to its own standalone XML record (the reference's
+    * one-document-to-N-features XML mode). */
+  private val xmlNodesUdf = udf { (xml: String, path: String) =>
+    if (xml == null) null
+    else {
+      try {
+        val doc = parseXml(xml)
+        val xp = javax.xml.xpath.XPathFactory.newInstance().newXPath()
+        val nodes = xp.evaluate(path, doc.getDocumentElement,
+          javax.xml.xpath.XPathConstants.NODESET)
+          .asInstanceOf[org.w3c.dom.NodeList]
+        val tf = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
+        tf.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
+        (0 until nodes.getLength).map { i =>
+          val out = new java.io.StringWriter()
+          tf.transform(new javax.xml.transform.dom.DOMSource(nodes.item(i)),
+            new javax.xml.transform.stream.StreamResult(out))
+          out.toString
+        }
+      } catch { case _: Exception => Seq.empty[String] }
     }
   }
 
@@ -98,7 +134,11 @@ object Converters {
       case FixedWidth(start, len) => trim(substring(line, start + 1, len))
       case JsonPath(p) => get_json_object(line, p)
       case RootJsonPath(p) => get_json_object(root, p)
-      case XPath(p) => xpathUdf(line, lit(p))
+      // absolute XPaths read the whole document under a feature-path
+      case XPath(p) => xpathUdf(if (p.startsWith("/")) root else line, lit(p))
+      case XPathTransform(p, e) =>
+        val v = xpathUdf(if (p.startsWith("/")) root else line, lit(p))
+        Transformers.compile(e, { case 0 => v; case n => tokenOf(n) }, named, caches)
       case Transform(e) => Transformers.compile(e, tokenOf, named, caches)
       case PathTransform(p, e, fromRoot) =>
         val v = get_json_object(if (fromRoot) root else line, p)
@@ -122,7 +162,8 @@ object Converters {
               lonField: Option[String] = None, latField: Option[String] = None,
               caches: Map[String, Transformers.SimpleCache] = Map.empty,
               featurePath: Option[String] = None,
-              csv: Option[Map[String, String]] = None): DataFrame = {
+              csv: Option[Map[String, String]] = None,
+              xmlFeaturePath: Boolean = false): DataFrame = {
     // fields compile in order and later transforms may back-reference
     // earlier ones by `$name` (the reference's evaluation order —
     // EnrichmentCacheTest's `point($lon, $lat)`). Each field becomes its
@@ -144,16 +185,23 @@ object Converters {
     // codegen Generate — no UDF). A document without the path yields no
     // rows (from_json(null) explodes to nothing), the parse-error skip.
     featurePath.foreach { fp =>
-      require(fp.endsWith("[*]"),
-        s"feature-path must select array elements, ending in [*]: '$fp'")
-      val base = fp.stripSuffix("[*]").stripSuffix(".") match {
-        case "$" | "" => "$"
-        case b => b
+      val elems: Column = if (xmlFeaturePath) {
+        // XML: the path is any XPath evaluated as a NODESET; each matched
+        // node serializes to its own standalone record
+        xmlNodesUdf(col(line), lit(fp))
+      } else {
+        require(fp.endsWith("[*]"),
+          s"feature-path must select array elements, ending in [*]: '$fp'")
+        val base = fp.stripSuffix("[*]").stripSuffix(".") match {
+          case "$" | "" => "$"
+          case b => b
+        }
+        from_json(get_json_object(col(line), base),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
       }
       cur = cur
         .withColumn(root, col(line))
-        .withColumn(line, explode(from_json(get_json_object(col(line), base),
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))))
+        .withColumn(line, explode(elems))
     }
     val rootCol = if (featurePath.isDefined) col(root) else col(line)
     // ONE shared token array per record. Plain mode is a regex split on

@@ -228,6 +228,62 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     assert(m == Map(9L -> "POINT (12.25 -4.5)", 10L -> "POINT (0.5 0.25)"))
   }
 
+  test("xml feature-path: one document yields one feature per matched node; " +
+      "absolute xpaths read the document (XMLConverterTest 'multiple features')") {
+    import spark.implicits._
+    // the reference's fixture document (XMLConverterTest.scala:43-58)
+    val doc =
+      """<doc>
+        |  <DataSource><name>myxml</name></DataSource>
+        |  <Feature>
+        |    <number>123</number>
+        |    <color>red</color>
+        |    <physical weight="127.5" height="5'11"/>
+        |  </Feature>
+        |  <Feature>
+        |    <number>456</number>
+        |    <color>blue</color>
+        |    <physical weight="150" height="h2"/>
+        |  </Feature>
+        |</doc>""".stripMargin
+    val cfg = ConverterConfig.parse(
+      """{ "type": "xml",
+        |  "feature-path": "Feature",
+        |  "fields": [
+        |    {"name": "number", "xpath": "number", "transform": "$0::integer"},
+        |    {"name": "color",  "xpath": "color", "transform": "trim($0)"},
+        |    {"name": "weight", "xpath": "physical/@weight", "transform": "$0::double"},
+        |    {"name": "source", "xpath": "/doc/DataSource/name/text()"}
+        |  ] }""".stripMargin)
+    val out = ConverterConfig(Seq(doc).toDF("value"), "value", cfg)
+      .orderBy("number").collect()
+    assert(out.length == 2)
+    assert(out(0).getInt(0) == 123 && out(0).getString(1) == "red" &&
+      out(0).getDouble(2) == 127.5 && out(0).getString(3) == "myxml")
+    assert(out(1).getInt(0) == 456 && out(1).getString(1) == "blue" &&
+      out(1).getDouble(2) == 150.0 && out(1).getString(3) == "myxml")
+
+    // geometry in the repeated tag's attributes (reference :90-125)
+    val geoDoc =
+      """<doc>
+        |  <Feature lon="1.23" lat="4.23"><number>1</number></Feature>
+        |  <Feature lon="4.56" lat="7.56"><number>2</number></Feature>
+        |</doc>""".stripMargin
+    val geoCfg = ConverterConfig.parse(
+      """{ "type": "xml",
+        |  "feature-path": "Feature",
+        |  "fields": [
+        |    {"name": "number", "xpath": "number", "type": "int"},
+        |    {"name": "lon", "xpath": "@lon", "type": "double"},
+        |    {"name": "lat", "xpath": "@lat", "type": "double"}
+        |  ],
+        |  "lon-field": "lon", "lat-field": "lat" }""".stripMargin)
+    val geo = ConverterConfig(Seq(geoDoc).toDF("value"), "value", geoCfg)
+      .selectExpr("number", "st_asText(geom) AS g").orderBy("number").collect()
+    assert(geo(0).getString(1) == "POINT (1.23 4.23)")
+    assert(geo(1).getString(1) == "POINT (4.56 7.56)")
+  }
+
   test("composite converter routes lines to the first matching format") {
     import spark.implicits._
     val df = Seq(
