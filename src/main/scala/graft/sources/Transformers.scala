@@ -114,7 +114,9 @@ object Transformers {
           skipWs()
           if (peek == '(') {
             eat('(')
-            if (name == "cacheLookup") cacheLookupCall() else fn(name, args())
+            if (name == "cacheLookup") cacheLookupCall()
+            else if (name == "jsonList" || name == "jsonMap") jsonCollectionCall(name)
+            else fn(name, args())
           }
           else name match {
             case "true" => lit(true)
@@ -164,6 +166,41 @@ object Transformers {
         cache.data.flatMap { case (k, fs) => fs.get(field).map(k -> _) }
       if (flat.isEmpty) lit(null).cast("string")
       else element_at(typedLit(flat), key.cast("string"))
+    }
+
+    /** jsonList('elemType', $jsonArray) / jsonMap('valueType', $jsonObj) —
+      * the reference's typed JSON collection attributes
+      * (JsonConverterTest "parse list and map attributes"): the element
+      * type is a compile-time string literal, so the value compiles to a
+      * native from_json with a fixed schema (UUIDs ride as strings —
+      * Spark has no UUID type). */
+    private def jsonCollectionCall(name: String): Column = {
+      def sqlType(): String = {
+        skipWs()
+        quoted().toLowerCase match {
+          case "int" | "integer" => "int"
+          case "long" => "bigint"
+          case "float" => "float"
+          case "double" => "double"
+          case "bool" | "boolean" => "boolean"
+          case "string" | "uuid" => "string"
+          case other => throw new IllegalArgumentException(
+            s"unsupported $name element type '$other' in: $input")
+        }
+      }
+      val t1 = sqlType()
+      skipWs(); eat(',')
+      // jsonMap('keyType','valueType', $obj) takes a second type arg
+      val t2 = if (name == "jsonMap") { val t = sqlType(); skipWs(); eat(','); t } else ""
+      val v = expr()
+      skipWs(); eat(')')
+      // from_json only accepts STRING map keys: parse with string keys,
+      // then re-type the keys per entry (map casts can't change key type)
+      val ddl = if (name == "jsonList") s"array<$t1>" else s"map<string,$t2>"
+      val parsed = from_json(v.cast("string"), lit(ddl), new java.util.HashMap[String, String]())
+      if (name == "jsonMap" && t1 != "string")
+        transform_keys(parsed, (k, _) => k.try_cast(t1))
+      else parsed
     }
 
     private def quoted(): String = {

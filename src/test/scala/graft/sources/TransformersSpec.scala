@@ -59,6 +59,25 @@ class TransformersSpec extends AnyFunSuite with SparkTest {
     assert(eval("printf('%s-%s-%sT00:00:00.000Z', '2015', '01', '01')") == "2015-01-01T00:00:00.000Z")
   }
 
+  test("jsonList / jsonMap parse typed JSON collections (JsonConverterTest list/map cases)") {
+    assert(eval("jsonList('string', $1)", "", """["s1","s2"]""") ==
+      scala.collection.immutable.ArraySeq("s1", "s2"))
+    assert(eval("jsonList('integer', $1)", "", "[1,2]") ==
+      scala.collection.immutable.ArraySeq(1, 2))
+    assert(eval("jsonList('double', $1)", "", "[1.1,2.2]") ==
+      scala.collection.immutable.ArraySeq(1.1, 2.2))
+    // UUIDs ride as strings (Spark has no UUID type)
+    assert(eval("jsonList('UUID', $1)", "", """["12345678-1234-1234-1234-123456781234"]""") ==
+      scala.collection.immutable.ArraySeq("12345678-1234-1234-1234-123456781234"))
+    assert(eval("jsonMap('string','string', $1)", "", """{"a":"1","b":"2"}""") ==
+      Map("a" -> "1", "b" -> "2"))
+    assert(eval("jsonMap('int','boolean', $1)", "", """{"1":true,"2":false}""") ==
+      Map(1 -> true, 2 -> false))
+    // malformed JSON nulls the field (PERMISSIVE), never fails the job
+    assert(eval("jsonList('int', $1)", "", "not json") == null)
+    intercept[Exception](eval("jsonList('complex', $1)", "", "[1]"))
+  }
+
   test("string literals use Java escapes like the reference's unescapeJava") {
     // \\ is an escaped backslash consuming BOTH chars — a literal that
     // ENDS in a backslash must not swallow its closing quote
