@@ -83,18 +83,25 @@ object Converters {
       .newDocumentBuilder()
       .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
 
-  private val xpathUdf = udf { (xml: String, path: String) =>
+  /** Evaluate ALL of a record's XPaths against ONE parsed DOM — the
+    * reference parses each record once and runs every field's xpath over
+    * it; a per-field parse would cost k DOM parses per row at scale.
+    * Context = the root ELEMENT, so relative paths resolve against the
+    * (possibly exploded feature) node; absolute paths ignore context. */
+  private val xpathsUdf = udf { (xml: String, paths: Seq[String]) =>
     if (xml == null) null
     else {
       try {
         val doc = parseXml(xml)
         val xp = javax.xml.xpath.XPathFactory.newInstance().newXPath()
-        // context = the root ELEMENT, so relative paths resolve against
-        // the (possibly exploded feature) node like the reference's
-        // converter; absolute paths ignore the context anyway
-        val s = xp.evaluate(path, doc.getDocumentElement)
-        if (s == null || s.isEmpty) null else s
-      } catch { case _: Exception => null }
+        val root = doc.getDocumentElement
+        paths.map { p =>
+          try {
+            val s = xp.evaluate(p, root)
+            if (s == null || s.isEmpty) null else s
+          } catch { case _: Exception => null }
+        }
+      } catch { case _: Exception => paths.map(_ => null) }
     }
   }
 
@@ -124,7 +131,8 @@ object Converters {
 
   private def extract(line: Column, root: Column, tokens: Column, f: Field, delimiter: String,
                       named: Map[String, Column] = Map.empty,
-                      caches: Map[String, Transformers.SimpleCache] = Map.empty): Column = {
+                      caches: Map[String, Transformers.SimpleCache] = Map.empty,
+                      xpaths: Map[String, Column] = Map.empty): Column = {
     // $0 / the raw record = line; $N / Col(i) read the shared token array
     def tokenOf(n: Int): Column = if (n == 0) line else try_element_at(tokens, lit(n))
     val raw = f.spec match {
@@ -134,11 +142,10 @@ object Converters {
       case FixedWidth(start, len) => trim(substring(line, start + 1, len))
       case JsonPath(p) => get_json_object(line, p)
       case RootJsonPath(p) => get_json_object(root, p)
-      // absolute XPaths read the whole document under a feature-path
-      case XPath(p) => xpathUdf(if (p.startsWith("/")) root else line, lit(p))
+      // xpath values come from the shared once-per-record evaluation
+      case XPath(p) => xpaths(p)
       case XPathTransform(p, e) =>
-        val v = xpathUdf(if (p.startsWith("/")) root else line, lit(p))
-        Transformers.compile(e, { case 0 => v; case n => tokenOf(n) }, named, caches)
+        Transformers.compile(e, { case 0 => xpaths(p); case n => tokenOf(n) }, named, caches)
       case Transform(e) => Transformers.compile(e, tokenOf, named, caches)
       case PathTransform(p, e, fromRoot) =>
         val v = get_json_object(if (fromRoot) root else line, p)
@@ -228,9 +235,32 @@ object Converters {
         array((0 until maxRef).map(i => parsed.getField(s"_c$i")): _*)
     }
     cur = cur.withColumn(toks, tokensCol)
+    // ONE DOM parse per record (and one for the root document under an
+    // XML feature-path): every xpath field reads from a shared evaluated
+    // array instead of re-parsing the XML per field
+    val xpathSpecs: Seq[String] = fields.map(_.spec).collect {
+      case XPath(p) => p
+      case XPathTransform(p, _) => p
+    }.distinct
+    val (absPaths, relPaths) = xpathSpecs.partition(_.startsWith("/"))
+    var xpaths = Map.empty[String, Column]
+    if (relPaths.nonEmpty) {
+      cur = cur.withColumn("__graft_xp_rel", xpathsUdf(col(line), typedLit(relPaths)))
+      xpaths ++= relPaths.zipWithIndex.map { case (p, i) =>
+        p -> try_element_at(col("__graft_xp_rel"), lit(i + 1))
+      }
+    }
+    if (absPaths.nonEmpty) {
+      // absolute XPaths read the whole document under a feature-path
+      cur = cur.withColumn("__graft_xp_abs", xpathsUdf(rootCol, typedLit(absPaths)))
+      xpaths ++= absPaths.zipWithIndex.map { case (p, i) =>
+        p -> try_element_at(col("__graft_xp_abs"), lit(i + 1))
+      }
+    }
     fields.foreach { f =>
       val named = fields.takeWhile(_ ne f).map(p => p.name -> col(p.name)).toMap
-      cur = cur.withColumn(f.name, extract(col(line), rootCol, col(toks), f, delimiter, named, caches))
+      cur = cur.withColumn(f.name,
+        extract(col(line), rootCol, col(toks), f, delimiter, named, caches, xpaths))
     }
     val parsed = cur.select(fields.map(f => col(f.name)): _*)
       .where(fields.map(f => col(f.name).isNotNull).reduce(_ || _))
