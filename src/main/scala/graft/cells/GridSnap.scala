@@ -36,7 +36,12 @@ final case class GridSnap(minX: Double, minY: Double, maxX: Double, maxY: Double
     if (yc < minY || yc > maxY) -1
     else math.min(math.floor((yc - minY) / dy).toInt, height - 1)
 
-  /** Snap a coordinate to its cell center. */
+  /** Snap a coordinate to its cell center. CALLER FILTERS OUT-OF-BOUNDS
+    * FIRST: like the reference, this composes x(i(xc)) without checking
+    * the -1 sentinel, so an out-of-envelope coordinate yields a
+    * fabricated center one cell outside the grid (the reference's
+    * DensityScan filters to the envelope before snapping; Density.grid
+    * does the same). */
   def snap(xc: Double, yc: Double): (Double, Double) = (x(i(xc)), y(j(yc)))
 
   /**

@@ -38,6 +38,17 @@ object GeomOps {
     case u => throw new IllegalArgumentException(s"unsupported distance unit '$u'")
   }
 
+  /** Lenient WKT parse for ingest paths: malformed text -> null, never
+    * an exception (the converter contract: a bad value nulls the field,
+    * it does not fail the job). The ONE implementation behind the
+    * converter/transform/config UDFs. */
+  def wktToWkbOrNull(s: String): Array[Byte] =
+    if (s == null) null
+    else {
+      try toWkb(fromWkt(s))
+      catch { case _: Exception => null }
+    }
+
   def fromWkb(b: Array[Byte]): Geometry = if (b == null) null else wkbReader.get.read(b)
   def toWkb(g: Geometry): Array[Byte] = if (g == null) null else wkbWriter.get.write(g)
   def fromWkt(s: String): Geometry = if (s == null) null else wktReader.get.read(s)

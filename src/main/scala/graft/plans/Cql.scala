@@ -138,7 +138,12 @@ object Cql {
         if (wrapped) split(lo + 1, hi - 1) else Seq((lo, hi))
       } else {
         val bounds = (lo +: cuts.map(_ + 1)).zip(cuts.map(c => c) :+ hi)
-        bounds.flatMap { case (a, b) => split(a, b) }.toSeq
+        bounds.flatMap { case (a, b) =>
+          // a leading/trailing/double OR leaves an empty piece — surface
+          // it as a parse error, not an index crash downstream
+          require(a < b, s"dangling OR in filter: $cql")
+          split(a, b)
+        }.toSeq
       }
     }
     val n = toks.length - 1 // drop TEof

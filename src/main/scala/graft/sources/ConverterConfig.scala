@@ -211,23 +211,40 @@ object ConverterConfig {
   /** Apply a parsed config to a one-string-column DataFrame. */
   def apply(df: DataFrame, lineCol: String, cfg: Parsed): DataFrame = {
     // id-field compiles as one more transform field named `fid`,
-    // evaluated LAST so it may back-reference every declared field
-    def withFid(fields: Seq[Converters.Field]): Seq[Converters.Field] =
-      cfg.idField.map(e => fields :+ Converters.Field("fid", Converters.Transform(e), "string"))
+    // evaluated LAST so it may back-reference every declared field; it
+    // is exempt from the all-null parse-error skip (a uuid()/md5 fid is
+    // never null and would otherwise keep unparseable rows alive)
+    def withFid(fields: Seq[Converters.Field], idField: Option[String]): Seq[Converters.Field] =
+      idField.map(e => fields :+ Converters.Field("fid", Converters.Transform(e), "string"))
         .getOrElse(fields)
     val converted = cfg.typ match {
       case "composite" =>
         // caches scope per route: the route's own declarations shadow the
-        // top-level ones, and routes never see each other's caches
+        // top-level ones, and routes never see each other's caches. A
+        // route is a full converter: its csv/feature-path/id-field apply;
+        // validators are top-level only (routes union into one schema)
+        cfg.routes.foreach { case (_, sub) =>
+          require(sub.validation.isEmpty,
+            "declare 'options.validators' on the top-level composite, not on a route")
+        }
+        require(cfg.routes.map(_._2.idField.orElse(cfg.idField).isDefined).distinct.size <= 1,
+          "either every composite route derives an id-field or none does " +
+            "(routes union into one schema)")
         val rs = cfg.routes.map { case (re, sub) =>
-          Converters.Route((line: Column) => line.rlike(re), withFid(sub.fields), sub.delimiter,
-            cfg.caches ++ sub.caches)
+          val subId = sub.idField.orElse(cfg.idField)
+          Converters.Route((line: Column) => line.rlike(re),
+            withFid(sub.fields, subId), sub.delimiter,
+            cfg.caches ++ sub.caches,
+            featurePath = sub.featurePath, csv = sub.csv,
+            xmlFeaturePath = sub.typ == "xml",
+            skipExempt = subId.map(_ => "fid").toSet)
         }
         Converters.composite(df, lineCol, rs, cfg.lonField, cfg.latField)
       case _ =>
-        Converters.convert(df, lineCol, withFid(cfg.fields), cfg.delimiter,
+        Converters.convert(df, lineCol, withFid(cfg.fields, cfg.idField), cfg.delimiter,
           cfg.lonField, cfg.latField, cfg.caches, cfg.featurePath, cfg.csv,
-          xmlFeaturePath = cfg.typ == "xml")
+          xmlFeaturePath = cfg.typ == "xml",
+          skipExempt = cfg.idField.map(_ => "fid").toSet)
     }
     // the sft declares the feature ATTRIBUTES; a derived fid rides along
     val typed = cfg.sft.map(coerceToSft(converted, _, keep = cfg.idField.map(_ => "fid").toSeq))
@@ -259,7 +276,10 @@ object ConverterConfig {
         // the reference's z-index validator: the date must be Z3-binnable
         // (epoch <= dtg < Short.MaxValue+1 periods) and the geometry must
         // lie in the index's lon/lat domain
-        val ts = col(dtgCol).cast("timestamp")
+        // try_cast: a malformed date must FAIL THE CHECK, not the job
+        // (skip mode filters it; raise mode reports it) — a plain cast
+        // under ANSI would abort the job before validation ran
+        val ts = col(dtgCol).try_cast("timestamp")
         Seq(
           s"z-index: date outside binnable range" ->
             (ts.isNotNull && unix_millis(ts) >= lit(BinnedTime.MinMillis) &&
@@ -282,11 +302,7 @@ object ConverterConfig {
   // lenient WKT parse: malformed text -> null geometry, matching the
   // try_cast semantics every non-geometry field gets (the reference's
   // ErrorMode.SkipBadRecords nulls the field rather than failing the job)
-  private val tryGeomFromWkt = udf { (s: String) =>
-    if (s == null) null
-    else try graft.geom.GeomOps.toWkb(graft.geom.GeomOps.fromWkt(s))
-    catch { case _: Exception => null }
-  }
+  private val tryGeomFromWkt = udf(graft.geom.GeomOps.wktToWkbOrNull _)
 
   private def coerceToSft(df: DataFrame, sft: graft.table.Sft.Schema,
                           keep: Seq[String] = Nil): DataFrame = {

@@ -69,13 +69,10 @@ object Converters {
 
   private val geomJsonUdf = udf { (s: String) =>
     if (s == null) null
-    else {
-      try {
-        val g = if (s.trim.startsWith("{")) graft.geom.GeoJson.read(s)
-                else graft.geom.GeomOps.fromWkt(s)
-        graft.geom.GeomOps.toWkb(g)
-      } catch { case _: Exception => null }
-    }
+    else if (s.trim.startsWith("{")) {
+      try graft.geom.GeomOps.toWkb(graft.geom.GeoJson.read(s))
+      catch { case _: Exception => null }
+    } else graft.geom.GeomOps.wktToWkbOrNull(s)
   }
 
   private def parseXml(xml: String): org.w3c.dom.Document =
@@ -170,7 +167,8 @@ object Converters {
               caches: Map[String, Transformers.SimpleCache] = Map.empty,
               featurePath: Option[String] = None,
               csv: Option[Map[String, String]] = None,
-              xmlFeaturePath: Boolean = false): DataFrame = {
+              xmlFeaturePath: Boolean = false,
+              skipExempt: Set[String] = Set.empty): DataFrame = {
     // fields compile in order and later transforms may back-reference
     // earlier ones by `$name` (the reference's evaluation order —
     // EnrichmentCacheTest's `point($lon, $lat)`). Each field becomes its
@@ -222,10 +220,15 @@ object Converters {
       case None => split(col(line), java.util.regex.Pattern.quote(delimiter))
       case Some(opts) =>
         val dollarRe = """\$(\d+)""".r
+        def maxDollar(e: String): Int =
+          dollarRe.findAllMatchIn(e).map(_.group(1).toInt).maxOption.getOrElse(0)
         val maxRef = (fields.map(_.spec).collect { case Col(i) => i + 1 } ++
           fields.map(_.spec).collect {
-            case Transform(e) =>
-              dollarRe.findAllMatchIn(e).map(_.group(1).toInt).maxOption.getOrElse(0)
+            // every spec kind that can carry $N token refs counts toward
+            // the csv schema width ($0 binds elsewhere for Path/XPath)
+            case Transform(e) => maxDollar(e)
+            case PathTransform(_, e, _) => maxDollar(e)
+            case XPathTransform(_, e) => maxDollar(e)
           } :+ 1).max
         val schema = org.apache.spark.sql.types.StructType(
           (0 until maxRef).map(i =>
@@ -262,8 +265,13 @@ object Converters {
       cur = cur.withColumn(f.name,
         extract(col(line), rootCol, col(toks), f, delimiter, named, caches, xpaths))
     }
+    // parse-error skip: a row where every DECLARED field is null drops.
+    // skipExempt names derived always-present fields (a uuid()/md5 fid)
+    // that must not keep an otherwise-unparseable row alive.
+    val skipFields = fields.filterNot(f => skipExempt.contains(f.name))
     val parsed = cur.select(fields.map(f => col(f.name)): _*)
-      .where(fields.map(f => col(f.name).isNotNull).reduce(_ || _))
+      .where((if (skipFields.nonEmpty) skipFields else fields)
+        .map(f => col(f.name).isNotNull).reduce(_ || _))
     (lonField, latField) match {
       case (Some(lo), Some(la)) =>
         parsed.withColumn("geom",
@@ -312,8 +320,16 @@ object Converters {
     * delimiter, and the route's own enrichment caches (caches scope to
     * the declaring converter, like the reference — a shared cache is
     * passed to every route explicitly). */
+  /** A composite route is a FULL converter behind a predicate: it keeps
+    * its own tokenization (csv), feature-path, and skip-exempt derived
+    * fields — a route asking for RFC4180 quoting must not silently fall
+    * back to a naive split. */
   final case class Route(pred: Column => Column, fields: Seq[Field], delimiter: String = ",",
-                         caches: Map[String, Transformers.SimpleCache] = Map.empty)
+                         caches: Map[String, Transformers.SimpleCache] = Map.empty,
+                         featurePath: Option[String] = None,
+                         csv: Option[Map[String, String]] = None,
+                         xmlFeaturePath: Boolean = false,
+                         skipExempt: Set[String] = Set.empty)
 
   def composite(df: DataFrame, lineCol: String,
                 routes: Seq[Route],
@@ -323,7 +339,7 @@ object Converters {
       val notEarlier = routes.take(i).map(e => !coalesce(e.pred(col(lineCol)), lit(false)))
         .foldLeft(lit(true))(_ && _)
       convert(df.where(r.pred(col(lineCol)) && notEarlier), lineCol, r.fields, r.delimiter,
-        lonField, latField, r.caches)
+        lonField, latField, r.caches, r.featurePath, r.csv, r.xmlFeaturePath, r.skipExempt)
     }
     parts.reduce(_ union _)
   }

@@ -195,11 +195,16 @@ object Transformers {
       val v = expr()
       skipWs(); eat(')')
       // from_json only accepts STRING map keys: parse with string keys,
-      // then re-type the keys per entry (map casts can't change key type)
+      // drop entries whose key does NOT cast to the requested type (a
+      // null map key would fail the job — the converter contract is
+      // malformed data nulls out, never kills), then re-type the rest.
+      // Two distinct raw keys casting to the same value ("1"/"01") still
+      // fail with DUPLICATED_MAP_KEY — genuinely ambiguous data.
       val ddl = if (name == "jsonList") s"array<$t1>" else s"map<string,$t2>"
       val parsed = from_json(v.cast("string"), lit(ddl), new java.util.HashMap[String, String]())
       if (name == "jsonMap" && t1 != "string")
-        transform_keys(parsed, (k, _) => k.try_cast(t1))
+        transform_keys(map_filter(parsed, (k, _) => k.try_cast(t1).isNotNull),
+          (k, _) => k.try_cast(t1))
       else parsed
     }
 
@@ -283,13 +288,7 @@ object Transformers {
 
   private val G = graft.functions.StFunctions
 
-  private val tryWktUdf = udf { (s: String) =>
-    if (s == null) null
-    else {
-      try graft.geom.GeomOps.toWkb(graft.geom.GeomOps.fromWkt(s))
-      catch { case _: Exception => null }
-    }
-  }
+  private val tryWktUdf = udf(graft.geom.GeomOps.wktToWkbOrNull _)
 
   // java.time patterns of the reference's joda-named formats
   private val NamedDateFormats = Map(

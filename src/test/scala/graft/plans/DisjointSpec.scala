@@ -94,6 +94,10 @@ class DisjointSpec extends AnyFunSuite with SparkTest {
     // "not run through lower-level filters"
     assert(Cql.splitOr(s"NOT (${f(3)} OR ${f(4)}) OR (${f(1)} AND ${f(2)})").size == 2)
 
+    // degenerate ORs are parse errors, not index crashes
+    intercept[Exception](Cql.splitOr("attr1 = 'x' OR"))
+    intercept[Exception](Cql.splitOr("OR attr1 = 'x'"))
+
     // every branch must itself parse, and the split round-trips: the OR
     // of the branch predicates selects the same rows as the original
     import spark.implicits._

@@ -479,6 +479,48 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     intercept[Exception](cfg("""{"validators": ["has-geo"], "validation-mode": "foobar"}"""))
   }
 
+  test("review fixes: fid skip exemption, route-level csv, z-index bad dates, " +
+      "jsonMap uncastable keys") {
+    import spark.implicits._
+    // a never-null fid (uuid) must NOT keep an unparseable row alive
+    val fidCfg = ConverterConfig.parse(
+      """{ "type": "json", "id-field": "uuid()",
+        |  "fields": [{"name": "k", "json-path": "$.k"}] }""".stripMargin)
+    val fidOut = ConverterConfig(Seq("""{"k": 5}""", "not json at all").toDF("value"),
+      "value", fidCfg)
+    assert(fidOut.count() == 1 && fidOut.columns.contains("fid"))
+
+    // a composite route's quote-aware format must apply inside the route
+    val comp = ConverterConfig.parse(
+      """{ "type": "composite",
+        |  "routes": [
+        |    {"when-matches": "^\\d",
+        |     "converter": {"type": "delimited", "format": "CSV",
+        |       "fields": [{"name": "a", "col": 0}, {"name": "b", "col": 1}]}}
+        |  ] }""".stripMargin)
+    val compOut = ConverterConfig(Seq("1,\"x,y\"").toDF("value"), "value", comp).head
+    assert(compOut.getString(1) == "x,y")
+
+    // z-index skip mode must FILTER a malformed date, not fail the job
+    val zCfg = ConverterConfig.parse(
+      """{ "type": "delimited",
+        |  "fields": [
+        |    {"name": "dtg",  "col": 0},
+        |    {"name": "geom", "transform": "point($2, $3)"}
+        |  ],
+        |  "options": {"validators": ["z-index"], "validation-mode": "skip-bad-records"} }"""
+        .stripMargin)
+    assert(ConverterConfig(Seq("2016-01-01,2,2", "garbage-date,2,2").toDF("value"),
+      "value", zCfg).count() == 1)
+
+    // jsonMap: an uncastable key drops its entry, never a null-map-key crash
+    val m = spark.range(1)
+      .select(Transformers.compile("jsonMap('int','boolean', $1)",
+        { case 1 => lit("""{"1":true,"x":false}"""); case _ => lit("") }).as("m"))
+      .head.getMap[Int, Boolean](0)
+    assert(m == Map(1 -> true))
+  }
+
   test("config parse errors are explicit") {
     intercept[IllegalArgumentException](ConverterConfig.parse("""{"fields": []}"""))
     intercept[IllegalArgumentException](ConverterConfig.parse("""{"type": "bogus"}"""))
