@@ -419,6 +419,44 @@ object SparkEntry {
           expr("CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)").as("weight"))
     }),
 
+    "q_grid_density" -> ((s, dir) => {
+      // viewport raster density (DensityScan's width x height grid over
+      // an explicit envelope; GridSnap kernel): pure Catalyst floor/least
+      // snap, decimal-exact weights. The oracle replicates the identical
+      // arithmetic in DuckDB (dx = 5.625 and the cell centers are exact
+      // binary doubles, so the hash comparison is safe).
+      operators.Density.grid(pts(s, dir), "lon", "lat", -180, -90, 180, 90,
+          width = 64, height = 32,
+          weight = Some(expr("CAST(round(value, 6) AS DECIMAL(18,6))")))
+        .withColumn("weight", col("weight").cast("double"))
+        .select("i", "j", "n", "weight", "x", "y")
+    }),
+
+    "q_convert_features" -> ((s, dir) => {
+      // converter feature-path end-to-end: pack events into multi-feature
+      // JSON documents (10 per doc, sorted for determinism), convert back
+      // through the CONFIG-DRIVEN json converter (feature-path explode +
+      // typed fields + derived fid), and let DuckDB recompute the same
+      // rows straight from the table
+      val ev = t(s, dir, "events")
+      val docs = ev
+        .groupBy((col("event_id") / 10).cast("bigint").as("doc"))
+        .agg(sort_array(collect_list(
+          struct(col("event_id"), col("event_type"), col("value")))).as("Features"))
+        .select(to_json(struct(col("Features"))).as("value"))
+      val cfg = sources.ConverterConfig.parse(
+        """{ "type": "json",
+          |  "id-field": "$event_id",
+          |  "feature-path": "$.Features[*]",
+          |  "fields": [
+          |    {"name": "event_id",   "json-path": "$.event_id", "type": "bigint"},
+          |    {"name": "event_type", "json-path": "$.event_type"},
+          |    {"name": "value",      "json-path": "$.value", "type": "double"}
+          |  ] }""".stripMargin)
+      sources.ConverterConfig(docs, "value", cfg)
+        .select("event_id", "event_type", "value", "fid")
+    }),
+
     "q_disjoint_scan" -> ((s, dir) => {
       // disjoint-OR (FilterSplitter.makeDisjoint analog) in SINGLE-SCAN
       // form: these attribute branches cannot prune storage ranges, so
@@ -1222,6 +1260,25 @@ object SparkEntry {
            |  CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight
            |FROM pts GROUP BY 1, 2""".stripMargin
       },
+
+      "q_grid_density" -> {
+        // identical IEEE arithmetic on both engines: dx=5.625, dy=5.625
+        // and the centers are exact binary doubles
+        s"""WITH $ptsCte,
+           |g AS (SELECT CAST(least(floor((lon - (-180.0)) / 5.625), 63) AS INT) AS i,
+           |             CAST(least(floor((lat - (-90.0)) / 5.625), 31) AS INT) AS j,
+           |             value
+           |      FROM pts
+           |      WHERE lon BETWEEN -180.0 AND 180.0 AND lat BETWEEN -90.0 AND 90.0)
+           |SELECT i, j, COUNT(*) AS n,
+           |  CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight,
+           |  -177.1875 + 5.625 * i AS x, -87.1875 + 5.625 * j AS y
+           |FROM g GROUP BY 1, 2""".stripMargin
+      },
+
+      "q_convert_features" ->
+        """SELECT event_id, event_type, value,
+          |  CAST(event_id AS VARCHAR) AS fid FROM events""".stripMargin,
 
       "q_disjoint_scan" ->
         """SELECT l_orderkey, l_linenumber,
