@@ -98,6 +98,10 @@ class DisjointSpec extends AnyFunSuite with SparkTest {
     intercept[Exception](Cql.splitOr("attr1 = 'x' OR"))
     intercept[Exception](Cql.splitOr("OR attr1 = 'x'"))
 
+    // an OR inside a string literal is data, not a split point
+    assert(Cql.splitOr("attr1 = 'a OR b' OR attr2 = 'c'").size == 2)
+    assert(Cql.splitOr("attr1 = 'a OR b'") == Seq("attr1 = 'a OR b'"))
+
     // every branch must itself parse, and the split round-trips: the OR
     // of the branch predicates selects the same rows as the original
     import spark.implicits._
