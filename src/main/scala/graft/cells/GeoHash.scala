@@ -145,6 +145,27 @@ object GeoHash {
       math.abs(gridIndexForLongitude(u) - gridIndexForLongitude(l)) + 1)
   }
 
+  /** All geohashes at `prec` bits whose CENTERS fall inside the
+    * rectangle — the reference's RectangleGeoHashIterator
+    * (geomesa-utils/.../geohash/RectangleGeoHashIterator.scala;
+    * RectangleGeoHashIteratorTest): iterate the grid-index window
+    * between the corners' hashes and keep center-in-rect cells, so an
+    * exact parent bbox yields exactly the parent's children. */
+  def rectangle(latLo: Double, lonLo: Double,
+                latHi: Double, lonHi: Double, prec: Int): Seq[GH] = {
+    require(latLo <= latHi && lonLo <= lonHi, "inverted rectangle")
+    val ll = apply(lonLo, latLo, prec)
+    val ur = apply(lonHi, latHi, prec)
+    val (la0, la1) = (gridIndexForLatitude(ll), gridIndexForLatitude(ur))
+    val (lo0, lo1) = (gridIndexForLongitude(ll), gridIndexForLongitude(ur))
+    for {
+      la <- la0 to la1
+      lo <- lo0 to lo1
+      gh = composeFromBitIndices(la, lo, prec)
+      if gh.x >= lonLo && gh.x <= lonHi && gh.y >= latLo && gh.y <= latHi
+    } yield gh
+  }
+
   private def hashString(bitset: Set[Int], prec: Int): String = {
     val nChars = (prec + 4) / 5
     val sb = new StringBuilder(nChars)

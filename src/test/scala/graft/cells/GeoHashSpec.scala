@@ -10,6 +10,26 @@ class GeoHashSpec extends AnyFunSuite {
   private def xTol(prec: Int) = 360.0 * math.pow(0.5, math.floor(prec / 2.0))
   private def yTol(prec: Int) = xTol(prec) * 0.5
 
+  test("rectangle iteration over a parent bbox yields exactly its children " +
+      "(RectangleGeoHashIteratorTest testCorners)") {
+    // the reference's fixture: 9q8ys0's bbox at 35 bits -> 32 cells, every
+    // center inside the bbox
+    val parent = GeoHash("9q8ys0")
+    val (lonMin, latMin, lonMax, latMax) = parent.bbox
+    val cells = GeoHash.rectangle(latMin, lonMin, latMax, lonMax, 35)
+    assert(cells.length == 32)
+    cells.foreach { gh =>
+      assert(gh.y >= latMin && gh.y <= latMax, s"latitude out of range: $gh")
+      assert(gh.x >= lonMin && gh.x <= lonMax, s"longitude out of range: $gh")
+      assert(parent.contains(gh), s"not a child of the parent: $gh")
+    }
+    assert(cells.map(_.hash).distinct.length == 32)
+    // a rectangle strictly inside one cell yields that single cell
+    val one = GeoHash.rectangle(parent.y - 1e-9, parent.x - 1e-9,
+      parent.y + 1e-9, parent.x + 1e-9, 30)
+    assert(one.map(_.hash) == Seq("9q8ys0"))
+  }
+
   test("ezs42 decodes to -5.6, 42.6") {
     val gh = GeoHash("ezs42")
     assert(math.abs(gh.x - -5.6) < xTol(25))
