@@ -18,7 +18,10 @@ N_IMAGES="${SPARK_GRAFT_IMAGES:-50000000}"
 
 run() { # nexec
   local n="$1"
-  local mask="0-$n" # driver core + n executor cores
+  # driver core + n executor cores; SPARK_GRAFT_CORE_BASE moves the
+  # window off the shared low cores (see bench/run_scaling.sh)
+  local base="${SPARK_GRAFT_CORE_BASE:-0}"
+  local mask="$base-$((base + n))"
   SPARK_GRAFT_MASTER="local-cluster[$n,1,3072]" \
   SPARK_GRAFT_IMAGES="$N_IMAGES" \
   SPARK_GRAFT_JAR="$JAR" \

@@ -18,9 +18,15 @@ LOW="${SPARK_GRAFT_LOW:-1}"
 HIGH="${SPARK_GRAFT_HIGH:-4}"
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}"
 
+# SPARK_GRAFT_CORE_BASE moves the pinned core window (default 0): on this
+# VM the low cores are shared with host/driver monitoring threads, and a
+# 4-core run on 0-3 measures ~15% under the same run on 4-7. Both sizes
+# use the SAME window, so the low/high comparison stays apples-to-apples.
+BASE="${SPARK_GRAFT_CORE_BASE:-0}"
+
 run() { # cpus
   local cpus="$1"
-  local mask="0-$((cpus - 1))"
+  local mask="$BASE-$((BASE + cpus - 1))"
   SPARK_GRAFT_CPUS="$cpus" SPARK_GRAFT_IMAGES="$N_IMAGES" \
     taskset -c "$mask" sbt -batch "runMain graft.ScalingBench" 2>&1 \
     | grep '"bench":"scaling"' | sed 's/^\[info\] //'
