@@ -26,7 +26,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: session + whole-stage-codegen initialization
+    // warmup: session + whole-stage-codegen initialization. (A CC-shaped
+    // warmup was tried and does NOT recover q_dedup_groups' ~4s first
+    // round — that cost is not plan-shape codegen; rounds 2+ run ~0.6s.)
     graft.functions.StFunctions.register(spark)
     spark.range(1000).selectExpr("st_cellOfXY(CAST(id AS DOUBLE) / 100, 1.0, 9) AS c")
       .groupBy("c").count().count()

@@ -250,10 +250,11 @@ object Dedup {
     val init = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager + lineage-free so `init` can be unpersisted before returning
-    // (it otherwise pins a cached edge set per components() call for the
-    // lifetime of the context)
+      .localCheckpoint(true)
+    // eager + lineage-free like every frame in the loop: checkpoint
+    // blocks are reclaimed by the ContextCleaner as the RDDs become
+    // unreferenced (no CacheManager entry to unpersist), and the loop's
+    // first round scans the same RDD shape as every later round
     val nodes = init.select(col("u").as("id")).union(init.select(col("v").as("id")))
       .distinct().localCheckpoint(true)
 
@@ -305,19 +306,15 @@ object Dedup {
     require(converged, s"components did not converge in $maxIter rounds")
     // fixpoint = star edges (child -> component-min root); roots have no
     // outgoing edge. min() guards the (impossible at fixpoint) multi-edge.
-    // Materialize the result, then release the CacheManager-tracked
-    // persist (`init`) deterministically. The localCheckpoint blocks
-    // (loop intermediates, nodes, result) are NOT CacheManager entries —
-    // Dataset.unpersist would be a no-op on them; they are reclaimed by
-    // the ContextCleaner as the checkpointed RDDs become unreferenced,
-    // which happens as soon as this frame returns and the caller drops
-    // the result.
-    val result = nodes
+    // Every intermediate (init, nodes, loop frames, result) is a
+    // localCheckpoint: no CacheManager entries to unpersist — blocks are
+    // reclaimed by the ContextCleaner as the checkpointed RDDs become
+    // unreferenced, which happens as soon as this frame returns and the
+    // caller drops the result.
+    nodes
       .join(edges.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
       .groupBy("id").agg(min(coalesce(col("__c"), col("id"))).as("component"))
       .localCheckpoint(true)
-    init.unpersist()
-    result
   }
 
   /** Label every row of `df` with its near-dup component — rows in no
