@@ -68,4 +68,36 @@ object Z3Uuid {
 
   /** The shard nibble of an existing id (for pre-split routing). */
   def shard(id: UUID): Byte = ((id.getMostSignificantBits >>> 60) & 0xf).toByte
+
+  /** Ingest-time-sorted ids — the reference's TimeSortedUuidGenerator
+    * (geomesa-utils/.../uuid/IngestTimeFeatureIdGenerator.scala:36-73):
+    * the msb packs epoch millis big-endian (top 4 bits dropped, 4 bits
+    * yielded to the version nibble) so ids sort by ingest time; the lsb
+    * is random with the IETF variant. Negative times unsupported, like
+    * the reference. */
+  def timeSorted(millis: Long = System.currentTimeMillis()): UUID =
+    timeSortedWithLsb(millis, {
+      val bytes = new Array[Byte](8)
+      random.nextBytes(bytes)
+      var lsb = 0L
+      var i = 0
+      while (i < 8) { lsb = (lsb << 8) | (bytes(i) & 0xffL); i += 1 }
+      lsb
+    })
+
+  /** Deterministic-LSB variant (tests, reproducible pipelines). */
+  def timeSortedWithLsb(millis: Long, lsb: Long): UUID =
+    new UUID(timeSortedMsb(millis), (lsb & ~(3L << 62)) | (1L << 63))
+
+  def timeSortedMsb(millis: Long): Long = {
+    require(millis >= 0, "negative time values are not supported")
+    (((millis >> 52) & 0xffL) << 56) |
+      (((millis >> 44) & 0xffL) << 48) |
+      (((millis >> 36) & 0xffL) << 40) |
+      (((millis >> 28) & 0xffL) << 32) |
+      (((millis >> 20) & 0xffL) << 24) |
+      (((millis >> 12) & 0xffL) << 16) |
+      ((((millis >> 8) & 0x0fL) | 0x40L) << 8) | // version nibble = 4
+      (millis & 0xffL)
+  }
 }

@@ -55,4 +55,20 @@ class Z3UuidSpec extends AnyFunSuite {
     }.toSet
     assert(shards.size > 8)
   }
+
+  test("time-sorted uuids: reference format + time-ordered msb " +
+      "(TimeSortedUuidGeneratorTest)") {
+    // the reference's fixture: time 1435598908099 -> "000014e4-05ce-4ac3"
+    val time = 1435598908099L
+    val id = Z3Uuid.timeSorted(time)
+    assert(id.toString.substring(0, 18) == "000014e4-05ce-4ac3")
+    assert(id.version == 4 && id.variant == 2)
+    // time is the msb: ids sort chronologically
+    val ids = Seq(time - 1, time, time + 1, time + 1000)
+      .map(Z3Uuid.timeSorted(_).toString)
+    assert(ids.sorted == ids)
+    // deterministic-LSB variant forces the IETF variant bits
+    assert(Z3Uuid.timeSortedWithLsb(time, -1L).variant == 2)
+    intercept[IllegalArgumentException](Z3Uuid.timeSorted(-1L))
+  }
 }
