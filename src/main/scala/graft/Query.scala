@@ -137,16 +137,14 @@ object QueryRunner {
       case (_, Some(d), _) =>
         val (x0, y0, x1, y1) = d.bbox
         require(x1 > x0 && y1 > y0, s"degenerate density bbox: ${d.bbox}")
-        // smallest cell resolution whose grid covers the bbox with at
-        // least width x height cells (cells are the raster pixels)
-        val res = (1 to 15).find { r =>
-          val cellDeg = 360.0 / (1 << r)
-          (x1 - x0) / cellDeg >= d.width && (y1 - y0) / cellDeg >= d.height
-        }.getOrElse(15)
+        // EXACTLY width x height raster pixels over the hint's bbox,
+        // snapped to cell centers — the reference's DensityScan renders
+        // precisely this grid (GridSnap); Density.grid is the pure
+        // Catalyst form (was: nearest hierarchical cell grid, an
+        // approximation from before Density.grid existed)
         val weight = d.weight.map(e => Cql.parseExpression(e, props, idColumn))
-        operators.Density.points(
-          out.where(col(d.lon).between(x0, x1) && col(d.lat).between(y0, y1)),
-          d.lon, d.lat, res, weight)
+        operators.Density.grid(out, d.lon, d.lat, x0, y0, x1, y1,
+          d.width, d.height, weight)
 
       case (_, _, Some(b)) =>
         // reference wire parity: BinaryOutputEncoder writes trackId as

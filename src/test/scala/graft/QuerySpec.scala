@@ -58,12 +58,21 @@ class QuerySpec extends AnyFunSuite with Matchers with SparkTest {
     r.getAs[Long]("count") shouldBe expected.count()
   }
 
-  test("density hint rasterizes onto the cell grid; total count is preserved") {
+  test("density hint renders EXACTLY width x height raster pixels; " +
+      "total count is preserved") {
     val out = QueryRunner.run(df, GraftQuery(
       density = Some(DensityHint(bbox = (-180, -80, 180, 80), width = 32, height = 16))))
     val inBox = df.where(col("lon").between(-180, 180) && col("lat").between(-80, 80))
     out.agg(sum("n")).as[Long].head() shouldBe inBox.count()
-    out.columns should contain allOf ("cell", "n", "weight", "tx", "ty")
+    out.columns should contain allOf ("i", "j", "n", "weight", "x", "y")
+    // the reference renders exactly the hinted grid: indices within it,
+    // centers snapped to the GridSnap kernel
+    val snap = cells.GridSnap(-180, -80, 180, 80, 32, 16)
+    out.collect().foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      assert(i >= 0 && i < 32 && j >= 0 && j < 16)
+      assert(r.getAs[Double]("x") == snap.x(i) && r.getAs[Double]("y") == snap.y(j))
+    }
     // weight expression is a CQL expression
     val weighted = QueryRunner.run(df, GraftQuery(
       density = Some(DensityHint(bbox = (-180, -80, 180, 80), width = 8, height = 4,
