@@ -419,6 +419,18 @@ object SparkEntry {
           expr("CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)").as("weight"))
     }),
 
+    "q_partition_scheme" -> ((s, dir) => {
+      // FS-datastore partition layout (reference PartitionScheme family):
+      // the "daily,z2-2bit" composite scheme's partition name computed by
+      // the pure-codegen partition Column, aggregated per partition. The
+      // oracle replicates strftime + the 1-bit/dim z2 interleave in SQL.
+      import graft.table.{PartitionScheme, Sft}
+      val scheme = PartitionScheme(
+        Sft.parse("events", "ts:Date,*geom:Point:srid=4326"), "daily,z2-2bit")
+      pts(s, dir)
+        .withColumn("part", scheme.partitionCol(PartitionScheme.LonLatResolver("lon", "lat")))
+        .groupBy("part").agg(count(lit(1)).as("n"))
+    }),
     "q_grid_density" -> ((s, dir) => {
       // viewport raster density (DensityScan's width x height grid over
       // an explicit envelope; GridSnap kernel): pure Catalyst floor/least
@@ -1261,6 +1273,17 @@ object SparkEntry {
            |FROM pts GROUP BY 1, 2""".stripMargin
       },
 
+      "q_partition_scheme" -> {
+        // daily,z2-2bit partition names: strftime day path + the
+        // 1-bit-per-dim z2 interleave (lon>=0 | lat>=0 << 1); the clamp
+        // edges coincide with the sign test at 1 bit per dimension
+        s"""WITH $ptsCte
+           |SELECT strftime(ts, '%Y/%m/%d') || '/' ||
+           |       CAST((CASE WHEN lon >= 0 THEN 1 ELSE 0 END)
+           |          + 2 * (CASE WHEN lat >= 0 THEN 1 ELSE 0 END) AS VARCHAR) AS part,
+           |       COUNT(*) AS n
+           |FROM pts GROUP BY 1""".stripMargin
+      },
       "q_grid_density" -> {
         // identical IEEE arithmetic on both engines: dx=5.625, dy=5.625
         // and the centers are exact binary doubles

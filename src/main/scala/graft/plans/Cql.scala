@@ -767,7 +767,7 @@ object Cql {
 
   // ---- instant / period helpers --------------------------------------
 
-  private def parseInstant(s: String): Instant = {
+  private[graft] def parseInstant(s: String): Instant = {
     val t = s.trim
     try OffsetDateTime.parse(t).toInstant
     catch {

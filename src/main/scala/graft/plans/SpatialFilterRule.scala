@@ -44,8 +44,9 @@ import graft.geom.GeomOps
 object SpatialFilterRule extends Rule[LogicalPlan] {
 
   /** pred(a, b) shapes where a true result implies the row geometry
-    * intersects the literal's envelope (either argument order). */
-  private val Pushable = Set("st_intersects", "st_contains", "st_within",
+    * intersects the literal's envelope (either argument order). Shared
+    * with table.PartitionScheme's filter-to-partition cover. */
+  private[graft] val Pushable = Set("st_intersects", "st_contains", "st_within",
     "st_covers", "st_overlaps", "st_crosses", "st_touches", "st_equals")
 
   /** Shared function VAL (not a per-rewrite lambda) so repeated rule
@@ -78,8 +79,8 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
 
   /** Evaluate a constant geometry expression to its JTS envelope (the
     * literal side after GeometryLiteralFolding, or any deterministic
-    * reference-free expression). */
-  private def constEnvelope(e: Expression): Option[Envelope] = {
+    * reference-free expression). Shared with table.PartitionScheme. */
+  private[graft] def constEnvelope(e: Expression): Option[Envelope] = {
     if (!e.deterministic || e.references.nonEmpty || e.dataType != BinaryType) None
     else {
       try {
