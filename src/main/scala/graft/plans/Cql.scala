@@ -722,6 +722,31 @@ object Cql {
         case "strlength" => length(args.head)
         case "strtrim" => trim(args.head)
         case "strsubstring" => args.head.substr(args(1) + lit(1), args(2) - args(1))
+        case "proxyid" =>
+          // the reference's ProxyIdFunction (geomesa-filter/.../function/
+          // ProxyIdFunction.scala:20-60): a stable int proxy for the
+          // feature id — murmur3 string hash, or for uuid-typed ids the
+          // seed-0 murmur mix of the uuid's four ints (parse failures
+          // throw, like the reference's uuid mode). Mode is an explicit
+          // 'uuid' argument here; the reference reads it from sft config.
+          val uuidMode = raw.headOption.exists {
+            case TStr(s, _, _) => s.equalsIgnoreCase("uuid")
+            case _ => false
+          }
+          val f =
+            if (uuidMode) udf { (s: String) =>
+              if (s == null) null
+              else {
+                val u = java.util.UUID.fromString(s)
+                val (msb, lsb) = (u.getMostSignificantBits, u.getLeastSignificantBits)
+                import scala.util.hashing.MurmurHash3._
+                Int.box(finalizeHash(mixLast(mix(mix(mix(0, msb.toInt), (msb >>> 32).toInt),
+                  lsb.toInt), (lsb >>> 32).toInt), 16))
+              }
+            }
+            else udf((s: String) =>
+              if (s == null) null else Int.box(scala.util.hashing.MurmurHash3.stringHash(s)))
+          f.withName("proxyId")(resolve(idColumn))
         case _ => sys.error(s"unknown CQL function '$name'")
       })
     }

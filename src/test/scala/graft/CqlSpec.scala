@@ -225,6 +225,28 @@ class CqlSpec extends AnyFunSuite with Matchers with SparkTest {
     an[Exception] should be thrownBy Cql.parse("age = 5 extra")
   }
 
+  test("proxyId(): consistent, unique int proxies for ids; uuid mode throws on bad uuids") {
+    // reference ProxyIdFunctionTest: same id -> same proxy, different
+    // ids -> different proxies, both for plain and uuid-typed ids
+    import spark.implicits._
+    val df = Seq("fid0", "fid1").toDF("id")
+    val plain = df.select(Cql.parseExpression("proxyId()").as("p")).as[Int].collect()
+    df.select(Cql.parseExpression("proxyId()").as("p")).as[Int].collect() shouldBe plain
+    plain(0) should not be plain(1)
+    plain(0) shouldBe scala.util.hashing.MurmurHash3.stringHash("fid0")
+
+    val uuids = Seq("28a12c18-e5ae-4c04-ae7b-bf7cdbfaf234",
+      "28a12c18-e5ae-4c04-ae7b-bf7cdbfaf235").toDF("id")
+    val viaUuid = uuids.select(Cql.parseExpression("proxyId('uuid')").as("p")).as[Int].collect()
+    viaUuid(0) should not be viaUuid(1)
+    // uuid mode differs from string mode (the reference's two paths)
+    viaUuid(0) should not be scala.util.hashing.MurmurHash3.stringHash("28a12c18-e5ae-4c04-ae7b-bf7cdbfaf234")
+
+    val bad = Seq("not a uuid").toDF("id")
+    an[Exception] should be thrownBy
+      bad.select(Cql.parseExpression("proxyId('uuid')").as("p")).collect()
+  }
+
   test("parity with hand-written Columns on a larger frame") {
     val n = 2000
     val df = spark.range(n).select(
