@@ -673,8 +673,13 @@ object Cql {
       case t => fail("expected an expression")
     }
 
+    /** Property resolution; a quoted `$.attr.path` property name routes
+      * through the JSON-path accessor, like the reference's
+      * JsonPathPropertyAccessor resolving ECQL property names
+      * (`"$.json.a.b" = 30` — AccumuloDataStoreJsonTest:57). */
     private def resolve(name: String): Column =
-      props.getOrElse(name, col(name))
+      props.getOrElse(name,
+        if (name.startsWith("$.")) jsonPathColumn(name) else col(name))
 
     private def functionCall(): Column = {
       val name = next().asInstanceOf[TIdent].s

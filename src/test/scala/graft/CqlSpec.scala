@@ -247,6 +247,24 @@ class CqlSpec extends AnyFunSuite with Matchers with SparkTest {
       bad.select(Cql.parseExpression("proxyId('uuid')").as("p")).collect()
   }
 
+  test("quoted $.path property names resolve through the JSON accessor " +
+    "(AccumuloDataStoreJsonTest fixture shape)") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", """{"type":"Feature","properties":{"characteristics":{"height":20}}}"""),
+      ("2", """{"type":"Feature","properties":{"characteristics":{"height":30}}}"""),
+      ("3", """{"type":"Feature","properties":{}}"""),
+      ("4", null)).toDF("id", "json")
+    val hit = Cql.filter(df, """"$.json.properties.characteristics.height" = 30""")
+      .select("id").as[String].collect()
+    hit shouldBe Array("2")
+    // the same path as a transform expression: "20", "30", null, null
+    val heights = df.select(
+      Cql.parseExpression(""""$.json.properties.characteristics.height"""").as("h"))
+      .as[String].collect()
+    heights.toSeq shouldBe Seq("20", "30", null, null)
+  }
+
   test("parity with hand-written Columns on a larger frame") {
     val n = 2000
     val df = spark.range(n).select(
