@@ -88,6 +88,9 @@ object ConverterConfig {
         if (declaredType.contains("geometry") && f.has("json-path") && !f.has("transform"))
           Converters.GeoJsonGeom(f.get("json-path").asText)
         else if (f.has("col")) Converters.Col(f.get("col").asInt)
+        else if (f.has("fixed") && f.has("transform")) Converters.FixedWidthTransform(
+          f.get("fixed").get("start").asInt, f.get("fixed").get("len").asInt,
+          f.get("transform").asText)
         else if (f.has("fixed")) Converters.FixedWidth(
           f.get("fixed").get("start").asInt, f.get("fixed").get("len").asInt)
         // json-path + transform on one field: $0 binds to the extracted

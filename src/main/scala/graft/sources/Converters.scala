@@ -34,6 +34,9 @@ object Converters {
   final case class Col(i: Int) extends Spec
   /** fixed-width slice [start, start+len) (0-based chars) */
   final case class FixedWidth(start: Int, len: Int) extends Spec
+  /** fixed-width slice piped through a transform; $0 binds to the slice
+    * (the reference's FixedWidthField start/width + transform) */
+  final case class FixedWidthTransform(start: Int, len: Int, expr: String) extends Spec
   /** JSON path, e.g. "$.props.k" — relative to the current record (the
     * exploded element when a feature-path is set) */
   final case class JsonPath(path: String) extends Spec
@@ -137,6 +140,9 @@ object Converters {
       // skip (null), not an ANSI INVALID_ARRAY_INDEX job failure
       case Col(i) => tokenOf(i + 1)
       case FixedWidth(start, len) => trim(substring(line, start + 1, len))
+      case FixedWidthTransform(start, len, e) =>
+        Transformers.compile(e,
+          { case 0 => trim(substring(line, start + 1, len)); case n => tokenOf(n) }, named, caches)
       case JsonPath(p) => get_json_object(line, p)
       case RootJsonPath(p) => get_json_object(root, p)
       // xpath values come from the shared once-per-record evaluation
@@ -229,6 +235,7 @@ object Converters {
             case Transform(e) => maxDollar(e)
             case PathTransform(_, e, _) => maxDollar(e)
             case XPathTransform(_, e) => maxDollar(e)
+            case FixedWidthTransform(_, _, e) => maxDollar(e)
           } :+ 1).max
         val schema = org.apache.spark.sql.types.StructType(
           (0 until maxRef).map(i =>

@@ -75,6 +75,22 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     assert(m == Map(42 -> ("NYC", 40.7), 7 -> ("LA", 34.1)))
   }
 
+  test("fixed-width slice + transform binds $0 to the slice " +
+    "(FixedWidthConverterTest 'process fixed with data')") {
+    import spark.implicits._
+    // the reference fixture: "14555" -> lat chars [1,3) = 45, lon [3,5) = 55
+    val df = Seq("14555", "16565").toDF("value")
+    val cfg = ConverterConfig.parse(
+      """{"type": "fixed-width", "fields": [
+        |  {"name": "lat", "fixed": {"start": 1, "len": 2}, "transform": "$0::double"},
+        |  {"name": "lon", "fixed": {"start": 3, "len": 2}, "transform": "$0::double"},
+        |  {"name": "geom", "type": "geometry", "transform": "point($lon, $lat)"}
+        |]}""".stripMargin)
+    val out = ConverterConfig(df, "value", cfg)
+    val pts = out.selectExpr("st_asText(geom)").collect().map(_.getString(0))
+    assert(pts.sameElements(Array("POINT (55 45)", "POINT (65 65)")))
+  }
+
   test("json converter extracts paths") {
     import spark.implicits._
     val df = Seq("""{"id": 5, "loc": {"lon": 1.5, "lat": 2.5}}""").toDF("value")
