@@ -116,6 +116,7 @@ object Transformers {
             eat('(')
             if (name == "cacheLookup") cacheLookupCall()
             else if (name == "jsonList" || name == "jsonMap") jsonCollectionCall(name)
+            else if (name == "avroPath") avroPathCall()
             else fn(name, args())
           }
           else name match {
@@ -145,6 +146,18 @@ object Transformers {
       while (pos < input.length && (input(pos).isLetterOrDigit || input(pos) == '_')) pos += 1
       require(pos > s, s"expected identifier at $pos in: $input")
       input.substring(s, pos)
+    }
+
+    /** avroPath(recordExpr, '/path') — the geomesa-convert-avro
+      * selection DSL (see [[AvroPath]]); the path must be a string
+      * literal, like the reference's usage. */
+    private def avroPathCall(): Column = {
+      val base = expr()
+      skipWs(); eat(',')
+      skipWs()
+      val path = quoted()
+      skipWs(); eat(')')
+      AvroPath.over(base, path)
     }
 
     /** cacheLookup('cache', keyExpr, 'field') — cache and field names

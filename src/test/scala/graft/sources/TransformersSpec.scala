@@ -203,4 +203,33 @@ class TransformersSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](Transformers.compile("nope($1)", _ => lit("")))
     intercept[IllegalArgumentException](Transformers.compile("'abc", _ => lit("")))
   }
+
+  test("avroPath: nested access, array field-predicate selection, ignored " +
+    "union tag (AvroPathTest fixture shape)") {
+    import spark.implicits._
+    // the reference's TObj record: content.kvmap = [{k,v}...] with
+    // k=lat -> v=45.0 (AvroPathTest:46-72)
+    val df = Seq(1).toDF("one").select(struct(
+      struct(array(
+        struct(lit("lat").as("k"), lit(45.0).as("v")),
+        struct(lit("lon").as("k"), lit(-90.0).as("v")),
+        struct(lit("prop3").as("k"), lit(10.0).as("v")),
+        struct(lit("prop4").as("k"), lit(1.0).as("v")),
+        struct(lit("prop5").as("k"), lit(2.0).as("v"))).as("kvmap")).as("content")).as("rec"))
+
+    assert(df.select(AvroPath.column("/rec/content/kvmap[$k=lat]/v")).head.getDouble(0) == 45.0)
+    // union tag is schema-resolved in Spark; the tag parses and no-ops
+    assert(df.select(AvroPath.column("/rec/content$type=TObj/kvmap[$k=lon]/v")).head.getDouble(0) == -90.0)
+    // nested record array selection without the field step
+    assert(df.select(size(AvroPath.column("/rec/content/kvmap"))).head.getInt(0) == 5)
+    // no match -> null, the reference's None
+    assert(df.select(AvroPath.column("/rec/content/kvmap[$k=absent]/v")).head.isNullAt(0))
+
+    // the transform-language form over a record argument
+    val viaTransform = df.select(
+      Transformers.compile("avroPath($1, '/content/kvmap[$k=lat]/v')",
+        { case 1 => col("rec") }).as("v"))
+    assert(viaTransform.as[Double].head() == 45.0)
+    intercept[IllegalArgumentException](AvroPath.column("nope"))
+  }
 }
