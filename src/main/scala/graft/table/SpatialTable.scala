@@ -104,6 +104,36 @@ object SpatialTable {
     spark.read.parquet(s"$root/data/snapshot=$snapshotId")
 
   /**
+   * Evolved-table view across ALL committed snapshots — the reference's
+   * `updateSchema` semantics (AccumuloDataStoreAlterSchemaTest:54-130):
+   * later snapshots may add attributes, and rows written before the
+   * alter read as null for them. `mergeSchema` unions the per-snapshot
+   * Parquet schemas — a listing-time cost paid only by this entry point;
+   * single-snapshot reads stay on the fast path. Only committed
+   * snapshots are visible (uncommitted/failed writes are filtered by a
+   * partition-pruned predicate on the snapshot directory column, so
+   * their files are never scanned). Partition-column type inference is
+   * disabled for the read so snapshot ids compare as the strings they
+   * were written as.
+   */
+  def readAll(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    val committed = f.listStatus(new Path(s"$root/_manifests")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".committed")).map(_.stripSuffix(".committed"))
+    require(committed.nonEmpty, s"no committed snapshots under $root")
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    val df =
+      try spark.read.option("mergeSchema", "true").parquet(s"$root/data")
+      finally prev match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None => spark.conf.unset(inferKey)
+      }
+    df.where(col("snapshot").isin(committed: _*))
+  }
+
+  /**
    * BBox scan with three pruning levels: (1) partition-directory pruning
    * on cell_prefix (Spark prunes dirs from the IN-list predicate);
    * (2) Parquet row-group skipping from the z-range BETWEENs on the

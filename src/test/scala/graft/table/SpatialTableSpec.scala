@@ -25,6 +25,34 @@ class SpatialTableSpec extends AnyFunSuite with SparkTest {
     assert(back.select("cell_prefix").distinct().count() > 1)
   }
 
+  test("schema evolution: a later snapshot adds an attribute; old rows read " +
+    "null for it and only committed snapshots are visible (AlterSchemaTest)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_alter").toString
+    val v1 = Seq(("f1", 51.0, 50.0), ("f2", 52.0, 50.0)).toDF("id", "lon", "lat")
+    SpatialTable.write(spark, v1, d, "v1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 1, partitions = 1)
+    // the alter: subsequent writes carry attr1
+    val v2 = Seq(("f3", 53.0, 50.0, "1")).toDF("id", "lon", "lat", "attr1")
+    SpatialTable.write(spark, v2, d, "v2", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 1, partitions = 1)
+    // an uncommitted snapshot directory (a crashed write: same layout,
+    // no commit marker) must stay invisible
+    val stray = new java.io.File(s"$d/data/snapshot=stray"); stray.mkdirs()
+    Seq(("f9", 0.0, 0.0, "x")).toDF("id", "lon", "lat", "attr1")
+      .withColumn("cell_prefix", lit(1L))
+      .write.mode("overwrite").partitionBy("cell_prefix").parquet(stray.getAbsolutePath)
+
+    val all = SpatialTable.readAll(spark, d)
+    val rows = all.select("id", "attr1").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map("f1" -> None, "f2" -> None, "f3" -> Some("1")))
+    // transforms over the evolved view, reference-style id IN query
+    val q = graft.plans.Cql.filter(all, "IN ('f1', 'f3')").select("id", "attr1")
+      .collect().sortBy(_.getString(0)).map(r => (r.getString(0), Option(r.getString(1))))
+    assert(q.toSeq == Seq(("f1", None), ("f3", Some("1"))))
+  }
+
   test("bbox read equals brute-force filter (pruning is sound)") {
     val bbox = (-80.0, 30.0, -70.0, 45.0) // includes the NYC hotspot
     val pruned = SpatialTable.readBBox(spark, root, "s1", bbox)
