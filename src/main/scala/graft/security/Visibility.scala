@@ -127,4 +127,25 @@ object Visibility {
   /** Scan-time row filter — the VisibilityFilter analog. */
   def filterAuthorized(df: DataFrame, visCol: String, auths: Seq[String]): DataFrame =
     df.where(authorized(col(visCol), auths))
+
+  /** Attribute-level visibility — the reference's
+    * `geomesa.visibility.level='attribute'` mode
+    * (AccumuloDataStoreAttributeVisibilityTest:30-120): `visCol` holds
+    * one comma-separated visibility per attribute of `attrs`, in order.
+    * Unauthorized attributes read as null; a row survives iff at least
+    * one of its attributes is authorized (the reference returns such
+    * partially-visible features). A missing/empty per-attribute label is
+    * unrestricted, like the row form. */
+  def maskAttributes(df: DataFrame, visCol: String, attrs: Seq[String],
+                     auths: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "no attributes to mask")
+    val parts = split(col(visCol), ",")
+    def attrOk(i: Int): Column = authorized(try_element_at(parts, lit(i + 1)), auths)
+    // keep is decided on the ORIGINAL labels before any masking
+    val keep = attrs.indices.map(attrOk).reduce(_ || _)
+    val masked = attrs.zipWithIndex.foldLeft(df) { case (d, (a, i)) =>
+      d.withColumn(a, when(attrOk(i), col(a)))
+    }
+    masked.where(keep)
+  }
 }

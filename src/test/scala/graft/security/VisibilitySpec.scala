@@ -71,4 +71,43 @@ class VisibilitySpec extends AnyFunSuite with SparkTest {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(visible == Seq(1L, 2L, 4L, 6L))
   }
+
+  test("attribute-level visibility: unauthorized attributes null out, rows with " +
+    "no authorized attribute vanish (AccumuloDataStoreAttributeVisibilityTest)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the reference fixture: (name, age, dtg, geom) with per-attribute
+    // labels; 'mixed' carries admin,user,admin,user
+    val df = Seq(
+      ("user", "name-user", 10, "2014-01-01", "user,user,user,user"),
+      ("admin", "name-admin", 11, "2014-01-02", "admin,admin,admin,admin"),
+      ("mixed", "name-mixed", 12, "2014-01-03", "admin,user,admin,user")
+    ).toDF("id", "name", "age", "dtg", "vis")
+    val attrs = Seq("name", "age", "dtg")
+
+    def rows(auths: String*) =
+      Visibility.maskAttributes(df, "vis", attrs, auths)
+        .select("id", "name", "age", "dtg").collect()
+        .map(r => r.getString(0) -> (Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)), Option(r.getString(3)))).toMap
+
+    // full auths: every feature, every attribute
+    val full = rows("admin", "user")
+    assert(full.keySet == Set("user", "admin", "mixed"))
+    assert(full("mixed") == ((Some("name-mixed"), Some(12), Some("2014-01-03"))))
+
+    // user-only: admin feature vanishes; mixed keeps only user-labeled attrs
+    val u = rows("user")
+    assert(u.keySet == Set("user", "mixed"))
+    assert(u("user") == ((Some("name-user"), Some(10), Some("2014-01-01"))))
+    assert(u("mixed") == ((None, Some(12), None)))
+
+    // admin-only: user feature vanishes; mixed keeps admin-labeled attrs
+    val a = rows("admin")
+    assert(a.keySet == Set("admin", "mixed"))
+    assert(a("mixed") == ((Some("name-mixed"), None, Some("2014-01-03"))))
+
+    // no auths: nothing survives
+    assert(rows().isEmpty)
+  }
 }
