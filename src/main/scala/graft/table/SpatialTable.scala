@@ -339,6 +339,34 @@ object SpatialTable {
                    idCol: String, buckets: Int = 16): Unit =
     writeAttributeIndex(spark, root, snapshotId, idCol, buckets)
 
+  /**
+   * Config-driven layout creation — the reference's
+   * `geomesa.indices.enabled` (ConfigurableIndexesTest) and
+   * `geomesa.z.splits` (ConfigureShardsTest) sft user data: which
+   * layouts a write materializes and the shard (salt) count come from
+   * the feature type rather than call sites. z3/z2/xz3/xz2 share the
+   * primary cell snapshot (the packed cell column serves every curve's
+   * scan ranges); `attr` adds one index_<name> layout per
+   * secondary-indexed attribute; `id` adds the id layout. No user data
+   * = primary + every declared secondary + id, mirroring the
+   * reference's all-indices default. The primary snapshot is always
+   * written — it is the data store itself, and the secondary layouts
+   * derive from it.
+   */
+  def writeConfigured(spark: SparkSession, df: DataFrame, root: String, snapshotId: String,
+                      sft: Sft.Schema, idCol: String, lonCol: String, latCol: String,
+                      res: Int = 9, prefixRes: Int = 4, partitions: Int = 32): Snapshot = {
+    val salts = sft.userDataMap.get("geomesa.z.splits").map(_.toInt).getOrElse(4)
+    val enabled = sft.enabledIndices
+    def on(n: String) = enabled.isEmpty || enabled.exists(_.equalsIgnoreCase(n))
+    val snap = write(spark, df, root, snapshotId, idCol, lonCol, latCol,
+      res, prefixRes, salts, partitions)
+    if (on("attr")) sft.secondaryIndexed.filter(df.columns.contains)
+      .foreach(a => writeAttributeIndex(spark, root, snapshotId, a))
+    if (on("id")) writeIdIndex(spark, root, snapshotId, idCol)
+    snap
+  }
+
   /** Direct multi-id lookup through the id index. Each id contributes a
     * `(bucket = hash(id) AND id = v)` disjunct; the bucket equalities are
     * plan-time constants, so partition pruning keeps only the touched

@@ -53,6 +53,35 @@ class SpatialTableSpec extends AnyFunSuite with SparkTest {
     assert(q.toSeq == Seq(("f1", None), ("f3", Some("1"))))
   }
 
+  test("config-driven layouts: geomesa.indices.enabled picks layouts, " +
+    "geomesa.z.splits picks the shard count (ConfigurableIndexes/ConfigureShards)") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (s"f-$i", (i % 36) * 10.0 - 175.0, (i % 17) * 10.0 - 80.0,
+      s"name-${i % 7}")).toDF("id", "lon", "lat", "name")
+
+    // enabled='z3' -> primary only, no secondary layouts; z.splits='8' -> 8 shards
+    val d1 = java.nio.file.Files.createTempDirectory("graft_cfg1").toString
+    val sft1 = Sft.parse("t1",
+      "id:String,name:String:index=true,*geom:Point:srid=4326;geomesa.indices.enabled='z3',geomesa.z.splits='8'")
+    SpatialTable.writeConfigured(spark, df, d1, "s", sft1, "id", "lon", "lat",
+      res = 9, prefixRes = 3, partitions = 2)
+    assert(SpatialTable.read(spark, d1, "s").select("salt").distinct().count() == 8)
+    assert(!new java.io.File(s"$d1/index_name").exists())
+    assert(!new java.io.File(s"$d1/index_id").exists())
+
+    // no user data -> all layouts: attribute index for 'name', id index
+    val d2 = java.nio.file.Files.createTempDirectory("graft_cfg2").toString
+    val sft2 = Sft.parse("t2", "id:String,name:String:index=true,*geom:Point:srid=4326")
+    SpatialTable.writeConfigured(spark, df, d2, "s", sft2, "id", "lon", "lat",
+      res = 9, prefixRes = 3, partitions = 2)
+    assert(new java.io.File(s"$d2/index_name").exists())
+    assert(new java.io.File(s"$d2/index_id").exists())
+    assert(SpatialTable.read(spark, d2, "s").select("salt").distinct().count() == 4)
+    val hit = SpatialTable.readByAttribute(spark, d2, "s", "name", "name-3")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(hit == (0 until 100).filter(_ % 7 == 3).map(i => s"f-$i").toSet)
+  }
+
   test("bbox read equals brute-force filter (pruning is sound)") {
     val bbox = (-80.0, 30.0, -70.0, 45.0) // includes the NYC hotspot
     val pruned = SpatialTable.readBBox(spark, root, "s1", bbox)
