@@ -31,9 +31,10 @@ import graft.plans.Cql
  *  - `statsString`: STATS_STRING (QueryHints.scala:31) → StatDsl.parse,
  *    one aggregated row like StatsScan.
  *  - `density`: DENSITY_BBOX/WIDTH/HEIGHT/WEIGHT (QueryHints.scala:26-29)
- *    → cell-grid density at a resolution whose grid is at least
- *    width x height over the bbox (the reference renders to exactly
- *    width x height pixels; the cell grid is the engine's raster).
+ *    → Density.grid: EXACTLY width x height raster pixels over the
+ *    bbox, snapped to GridSnap cell centers — the same grid the
+ *    reference's DensityScan renders (output columns i, j, n, weight,
+ *    x, y).
  *  - `binTrack`...: BIN_TRACK/BIN_GEOM/BIN_DTG (QueryHints.scala:41-46)
  *    → the wire-compact BIN projection (Stats.binRecords).
  * Density, stats and BIN are terminal (mutually exclusive), as in the

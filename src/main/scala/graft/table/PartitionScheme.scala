@@ -104,7 +104,10 @@ sealed trait PartitionScheme {
           "narrow the filter or read without enumeration"))
 
   final def partitionsCql(cql: String, props: Map[String, Column] = Map.empty): Seq[String] =
-    partitions(Cql.parse(cql, props))
+    cover(splitConjuncts(expressionOf(Cql.parse(cql, props))).map(unalias(_, props)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"filter does not bound scheme '$name' to <= $MaxCover partitions; " +
+          "narrow the filter or read without enumeration"))
 }
 
 object PartitionScheme {
@@ -243,11 +246,18 @@ object PartitionScheme {
       timeBounds(conjuncts, dtg).flatMap { case (lo, hi) =>
         if (lo.isAfter(hi)) Some(Nil)
         else {
-          // reference enumeration: count = between + 1, stepping by
-          // `step` units (DateTimeScheme.scala:45-48)
-          val count = stepUnit.between(lo, hi) + 1
+          // reference enumeration (DateTimeScheme.scala:45-48), with two
+          // deliberate fixes over it: `between` floors on un-truncated
+          // instants, which can drop hi's own partition when lo's
+          // sub-unit offset exceeds hi's (a pruned read would silently
+          // lose rows) — formatName(hi) is appended explicitly; and the
+          // step divides the count instead of multiplying the stride
+          // past hi (the reference overshoots by (step-1)*between units).
+          val count = stepUnit.between(lo, hi) / step + 1
           if (count > MaxCover) None
-          else Some(Seq.tabulate(count.toInt)(i => formatName(lo.plus(step.toLong * i, stepUnit))))
+          else Some(
+            (Seq.tabulate(count.toInt)(i => formatName(lo.plus(step.toLong * i, stepUnit))) :+
+              formatName(hi)).distinct)
         }
       }
     }
@@ -357,8 +367,11 @@ object PartitionScheme {
       val covers = schemes.map(_.cover(conjuncts))
       if (covers.exists(_.isEmpty)) None
       else {
-        val crossed = covers.map(_.get).reduce((a, b) => for (i <- a; j <- b) yield s"$i/$j")
-        if (crossed.size > MaxCover) None else Some(crossed)
+        // guard on the PRODUCT before materializing: two sub-covers just
+        // under the guard would otherwise build billions of strings
+        val product = covers.map(_.get.size.toLong).product
+        if (product > MaxCover) None
+        else Some(covers.map(_.get).reduce((a, b) => for (i <- a; j <- b) yield s"$i/$j"))
       }
     }
   }
@@ -483,26 +496,50 @@ object PartitionScheme {
     // partition columns must come back as the STRINGS we wrote ("003"
     // must not become int 3); inference is consulted when the relation
     // resolves its schema, i.e. inside this read — restore after
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    val df =
-      try spark.read.parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set(inferKey, v)
-        case None => spark.conf.unset(inferKey)
-      }
+    val df = withPartitionInferenceOff(spark)(spark.read.parquet(path))
     cql match {
       case None => df.drop(names: _*)
       case Some(q) =>
         val pred = Cql.parse(q, props)
-        val conjuncts = splitConjuncts(expressionOf(pred))
+        val conjuncts = splitConjuncts(expressionOf(pred)).map(unalias(_, props))
         val pruned = levelCovers(scheme, conjuncts).zip(names).foldLeft(df) {
           case (d, (Some(values), n)) if values.size <= MaxCover =>
             d.where(col(n).isin(values.toSeq: _*))
           case (d, _) => d
         }
         pruned.where(pred).drop(names: _*)
+    }
+  }
+
+  /** Disable partition-column type inference for the duration of `body`
+    * (which must eagerly resolve its relation), restoring the prior
+    * session value. Shared by [[read]] and [[SpatialTable.readAll]]. */
+  private[table] def withPartitionInferenceOff[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Rewrite props-mapped expressions back to their attribute names so
+    * the cover extractors see `dtg`/`geom` rather than the derived
+    * expression. A lon/lat table maps geom -> st_makePoint(lon, lat)
+    * (the documented props usage); without this rewrite the z2 level
+    * would silently skip pruning — results stay correct (the predicate
+    * re-applies) but the scan reads every spatial partition. Matching is
+    * structural on the unresolved trees: Cql compiled the predicate from
+    * these very Column objects, so the subtrees are identical. */
+  private[table] def unalias(e: Expression, props: Map[String, Column]): Expression = {
+    if (props.isEmpty) e
+    else {
+      val alts = props.map { case (n, c) => expressionOf(c).toString -> n }
+      e.transform {
+        case x if alts.contains(x.toString) => UnresolvedAttribute(alts(x.toString))
+      }
     }
   }
 

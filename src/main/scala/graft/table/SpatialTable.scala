@@ -121,16 +121,17 @@ object SpatialTable {
     val committed = f.listStatus(new Path(s"$root/_manifests")).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".committed")).map(_.stripSuffix(".committed"))
     require(committed.nonEmpty, s"no committed snapshots under $root")
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    val df =
-      try spark.read.option("mergeSchema", "true").parquet(s"$root/data")
-      finally prev match {
-        case Some(v) => spark.conf.set(inferKey, v)
-        case None => spark.conf.unset(inferKey)
-      }
-    df.where(col("snapshot").isin(committed: _*))
+    // list ONLY committed snapshot directories into the read: the
+    // mergeSchema pass touches every file's footer, so a crashed write's
+    // truncated part-file under an uncommitted dir must never be visited
+    // (an isin filter would prune the scan but not the schema merge)
+    val paths = committed.map(id => s"$root/data/snapshot=$id")
+    PartitionScheme.withPartitionInferenceOff(spark) {
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", s"$root/data")
+        .parquet(paths: _*)
+    }
   }
 
   /**

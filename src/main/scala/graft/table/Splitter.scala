@@ -64,8 +64,10 @@ object Splitter {
 
   /** Per-indexed-attribute splits from `attr.<name>.pattern[N]`. */
   private def attributeSplits(sft: Sft.Schema, opts: Map[String, String]): Seq[Array[Byte]] = {
-    val indexed = sft.fields.filter(f => f.option("index").exists(_.equalsIgnoreCase("true")) ||
-      f.option("index").exists(_.equalsIgnoreCase("full")))
+    // same notion of "indexed" as the rest of the engine (true|join|full,
+    // never the default geometry) — Sft.secondaryIndexed
+    val secondary = sft.secondaryIndexed.toSet
+    val indexed = sft.fields.filter(f => secondary.contains(f.name))
     indexed.flatMap { f =>
       val ranges = patternsOf(opts, s"attr.${f.name}.pattern").flatMap(parsePattern)
       val numeric = Set("Int", "Integer", "Long", "Short", "Byte")(f.typeName)

@@ -117,6 +117,32 @@ class PartitionSchemeSpec extends AnyFunSuite with Matchers with SparkTest {
     threeDays should contain theSameElementsAs (2 to 4).map(i => f"2017/201701$i%02d")
   }
 
+  test("cover keeps the upper bound's partition when the lower bound's " +
+    "sub-unit offset exceeds it (review regression)") {
+    val ps = DateTimeScheme("yyyy/MM/dd", ChronoUnit.DAYS, 1, "dtg", leaf = true)
+    // 23:00 -> 01:00 spans three calendar days but between() floors to 1
+    val covering = ps.partitionsCql(
+      "dtg >= '2017-01-02T23:00:00Z' and dtg <= '2017-01-04T01:00:00Z'")
+    covering should contain theSameElementsAs Seq("2017/01/02", "2017/01/03", "2017/01/04")
+  }
+
+  test("step > 1 divides the enumeration instead of overshooting the bound") {
+    val ps = DateTimeScheme("yyyy/MM/dd", ChronoUnit.DAYS, 7, "dtg", leaf = true)
+    val covering = ps.partitionsCql(
+      "dtg >= '2017-01-01T00:00:00Z' and dtg <= '2017-01-29T00:00:00Z'")
+    // weekly strides 01,08,15,22,29 — never past the upper bound
+    covering should contain theSameElementsAs
+      Seq("2017/01/01", "2017/01/08", "2017/01/15", "2017/01/22", "2017/01/29")
+  }
+
+  test("props-mapped geometry still drives the z2 cover (unalias regression)") {
+    val ps = Z2Scheme(4, "geom", leaf = true)
+    val props = Map("geom" ->
+      graft.functions.StFunctions.fn("st_makePoint")(col("lon"), col("lat")))
+    // same bbox as the plain-attribute case: 2 cells, NOT the whole world
+    ps.partitionsCql("bbox(geom, -10, 5, 10, 6)", props) should have size 2
+  }
+
   // ---- PartitionSchemeConfTest fixtures -------------------------------
 
   test("load from conf") {
