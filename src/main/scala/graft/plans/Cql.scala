@@ -203,7 +203,20 @@ object Cql {
         }
       } else if (c.isLetter || c == '_') {
         val m = IdentRe.findPrefixOf(s.substring(i)).get
-        out += TIdent(m, i, i + m.length); i += m.length
+        var end = i + m.length
+        var ident = m
+        // namespace-qualified property names (`ns:geom`) lex as ONE
+        // identifier — GeoTools resolves the namespace to the same
+        // attribute (FilterTest's spatioTemporalPredicatesWithNS), and
+        // nothing else in this grammar uses a bare ':' (times are lexed
+        // inside digit-led date tokens)
+        if (end < n && s.charAt(end) == ':' && end + 1 < n &&
+            (s.charAt(end + 1).isLetter || s.charAt(end + 1) == '_')) {
+          val m2 = IdentRe.findPrefixOf(s.substring(end + 1)).get
+          ident = s"$m:$m2"
+          end = end + 1 + m2.length
+        }
+        out += TIdent(ident, i, end); i = end
       } else {
         val two = if (i + 1 < n) s.substring(i, i + 2) else ""
         if (two == "<=" || two == ">=" || two == "<>" || two == "!=") {
@@ -678,8 +691,13 @@ object Cql {
       * JsonPathPropertyAccessor resolving ECQL property names
       * (`"$.json.a.b" = 30` — AccumuloDataStoreJsonTest:57). */
     private def resolve(name: String): Column =
-      props.getOrElse(name,
-        if (name.startsWith("$.")) jsonPathColumn(name) else col(name))
+      props.getOrElse(name, {
+        // a namespace-qualified name falls back to its local part, the
+        // way GeoTools property accessors ignore an unmatched namespace
+        val local = name.substring(name.lastIndexOf(':') + 1)
+        props.getOrElse(local,
+          if (name.startsWith("$.")) jsonPathColumn(name) else col(local))
+      })
 
     private def functionCall(): Column = {
       val name = next().asInstanceOf[TIdent].s
