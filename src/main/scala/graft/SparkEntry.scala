@@ -32,6 +32,28 @@ object SparkEntry {
   private val ZonesSql =
     "SELECT n_nationkey AS zone_key, (n_nationkey % 5) * 72.0 - 180.0 AS lon0, " +
       "floor(n_nationkey / 5) * 36.0 - 90.0 AS lat0 FROM nation"
+
+  /** Deterministic raster chunks derived from the event points — one
+    * chunk per occupied grid cell at two resolutions (even event ids
+    * seed 8-degree chunks at res 0.5 deg/px, odd ids 2-degree chunks at
+    * res 0.125), color = min event id mod 251. The SAME text runs as
+    * Spark SQL (engine ingest) and inside the DuckDB oracle CTE, so the
+    * chunk metadata is bit-identical on both sides (grid edges and both
+    * resolutions are exact binary doubles). */
+  private val RasterChunksSql =
+    """SELECT concat('c', CAST(CAST(span AS INT) AS STRING), '_',
+      |              CAST(gx AS STRING), '_', CAST(gy AS STRING)) AS rid,
+      |       gx * span AS minx, gy * span AS miny,
+      |       (gx + 1) * span AS maxx, (gy + 1) * span AS maxy,
+      |       span / 16.0 AS res,
+      |       CAST(seed % 251 AS INT) AS color
+      |FROM (
+      |  SELECT span, CAST(floor(lon / span) AS BIGINT) AS gx,
+      |         CAST(floor(lat / span) AS BIGINT) AS gy, MIN(event_id) AS seed
+      |  FROM (SELECT CAST(CASE WHEN event_id % 2 = 0 THEN 8.0 ELSE 2.0 END AS DOUBLE) AS span,
+      |               lon, lat, event_id FROM pts) raw
+      |  GROUP BY 1, 2, 3
+      |) cells""".stripMargin
   /** Mixed zone sizes: every 3rd zone is continent-sized (300 x 150 deg,
     * ~2900 cover cells at res 6 — far over the join budget, exercising
     * the size-split broadcast branch); the rest are small grid-join
@@ -1119,6 +1141,44 @@ object SparkEntry {
         transforms = Seq("event_id", "vt=value * 2", "shout=strToUpperCase(event_type)"),
         sortBy = Seq(("event_id", false)),
         maxFeatures = Some(100)), idColumn = "event_id")),
+
+    "q_raster_query" -> ((s, dir) => {
+      // raster chunk store (AccumuloRasterStore/RasterQueryPlanner
+      // analog): event-derived chunks at two resolutions written to a
+      // RasterTable (lexi-res partition dirs + geohash-sorted files),
+      // queried by bbox + requested resolution. The planner picks the
+      // finest stored resolution <= the request and re-checks the strict
+      // 2-D overlap exactly; DuckDB replicates selection + refine on the
+      // same derived chunk metadata (the geohash ranges are pruning
+      // only — asserted superset-safe in RasterTableSpec)
+      val root = tableRoot("raster", dir)
+      t(s, dir, "events").createOrReplaceTempView("events")
+      if (!graft.table.RasterTable.isCommitted(s, root, "s1")) {
+        val chunks = s.sql(s"WITH pts AS ($PtsSql) $RasterChunksSql")
+          .withColumn("w", lit(16)).withColumn("h", lit(16))
+          .withColumn("pixels", expr("transform(sequence(1, 256), x -> color)"))
+        graft.table.RasterTable.write(s, chunks, root, "s1")
+      }
+      graft.table.RasterTable.query(s, root, "s1", 2.0, 1.0, 34.0, 27.0, resolution = 0.125)
+        .select("rid", "minx", "miny", "maxx", "maxy", "res", "color")
+    }),
+
+    "q_raster_mosaic" -> ((s, dir) => {
+      // distributed raster -> tile rendering (RasterUtils.mosaicChunks'
+      // crop/scale/paste kernel inside one shuffle keyed by tile id):
+      // the four 8-degree chunks over (0,16)^2 render the 4x4 grid of
+      // 4-degree tiles; each 16x16 tile is one solid planted color, so
+      // DuckDB recomputes every output cell from the events table alone
+      t(s, dir, "events").createOrReplaceTempView("events")
+      val chunks = s.sql(s"WITH pts AS ($PtsSql) $RasterChunksSql")
+        .where("res = 0.5 AND minx IN (0.0, 8.0) AND miny IN (0.0, 8.0)")
+        .withColumn("w", lit(16)).withColumn("h", lit(16))
+        .withColumn("pixels", expr("transform(sequence(1, 256), x -> color)"))
+      operators.Mosaic.mosaicPerTile(chunks, tileDeg = 4.0, tileW = 16, tileH = 16)
+        .select(col("tile_x"), col("tile_y"), col("chunk_count"),
+          array_min(col("pixels")).as("color_min"), array_max(col("pixels")).as("color_max"),
+          size(col("pixels")).as("n_pixels"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1777,6 +1837,34 @@ object SparkEntry {
         """SELECT event_id, value * 2 AS vt, upper(event_type) AS shout FROM events
           |WHERE event_type = 'purchase' AND value > 50
           |ORDER BY event_id LIMIT 100""".stripMargin,
+
+      "q_raster_query" ->
+        // full replication of the raster planner's RESULT semantics:
+        // resolution selection (finest <= requested, else the finest
+        // available — selectResolution:95-107) + the strict 2-D overlap
+        // refine; the engine's geohash ranges only prune
+        s"""WITH $ptsCte, chunks AS ($RasterChunksSql),
+           |sel AS (
+           |  SELECT CASE
+           |    WHEN EXISTS (SELECT 1 FROM chunks WHERE res <= 0.125)
+           |    THEN (SELECT max(res) FROM chunks WHERE res <= 0.125)
+           |    ELSE (SELECT min(res) FROM chunks) END AS res)
+           |SELECT rid, minx, miny, maxx, maxy, res, color FROM chunks
+           |WHERE res = (SELECT res FROM sel)
+           |  AND minx < 34.0 AND maxx > 2.0 AND miny < 27.0 AND maxy > 1.0""".stripMargin,
+
+      "q_raster_mosaic" ->
+        // each 8-degree chunk fully covers four 4-degree tiles; a
+        // rendered tile is the solid chunk color (crop -> nearest
+        // neighbor scale of a solid region), 16x16 = 256 pixels
+        s"""WITH $ptsCte, chunks AS ($RasterChunksSql)
+           |SELECT CAST(minx / 4 + d.dx AS INT) AS tile_x,
+           |       CAST(miny / 4 + d.dy AS INT) AS tile_y,
+           |       1 AS chunk_count, color AS color_min, color AS color_max,
+           |       256 AS n_pixels
+           |FROM chunks
+           |CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS d(dx, dy)
+           |WHERE res = 0.5 AND minx IN (0.0, 8.0) AND miny IN (0.0, 8.0)""".stripMargin,
     )
   }
 }
