@@ -54,6 +54,18 @@ object SparkEntry {
       |               lon, lat, event_id FROM pts) raw
       |  GROUP BY 1, 2, 3
       |) cells""".stripMargin
+  /** Deterministic BOX geometries derived from the event points — the
+    * non-point ingest for the XZ2/XZ3 GeomTable entries. For boxes, JTS
+    * st_intersects equals the inclusive envelope-overlap test, so the
+    * SAME text runs as Spark SQL (ingest) and inside the DuckDB oracle
+    * and the refine is SQL-replicable exactly (least/+/% are identical
+    * IEEE arithmetic on both engines). */
+  private val BoxesSql =
+    """SELECT event_id, ts, lon AS bminx, lat AS bminy,
+      |  least(lon + 0.4 + (event_id % 7) * 0.45, 180.0) AS bmaxx,
+      |  least(lat + 0.3 + (event_id % 5) * 0.35, 90.0) AS bmaxy
+      |FROM pts""".stripMargin
+
   /** Mixed zone sizes: every 3rd zone is continent-sized (300 x 150 deg,
     * ~2900 cover cells at res 6 — far over the join budget, exercising
     * the size-split broadcast branch); the rest are small grid-join
@@ -168,6 +180,19 @@ object SparkEntry {
         // — q_geojson_indexed serves from this snapshot's pruned scan
         sources.GeoJsonQuery.index(s, sources.GeoJsonQuery.read(s, gjRoot),
           tableRoot("gjidx", dir), "docs", res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      },
+      () => {
+        // non-point GeomTable snapshots (XZ2 flat + XZ3 temporal) for
+        // q_geom_bbox / q_geom_bbox_time — box features derived from the
+        // event points, one row per feature keyed by the envelope's XZ
+        // sequence code (idempotent via the commit marker)
+        val boxes = s.sql(s"WITH pts AS ($PtsSql) $BoxesSql")
+          .withColumn("geom", StFunctions.fn("st_makeBBOX")(
+            col("bminx"), col("bminy"), col("bmaxx"), col("bmaxy")))
+          .select("event_id", "ts", "geom")
+        graft.table.GeomTable.write(s, boxes, tableRoot("geomxz2", dir), "s1", partitions = 8)
+        graft.table.GeomTable.write(s, boxes, tableRoot("geomxz3", dir), "s1",
+          dtgCol = Some("ts"), partitions = 8)
       })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
@@ -1179,6 +1204,39 @@ object SparkEntry {
           array_min(col("pixels")).as("color_min"), array_max(col("pixels")).as("color_max"),
           size(col("pixels")).as("n_pixels"))
     }),
+
+    "q_geom_bbox" -> ((s, dir) => {
+      // non-point bbox scan (XZ2Index analog): box features in a flat
+      // GeomTable — xz BETWEEN ranges on the sorted key, the stored
+      // envelope re-check in codegen, exact st_intersects refine. One
+      // row per feature (XZ never splits a geometry), so no dedup stage;
+      // DuckDB re-derives the boxes and brute-forces the inclusive
+      // envelope overlap (identical to JTS intersects for boxes)
+      StFunctions.register(s)
+      prepareTables(s, dir)
+      // window bounds sit off the data's 0.005 coordinate grid, so no box
+      // edge can land exactly on a window edge (boundary ULP drift between
+      // the engines' literal arithmetic could otherwise flip inclusion);
+      // outputs round to 6 dp for the same reason (Spark decimal-literal
+      // folding yields -36.2 where DuckDB's double chain gives
+      // -36.19999999999999)
+      graft.table.GeomTable.readBBox(s, tableRoot("geomxz2", dir), "s1",
+          -40.005, -30.005, 25.005, 20.005)
+        .selectExpr("event_id", "round(minx, 6) AS minx", "round(miny, 6) AS miny",
+          "round(maxx, 6) AS maxx", "round(maxy, 6) AS maxy")
+    }),
+
+    "q_geom_bbox_time" -> ((s, dir) => {
+      // non-point bbox+interval scan (XZ3Index analog): time_bin
+      // directory pruning -> per-bin xz3 ranges -> envelope + dtg
+      // re-check -> exact refine, all in one scan
+      StFunctions.register(s)
+      prepareTables(s, dir)
+      graft.table.GeomTable.readBBoxTime(s, tableRoot("geomxz3", dir), "s1",
+          -40.005, -30.005, 25.005, 20.005, 1704672000000L, 1705276800000L, dtgCol = "ts")
+        .selectExpr("event_id", "round(minx, 6) AS minx", "round(miny, 6) AS miny",
+          "round(maxx, 6) AS maxx", "round(maxy, 6) AS maxy")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1865,6 +1923,21 @@ object SparkEntry {
            |FROM chunks
            |CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS d(dx, dy)
            |WHERE res = 0.5 AND minx IN (0.0, 8.0) AND miny IN (0.0, 8.0)""".stripMargin,
+
+      "q_geom_bbox" ->
+        s"""WITH $ptsCte, boxes AS ($BoxesSql)
+           |SELECT event_id, round(bminx, 6) AS minx, round(bminy, 6) AS miny,
+           |  round(bmaxx, 6) AS maxx, round(bmaxy, 6) AS maxy
+           |FROM boxes
+           |WHERE bminx <= 25.005 AND bmaxx >= -40.005 AND bminy <= 20.005 AND bmaxy >= -30.005""".stripMargin,
+
+      "q_geom_bbox_time" ->
+        s"""WITH $ptsCte, boxes AS ($BoxesSql)
+           |SELECT event_id, round(bminx, 6) AS minx, round(bminy, 6) AS miny,
+           |  round(bmaxx, 6) AS maxx, round(bmaxy, 6) AS maxy
+           |FROM boxes
+           |WHERE bminx <= 25.005 AND bmaxx >= -40.005 AND bminy <= 20.005 AND bmaxy >= -30.005
+           |  AND epoch_ms(CAST(ts AS TIMESTAMP)) BETWEEN 1704672000000 AND 1705276799999""".stripMargin,
     )
   }
 }
