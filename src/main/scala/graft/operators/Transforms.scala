@@ -76,4 +76,53 @@ object Transforms {
     val bucket = bucketOf(col(attribute), modulo)
     df.withColumn(hashCol, element_at(lit(Colors), (bucket % Colors.length) + 1))
   }
+
+  /**
+   * JoinProcess analog (process/query/JoinProcess.scala:48-160): look up
+   * secondary-schema features whose `joinAttribute` equals a value in the
+   * (already filtered) primary collection, returning the join attribute
+   * plus every other attribute of both schemas under schema-qualified
+   * names (`<schemaName>.<attr>`, the reference's combined sft), or just
+   * `attributes` when given (qualified names, plus the bare join
+   * attribute). `joinFilter` is extra CQL applied to the secondary side,
+   * exactly where the reference ANDs it into the secondary query.
+   *
+   * The reference collects the primary side on the driver (hard-capped at
+   * 128 features — it is "mainly intended for a single feature lookup")
+   * and ORs per-value equality filters into one secondary scan; here the
+   * primary side broadcasts into a hash join, so the secondary side stays
+   * a single distributed scan at any primary size. `maxPrimary` opts into
+   * the reference's cap as a guard. One intentional relational deviation:
+   * with DUPLICATE primary join values the reference's driver loop keeps
+   * whichever primary feature it finds first — this join keeps every
+   * matching pair.
+   */
+  def joinProcess(primary: DataFrame, secondary: DataFrame, joinAttribute: String,
+                  joinFilter: Option[String] = None, attributes: Seq[String] = Nil,
+                  primaryName: String = "primary", secondaryName: String = "secondary",
+                  maxPrimary: Option[Int] = None): DataFrame = {
+    require(primary.columns.contains(joinAttribute),
+      s"Attribute '$joinAttribute' does not exist in the primary feature collection")
+    require(secondary.columns.contains(joinAttribute),
+      s"Attribute '$joinAttribute' does not exist in the joined feature collection")
+    maxPrimary.foreach { n =>
+      val got = primary.limit(n + 1).count()
+      require(got <= n, s"Too many features returned from primary query - got $got+, max $n")
+    }
+    val sec = joinFilter.map(f => secondary.where(graft.plans.Cql.parse(f))).getOrElse(secondary)
+    def qualify(df: DataFrame, name: String): DataFrame =
+      df.select(col(joinAttribute) +: df.columns.filter(_ != joinAttribute)
+        .map(c => col(c).as(s"$name.$c")).toIndexedSeq: _*)
+    val joined = qualify(sec, secondaryName)
+      .join(broadcast(qualify(primary, primaryName)), joinAttribute)
+    if (attributes.isEmpty) {
+      // reference default order: join attr, then primary attrs, then secondary
+      val ordered = col(joinAttribute) +:
+        (joined.columns.filter(_.startsWith(s"$primaryName.")) ++
+          joined.columns.filter(_.startsWith(s"$secondaryName."))).map(c => col(s"`$c`")).toIndexedSeq
+      joined.select(ordered: _*)
+    } else {
+      joined.select(attributes.map(a => if (a == joinAttribute) col(a) else col(s"`$a`")): _*)
+    }
+  }
 }

@@ -463,19 +463,29 @@ object PartitionScheme {
       "— the reference formats partitions at ZoneOffset.UTC")
   }
 
+  /** Storage encodings the reference's FS datastore supports
+    * (ParquetFileSystemStorage / OrcFileSystemStorage) — both are
+    * Spark-native columnar sources with identical partition-pruning and
+    * predicate-pushdown behavior here. */
+  private val Formats = Set("parquet", "orc")
+  private def requireFormat(format: String): Unit =
+    require(Formats.contains(format), s"unsupported storage format '$format' (parquet|orc)")
+
   /** Write `df` under `path` in the scheme's directory layout: one
     * Hive-style partition directory per path segment. The scheme config
     * is persisted alongside (`_scheme.json`) like the reference stores
-    * it in the sft user data / metadata file. */
+    * it in the sft user data / metadata file. `format` selects the
+    * file encoding (reference: geomesa-fs-storage-parquet / -orc). */
   def write(df: DataFrame, path: String, scheme: PartitionScheme,
-            resolve: Resolver = WkbResolver): Unit = {
+            resolve: Resolver = WkbResolver, format: String = "parquet"): Unit = {
     requireUtc(df.sparkSession)
+    requireFormat(format)
     val segs = scheme.segmentCols(resolve)
     val names = segNames(scheme)
-    if (names.isEmpty) df.write.mode("overwrite").parquet(path)
+    if (names.isEmpty) df.write.mode("overwrite").format(format).save(path)
     else {
       names.zip(segs).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
-        .write.mode("overwrite").partitionBy(names: _*).parquet(path)
+        .write.mode("overwrite").partitionBy(names: _*).format(format).save(path)
     }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -490,13 +500,15 @@ object PartitionScheme {
     * the filter cannot bound just skip pruning. The CQL predicate is
     * applied in full regardless, so pruning is purely an I/O bound. */
   def read(spark: SparkSession, path: String, scheme: PartitionScheme,
-           cql: Option[String] = None, props: Map[String, Column] = Map.empty): DataFrame = {
+           cql: Option[String] = None, props: Map[String, Column] = Map.empty,
+           format: String = "parquet"): DataFrame = {
     requireUtc(spark)
+    requireFormat(format)
     val names = segNames(scheme)
     // partition columns must come back as the STRINGS we wrote ("003"
     // must not become int 3); inference is consulted when the relation
     // resolves its schema, i.e. inside this read — restore after
-    val df = withPartitionInferenceOff(spark)(spark.read.parquet(path))
+    val df = withPartitionInferenceOff(spark)(spark.read.format(format).load(path))
     cql match {
       case None => df.drop(names: _*)
       case Some(q) =>

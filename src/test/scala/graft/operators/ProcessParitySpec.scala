@@ -434,4 +434,47 @@ class ProcessParitySpec extends AnyFunSuite with SparkTest {
     }.toSet
     assert(decoded == expected)
   }
+
+  // JoinProcessTest.scala:25-62 — sft1 "track,age,weight,dtg,geom:LineString",
+  // sft2 "track:index=join,dtg,geom:Point"; 10 primaries, 100 secondaries
+  // with track = i/10
+  private lazy val joinPrimary = (0 until 10).map { i =>
+    (i.toString, i.toString, i, i, java.sql.Timestamp.from(java.time.Instant.parse("2015-01-01T00:00:00Z")),
+      G.toWkb(new org.locationtech.jts.io.WKTReader().read("LINESTRING(0 0, 1 1)")))
+  }.toDF("fid", "track", "age", "weight", "dtg", "geom")
+  private lazy val joinSecondary = (0 until 100).map { i =>
+    (i.toString, (i / 10).toString, java.sql.Timestamp.from(java.time.Instant.parse("2015-01-01T00:00:00Z")),
+      G.toWkb(new org.locationtech.jts.io.WKTReader().read("POINT(0 0)")))
+  }.toDF("fid", "track", "dtg", "geom")
+
+  test("JoinProcess fixture: join between schemas (age = 5 -> 10 track-5 rows)") {
+    val primary = joinPrimary.where(graft.plans.Cql.parse("age = 5"))
+    val out = Transforms.joinProcess(primary, joinSecondary, "track")
+    val rows = out.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[String]("track") == "5"))
+    // combined-schema naming: join attr bare, everything else qualified,
+    // primary attributes first (JoinProcess.getCombinedSft default)
+    assert(out.columns.head === "track")
+    assert(out.columns.contains("primary.age") && out.columns.contains("secondary.dtg"))
+    assert(out.columns.indexOf("primary.age") < out.columns.indexOf("secondary.fid"))
+  }
+
+  test("JoinProcess: joinFilter applies to the secondary side; attributes project") {
+    val primary = joinPrimary.where(graft.plans.Cql.parse("age = 5"))
+    val out = Transforms.joinProcess(primary, joinSecondary, "track",
+      joinFilter = Some("fid IN ('50','51','52')"),
+      attributes = Seq("track", "primary.weight", "secondary.fid"))
+    val rows = out.orderBy(col("`secondary.fid`")).collect()
+    assert(out.columns.toSeq === Seq("track", "primary.weight", "secondary.fid"))
+    assert(rows.map(_.getString(2)).toSeq === Seq("50", "51", "52"))
+    assert(rows.forall(r => r.getString(0) == "5" && r.getInt(1) == 5))
+  }
+
+  test("JoinProcess: missing join attribute and the primary cap fail loudly") {
+    assertThrows[IllegalArgumentException](
+      Transforms.joinProcess(joinPrimary, joinSecondary, "nope"))
+    assertThrows[IllegalArgumentException](
+      Transforms.joinProcess(joinPrimary, joinSecondary, "track", maxPrimary = Some(5)))
+  }
 }

@@ -271,4 +271,28 @@ class PartitionSchemeSpec extends AnyFunSuite with Matchers with SparkTest {
     val allFiles = filesRead(PartitionScheme.read(spark, path, scheme))
     filesRead(pruned) should be < allFiles
   }
+
+  test("orc storage: same layout, pruning, and answers as parquet") {
+    val df = spark.range(0, 400).select(
+      col("id"),
+      (((col("id") * 7919) % 36000) / 100.0 - 180.0).as("lon"),
+      (((col("id") * 104729) % 18000) / 100.0 - 90.0).as("lat"),
+      timestamp_seconds(lit(1483228800L) + col("id") * 7200).as("ts"))
+    val scheme = DateTimeScheme("yyyy/MM/dd", ChronoUnit.DAYS, 1, "ts", leaf = true)
+    val resolver = LonLatResolver("lon", "lat")
+    val path = "/tmp/graft_pscheme_orc_spec"
+    PartitionScheme.write(df, path, scheme, resolver, format = "orc")
+    new java.io.File(path, "_p0=2017").exists() shouldBe true
+
+    val cql = "ts >= '2017-01-02T00:00:00Z' and ts < '2017-01-04T00:00:00Z'"
+    val pruned = PartitionScheme.read(spark, path, scheme, Some(cql), format = "orc")
+    val expected = df.where(
+      col("ts") >= "2017-01-02 00:00:00" && col("ts") < "2017-01-04 00:00:00")
+    pruned.select("id").collect().map(_.getLong(0)).sorted shouldBe
+      expected.select("id").collect().map(_.getLong(0)).sorted
+    pruned.count() should be > 0L
+
+    an[IllegalArgumentException] should be thrownBy
+      PartitionScheme.write(df, path, scheme, resolver, format = "avro")
+  }
 }
