@@ -99,7 +99,11 @@ final case class XZ2(g: Int) {
         // enlarged cell: doubled extent anchored at min corner
         val exmax = n.xmin + 2 * n.width
         val eymax = n.ymin + 2 * n.width
-        val disjoint = exmax <= qxmin || n.xmin >= qxmax || eymax <= qymin || n.ymin >= qymax
+        // STRICT comparisons: an element that merely touches the window
+        // boundary still intersects (JTS intersects counts touching, and
+        // the reference's XZ2SFC.overlaps is inclusive) — `<=` here would
+        // silently drop boundary rows from the cover
+        val disjoint = exmax < qxmin || n.xmin > qxmax || eymax < qymin || n.ymin > qymax
         if (!disjoint) {
           val enlargedContained =
             n.xmin >= qxmin && exmax <= qxmax && n.ymin >= qymin && eymax <= qymax

@@ -87,7 +87,10 @@ final case class XZ3(g: Int, period: BinnedTime.Period) {
       val next = scala.collection.mutable.ListBuffer.empty[Node]
       frontier.foreach { n =>
         val ex = n.x + 2 * n.w; val ey = n.y + 2 * n.w; val et = n.t + 2 * n.w
-        val disjoint = ex <= qx0 || n.x >= qx1 || ey <= qy0 || n.y >= qy1 || et <= qt0 || n.t >= qt1
+        // STRICT comparisons — boundary-touching elements intersect (see
+        // XZ2.ranges; the day-period ZInterval fixture plants a point at
+        // exactly the interval's inclusive upper offset)
+        val disjoint = ex < qx0 || n.x > qx1 || ey < qy0 || n.y > qy1 || et < qt0 || n.t > qt1
         if (!disjoint) {
           val contained = n.x >= qx0 && ex <= qx1 && n.y >= qy0 && ey <= qy1 && n.t >= qt0 && et <= qt1
           if (contained) {

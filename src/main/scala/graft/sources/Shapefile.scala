@@ -2,7 +2,8 @@ package graft.sources
 
 import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream, RandomAccessFile}
 import java.nio.{ByteBuffer, ByteOrder}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DoubleType, LongType, StringType, StructField, StructType}
 import org.locationtech.jts.geom._
 import org.locationtech.jts.algorithm.Orientation
 import graft.geom.GeomOps
@@ -261,6 +262,192 @@ object Shapefile {
       i += 1
     }
     rb.toString.getBytes("ASCII")
+  }
+
+  // ------------------------------------------------------------------
+  // read path — the ingest direction (reference: shapefile ingest via
+  // geomesa-tools, ShpIngestTest.scala; GeoTools' ShapefileDataStore does
+  // the per-file parsing there). One shapefile is one task (the format
+  // is a single ≤2GB stream); a DIRECTORY of shapefiles reads as one
+  // task per file — the scale shape for shapefile corpora. Coordinates
+  // are taken as stored (the writer emits no .prj; the reference
+  // reprojects non-WGS84 inputs at ingest — supplying pre-projected
+  // data is the analog here).
+
+  /** Read a shapefile (a `.shp` path, a bare prefix, or a directory of
+    * shapefiles with IDENTICAL attribute schemas) into a DataFrame:
+    * `geomCol` as WKB (null for null shapes) followed by the .dbf
+    * attributes — 'C' as string, 'N' as long (0 decimals) or double,
+    * 'L' as boolean, 'D' as "yyyyMMdd" string. */
+  def read(spark: SparkSession, path: String, geomCol: String = "geom"): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fsOf(p: String): FileSystem = new HPath(p).getFileSystem(conf)
+    val shpPaths: Seq[String] = {
+      val fs = fsOf(path)
+      if (path.endsWith(".shp")) Seq(path)
+      else if (fs.exists(new HPath(path)) && fs.getFileStatus(new HPath(path)).isDirectory) {
+        val found = fs.listStatus(new HPath(path))
+          .map(_.getPath).filter(_.getName.endsWith(".shp")).map(_.toString).sorted.toSeq
+        require(found.nonEmpty, s"no .shp files under $path")
+        found
+      } else Seq(path + ".shp")
+    }
+    def readBytes(p: String): Array[Byte] = {
+      val fs = fsOf(p); val st = fs.getFileStatus(new HPath(p))
+      require(st.getLen <= Int.MaxValue - 8, s"$p exceeds the shapefile 2GB bound")
+      val b = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(new HPath(p))
+      try in.readFully(b) finally in.close()
+      b
+    }
+    def dbfOf(shp: String): String = shp.stripSuffix(".shp") + ".dbf"
+    // the FIRST file's .dbf header fixes the schema (like Spark's CSV
+    // inference reads one file); every other file must match exactly
+    val headerDefs = readDbfFieldDefs(readBytes(dbfOf(shpPaths.head)))
+    val schema = StructType(StructField(geomCol, BinaryType) +: headerDefs.map {
+      case (name, 'N', _, 0) => StructField(name, LongType)
+      case (name, 'N' | 'F', _, _) => StructField(name, DoubleType)
+      case (name, 'L', _, _) => StructField(name, BooleanType)
+      case (name, _, _, _) => StructField(name, StringType)
+    })
+    val headerDefsSeq = headerDefs.toSeq
+    val firstShp = shpPaths.head
+    val rdd = spark.sparkContext.parallelize(shpPaths, math.max(1, shpPaths.size)).flatMap { shp =>
+      // task-local Hadoop conf — the driver's Configuration is not
+      // serializable and must not ride the closure
+      def taskBytes(p: String): Array[Byte] = {
+        val hconf = new org.apache.hadoop.conf.Configuration()
+        val hp = new HPath(p); val fs = hp.getFileSystem(hconf)
+        val st = fs.getFileStatus(hp)
+        require(st.getLen <= Int.MaxValue - 8, s"$p exceeds the shapefile 2GB bound")
+        val b = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(hp)
+        try in.readFully(b) finally in.close()
+        b
+      }
+      val dbfBytes = taskBytes(shp.stripSuffix(".shp") + ".dbf")
+      val defs = readDbfFieldDefs(dbfBytes)
+      require(defs.toSeq == headerDefsSeq,
+        s"$shp: attribute schema differs from $firstShp — mixed-schema directories cannot union")
+      val geoms = parseShpRecords(taskBytes(shp))
+      val attrs = parseDbfRecords(dbfBytes, defs)
+      require(geoms.size == attrs.size,
+        s"$shp: ${geoms.size} shapes but ${attrs.size} dBASE records")
+      geoms.iterator.zip(attrs.iterator).collect {
+        // a '*'-deleted dBASE record still owns its ordinal .shp twin —
+        // both drop together
+        case (g, Some(vals)) =>
+          val wkb: Any = if (g == null) null else GeomOps.toWkb(g)
+          Row.fromSeq(wkb +: vals)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Field descriptors from a .dbf header: (name, type, len, dec). */
+  private def readDbfFieldDefs(bytes: Array[Byte]): Array[(String, Char, Int, Int)] = {
+    require(bytes.length >= 33, "truncated dBASE file")
+    val defs = scala.collection.mutable.ArrayBuffer.empty[(String, Char, Int, Int)]
+    var off = 32
+    while (off + 32 <= bytes.length && bytes(off) != 0x0d) {
+      val nameEnd = (off until off + 11).find(bytes(_) == 0).getOrElse(off + 11)
+      val name = new String(bytes, off, nameEnd - off, "ASCII")
+      val kind = bytes(off + 11).toChar
+      val len = bytes(off + 16) & 0xFF
+      val dec = bytes(off + 17) & 0xFF
+      defs += ((name, kind, len, dec))
+      off += 32
+    }
+    defs.toArray
+  }
+
+  /** Attribute rows from a .dbf, ordinal order; None for '*'-deleted
+    * records. */
+  private def parseDbfRecords(bytes: Array[Byte],
+                              defs: Array[(String, Char, Int, Int)]): Seq[Option[Seq[Any]]] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nRecords = bb.getInt(4)
+    val headerSize = bb.getShort(8) & 0xFFFF
+    val recSize = bb.getShort(10) & 0xFFFF
+    (0 until nRecords).map { r =>
+      val base = headerSize + r * recSize
+      require(base + recSize <= bytes.length, s"truncated dBASE record $r")
+      if (bytes(base) == '*') None
+      else Some {
+        var off = base + 1
+        defs.toSeq.map { case (_, kind, len, dec) =>
+          val raw = new String(bytes, off, len, "ASCII")
+          off += len
+          val t = raw.trim
+          if (t.isEmpty) null
+          else kind match {
+            case 'N' if dec == 0 => java.lang.Long.valueOf(t)
+            case 'N' | 'F' => java.lang.Double.valueOf(t)
+            case 'L' => java.lang.Boolean.valueOf(t == "T" || t == "t" || t == "Y" || t == "y")
+            case _ => t
+          }
+        }
+      }
+    }
+  }
+
+  /** Geometries from a .shp in record order (null for null shapes). */
+  private def parseShpRecords(bytes: Array[Byte]): Seq[Geometry] = {
+    val f = GeomOps.factory
+    val out = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    var off = 100 // past the main header
+    while (off + 8 <= bytes.length) {
+      val head = ByteBuffer.wrap(bytes, off, 8).order(ByteOrder.BIG_ENDIAN)
+      head.getInt // record number
+      val contentWords = head.getInt
+      val b = ByteBuffer.wrap(bytes, off + 8, contentWords * 2).order(ByteOrder.LITTLE_ENDIAN)
+      out += (b.getInt match {
+        case 0 => null
+        case 1 => f.createPoint(new Coordinate(b.getDouble, b.getDouble))
+        case 8 =>
+          b.position(b.position() + 32) // bbox
+          val n = b.getInt
+          f.createMultiPointFromCoords(Array.fill(n)(new Coordinate(b.getDouble, b.getDouble)))
+        case t @ (3 | 5) =>
+          b.position(b.position() + 32) // bbox
+          val nParts = b.getInt; val nPts = b.getInt
+          val starts = Array.fill(nParts)(b.getInt)
+          val coords = Array.fill(nPts)(new Coordinate(b.getDouble, b.getDouble))
+          val parts = starts.indices.map { i =>
+            val end = if (i + 1 < nParts) starts(i + 1) else nPts
+            coords.slice(starts(i), end)
+          }
+          if (t == 3) {
+            val lines = parts.map(f.createLineString)
+            if (lines.size == 1) lines.head else f.createMultiLineString(lines.toArray)
+          } else assemblePolygons(parts)
+        case other => throw new IllegalArgumentException(s"unsupported shape type $other")
+      })
+      off += 8 + contentWords * 2
+    }
+    out.toSeq
+  }
+
+  /** ESRI winding reassembly: clockwise rings are shells, counter-
+    * clockwise rings are holes of the shell that contains them (a hole
+    * no shell contains is kept as its own shell — lenient toward
+    * writers that break the winding rule). */
+  private def assemblePolygons(parts: Seq[Array[Coordinate]]): Geometry = {
+    val f = GeomOps.factory
+    val rings = parts.map(f.createLinearRing)
+    val (holes0, shells0) = rings.partition(r => Orientation.isCCW(r.getCoordinates))
+    val (shells, holes) =
+      if (shells0.isEmpty) (holes0, Seq.empty[LinearRing]) else (shells0, holes0)
+    val shellPolys = shells.map(s => f.createPolygon(s))
+    val grouped = holes.groupBy { h =>
+      val p = f.createPoint(h.getCoordinateN(0))
+      shellPolys.indexWhere(_.covers(p))
+    }
+    val polys = shellPolys.indices.map { i =>
+      f.createPolygon(shells(i), grouped.getOrElse(i, Seq.empty).toArray)
+    } ++ grouped.getOrElse(-1, Seq.empty).map(h => f.createPolygon(h))
+    if (polys.size == 1) polys.head else f.createMultiPolygon(polys.toArray)
   }
 
   /** dBASE 'N' rendering — Locale.ROOT ('.' decimals regardless of the

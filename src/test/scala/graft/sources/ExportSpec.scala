@@ -373,4 +373,88 @@ class ExportSpec extends AnyFunSuite with SparkTest {
     // the null-geometry row is dropped rather than NPE-ing the export
     assert("\"type\":\"Feature\"".r.findAllIn(html).size == 1)
   }
+
+  // ---- Shapefile READ (ingest direction — ShpIngestTest analog) ------
+
+  test("Shapefile read: write -> read round-trips points, attrs, and nulls") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("2011-01-01T00:00:00.000Z", 1L, 1.5, Some(10.0)),
+      ("2012-01-01T00:00:00.000Z", 9007199254740995L, -2.25, None))
+      .toDF("dtg", "n", "d", "x")
+      .selectExpr("dtg", "n", "d",
+        "CASE WHEN x IS NOT NULL THEN st_makePoint(x, 2 * x) ELSE st_makePoint(1.0, 2.0) END AS geom")
+      .select("geom", "dtg", "n", "d")
+    val prefix = tmp() + "/rt"
+    Shapefile.write(df, "geom", prefix)
+    val back = Shapefile.read(spark, prefix)
+    assert(back.schema.map(f => (f.name, f.dataType)).toSeq === Seq(
+      ("geom", org.apache.spark.sql.types.BinaryType),
+      ("dtg", org.apache.spark.sql.types.StringType),
+      ("n", org.apache.spark.sql.types.LongType),
+      ("d", org.apache.spark.sql.types.DoubleType)))
+    val rows = back.collect().map(r =>
+      (graft.geom.GeomOps.fromWkb(r.getAs[Array[Byte]](0)).toText,
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows === Set(
+      ("POINT (10 20)", "2011-01-01T00:00:00.000Z", 1L, 1.5),
+      // integral dBASE values past 2^53 come back exact (Long path)
+      ("POINT (1 2)", "2012-01-01T00:00:00.000Z", 9007199254740995L, -2.25)))
+  }
+
+  test("Shapefile read: polygons with holes, polylines, multipoints reassemble") {
+    import spark.implicits._
+    val reader = new org.locationtech.jts.io.WKTReader(graft.geom.GeomOps.factory)
+    def wkb(wkt: String) = graft.geom.GeomOps.toWkb(reader.read(wkt))
+    val cases = Seq(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0)), ((20 20, 25 20, 25 25, 20 25, 20 20), (21 21, 22 21, 22 22, 21 22, 21 21)))",
+      "LINESTRING (0 0, 5 5, 10 0)",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOINT ((1 1), (2 2), (3 3))")
+    for ((wkt, i) <- cases.zipWithIndex) {
+      val prefix = tmp() + s"/geom$i"
+      Shapefile.write(Seq((i.toLong, wkb(wkt))).toDF("id", "geom"), "geom", prefix)
+      val back = Shapefile.read(spark, prefix).collect()
+      assert(back.length === 1)
+      val g = graft.geom.GeomOps.fromWkb(back.head.getAs[Array[Byte]]("geom"))
+      val expected = reader.read(wkt)
+      assert(g.norm().equalsExact(expected.norm()),
+        s"case $i: ${g.toText} != $wkt")
+      assert(back.head.getLong(1) === i.toLong)
+    }
+  }
+
+  test("Shapefile read: a directory unions files; mixed schemas fail loudly") {
+    StFunctions.register(spark)
+    import spark.implicits._
+    val dir = tmp() + "/corpus"
+    new java.io.File(dir).mkdirs()
+    def pointsDf(ids: Seq[Long]) =
+      ids.toDF("id").selectExpr("st_makePoint(CAST(id AS DOUBLE), 0.0) AS geom", "id")
+    Shapefile.write(pointsDf(Seq(1L, 2L)), "geom", s"$dir/a")
+    Shapefile.write(pointsDf(Seq(3L)), "geom", s"$dir/b")
+    val back = Shapefile.read(spark, dir)
+    assert(back.rdd.getNumPartitions === 2, "one task per shapefile")
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+
+    val other = Seq(("x", 1L)).toDF("name", "id")
+      .selectExpr("st_makePoint(0.0, 0.0) AS geom", "name", "id")
+    Shapefile.write(other, "geom", s"$dir/c")
+    val e = intercept[org.apache.spark.SparkException](Shapefile.read(spark, dir).collect())
+    assert(e.getMessage.contains("mixed-schema") ||
+      Option(e.getCause).exists(_.getMessage.contains("mixed-schema")))
+  }
+
+  test("Shapefile read: null shapes read back as null geometry") {
+    import spark.implicits._
+    val prefix = tmp() + "/nulls"
+    val df = Seq((1L, Option.empty[Array[Byte]]),
+      (2L, Some(graft.geom.GeomOps.toWkb(graft.geom.GeomOps.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(5, 6)))))).toDF("id", "geom")
+    Shapefile.write(df.select("geom", "id"), "geom", prefix)
+    val back = Shapefile.read(spark, prefix).orderBy("id").collect()
+    assert(back(0).isNullAt(0) && back(1).getAs[Array[Byte]](0) != null)
+  }
 }
