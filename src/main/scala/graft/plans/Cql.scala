@@ -775,40 +775,33 @@ object Cql {
     }
 
     /** GeoMesa's jsonPath('$.col.segment...') — the first path segment
-      * names the attribute, the rest is the JSON path inside it. Bracket
-      * segments ['name'] (CQL-escaped as [''name'']) carry names with
-      * dots/spaces. */
+      * names the attribute, the rest is the JSON path inside it, with
+      * the reference's FULL grammar (functions/JsonPath.scala): bracket
+      * names (CQL-escaped as [''name'']), indices/slices, wildcards,
+      * deep scans, trailing min()/max()/avg()/length(). Definite paths
+      * (attributes + single indices) stay on codegen get_json_object;
+      * only the indefinite forms pay a per-row Jackson walk. */
     private def jsonPathColumn(path: String): Column = {
-      require(path.startsWith("$."), s"jsonPath must start with '$$.': $path")
-      val segs = Vector.newBuilder[String]
-      var i = 2
-      val n = path.length
-      val cur = new StringBuilder
-      def flush(): Unit = { if (cur.nonEmpty) { segs += cur.toString; cur.clear() } }
-      while (i < n) {
-        val c = path.charAt(i)
-        if (c == '.') { flush(); i += 1 }
-        else if (c == '[') {
-          flush()
-          val close = path.indexOf(']', i)
-          require(close > i, s"unbalanced bracket in jsonPath: $path")
-          val inner = path.substring(i + 1, close).trim
-          val name = inner.stripPrefix("'").stripSuffix("'")
-          segs += name
-          i = close + 1
-        } else { cur += c; i += 1 }
-      }
-      flush()
-      val all = segs.result()
-      require(all.nonEmpty, s"empty jsonPath: $path")
-      val colName = all.head
-      val rest = all.tail
-      if (rest.isEmpty) resolve(colName)
-      else {
-        val jsonPath = rest.map { s =>
-          if (IdentRe.matches(s)) s".$s" else s"['$s']"
-        }.mkString("$", "", "")
-        get_json_object(resolve(colName), jsonPath)
+      import graft.functions.{JsonPath => JP}
+      val parsed =
+        try JP.parse(path)
+        catch { case e: IllegalArgumentException => fail(e.getMessage) }
+      parsed.headOption match {
+        case Some(JP.PathAttribute(colName, _)) =>
+          val rest = parsed.tail
+          if (rest.isEmpty) resolve(colName)
+          else if (JP.isDefinite(rest)) {
+            val jsonPath = rest.map {
+              case JP.PathAttribute(s, _) => if (IdentRe.matches(s)) s".$s" else s"['$s']"
+              case JP.PathIndex(ix) => s"[$ix]"
+              case other => sys.error(s"unreachable: $other")
+            }.mkString("$", "", "")
+            get_json_object(resolve(colName), jsonPath)
+          } else {
+            val evalUdf = udf((s: String) => JP.render(s, rest))
+            evalUdf(resolve(colName))
+          }
+        case _ => fail(s"jsonPath must start with an attribute: $path")
       }
     }
   }
