@@ -37,6 +37,26 @@ object Stats {
   /** Column form: st_convexHull aggregate over a WKB geometry column. */
   def convexHull(geomWkb: Column): Column = udaf(ConvexHullAgg).apply(geomWkb)
 
+  /** Geometric union aggregate (the reference's TubeBuilder
+    * unionFeatures, tube/TubeBuilder.scala:149-160: buildGeometry +
+    * union over a feature group). Associative/commutative, so partial
+    * map-side aggregation applies. */
+  object UnionAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = null
+    override def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] = merge(buf, wkb)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      if (a == null) b
+      else if (b == null) a
+      else GeomOps.toWkb(GeomOps.fromWkb(a).union(GeomOps.fromWkb(b)))
+    }
+    override def finish(buf: Array[Byte]): Array[Byte] = buf
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Column form: geometric union aggregate over a WKB geometry column. */
+  def geomUnion(geomWkb: Column): Column = udaf(UnionAgg).apply(geomWkb)
+
   /** Bounds: envelope-of-all aggregate (cheap MinMax over coordinates). */
   def envelopeAgg(df: DataFrame, geomCol: String): DataFrame = {
     val env = udf { (wkb: Array[Byte]) =>

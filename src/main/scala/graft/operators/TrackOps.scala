@@ -326,4 +326,42 @@ object TrackOps {
       .groupBy(idCol)
       .agg(min(aligned).as("best_heading_diff"), count(lit(1)).as("n_segments"))
   }
+
+  /**
+   * Time-bin and union tube geometries — NoGapFill.timeBinAndUnion
+   * (tube/TubeBuilder.scala:133-160, fixture TubeBinTest:40-66):
+   * features ordered by time split into sequential equal-size bins,
+   * each bin unioned to one geometry with the bin's [first, last]
+   * start-time range. maxBins = 0 means no binning (one feature per
+   * bin), 1 means a single bin, otherwise binSize = ceil(n / maxBins).
+   *
+   * The input is a tube/track table — small by construction (the
+   * reference collects it outright) — so the single global time-order
+   * window is a deliberate one-partition pass; the union aggregate
+   * itself is associative and map-side combines.
+   */
+  def timeBinAndUnion(tubes: DataFrame, geomCol: String, millisCol: String,
+                      maxBins: Int): DataFrame = {
+    require(maxBins >= 0, s"maxBins must be >= 0 (got $maxBins)")
+    val w = Window.orderBy(col(millisCol))
+    val rn = tubes
+      .withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val bin = maxBins match {
+      case 0 => col("__rn")
+      case 1 => lit(0L)
+      // ceil division: n / maxBins + (n % maxBins == 0 ? 0 : 1)
+      case m =>
+        val binSize = (col("__n") / m).cast("long") +
+          when(col("__n") % m === 0, 0L).otherwise(1L)
+        (col("__rn") / binSize).cast("long")
+    }
+    rn.withColumn("__bin", bin.cast("long"))
+      .groupBy(col("__bin").as("bin"))
+      .agg(
+        Stats.geomUnion(col(geomCol)).as(geomCol),
+        min(col(millisCol)).as("start"),
+        max(col(millisCol)).as("end"))
+      .orderBy("bin")
+  }
 }

@@ -92,10 +92,29 @@ object Sft {
     def defaultGeometry: Option[String] =
       fields.find(_.defaultGeom).orElse(fields.find(_.isGeometry)).map(_.name)
 
-    /** `geomesa.index.dtg` user data, else the first Date attribute. */
+    private def isDateField(f: Field): Boolean =
+      f.typeName == "Date" || f.typeName == "Timestamp"
+
+    /** `geomesa.index.dtg` user data — VALIDATED the way the reference's
+      * TemporalIndexCheck.validateDtgField does at schema load
+      * (index/TemporalIndexCheck.scala; TemporalIndexCheckTest:35-85):
+      * a key naming a missing or non-Date attribute is ignored and
+      * detection falls back to the first Date attribute; no Date
+      * attributes means no dtg, whatever the key says. */
     def defaultDate: Option[String] =
       userData.collectFirst { case ("geomesa.index.dtg", v) => v }
-        .orElse(fields.find(f => f.typeName == "Date" || f.typeName == "Timestamp").map(_.name))
+        .filter(v => fields.exists(f => f.name == v && isDateField(f)))
+        .orElse(fields.find(isDateField).map(_.name))
+
+    /** setDtgField analog (RichSimpleFeatureType.setDtgField): naming a
+      * missing or non-Date attribute is an IllegalArgumentException, not
+      * a silent fallback (TemporalIndexCheckTest "getDTGFieldName"). */
+    def withDtgField(name: String): Schema = {
+      require(fields.exists(f => f.name == name && isDateField(f)),
+        s"$name is not a Date attribute of $typeName")
+      copy(userData = ("geomesa.index.dtg" -> name) +:
+        userData.filterNot(_._1 == "geomesa.index.dtg"))
+    }
 
     /** Secondary-indexed attributes, never including the default geometry
       * (SimpleFeatureTypes.getSecondaryIndexedAttributes). */

@@ -91,4 +91,49 @@ class TrackOpsSpec extends AnyFunSuite with SparkTest {
     assert(got == brute)
     assert(brute.nonEmpty && brute.size < 300)
   }
+
+  // TubeBinTest (accumulo process/tube/TubeBinTest.scala:27-66): 19
+  // daily points, buffered, time-binned and unioned per bin
+  test("NoGapFill timeBinAndUnion: bin counts and per-bin union/time range") {
+    ready
+    import spark.implicits._
+    val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+    val tubes = (1 until 20).map { day =>
+      val c = 40.0 + day
+      val t = java.time.Instant.parse(f"2011-01-$day%02dT00:00:00Z").toEpochMilli
+      val disk = GeomOps.factory
+        .createPoint(new org.locationtech.jts.geom.Coordinate(c, c)).buffer(1.0)
+      (GeomOps.toWkb(disk), t)
+    }.toDF("geom", "millis")
+
+    // maxBins = 1 -> one bin; 0 -> one feature per bin (reference asserts)
+    assert(TrackOps.timeBinAndUnion(tubes, "geom", "millis", 1).count() == 1L)
+    assert(TrackOps.timeBinAndUnion(tubes, "geom", "millis", 0).count() == 19L)
+
+    // maxBins = 6 -> binSize = ceil(19/6) = 4 -> 5 bins of 4,4,4,4,3
+    val binned = TrackOps.timeBinAndUnion(tubes, "geom", "millis", 6).collect()
+    assert(binned.length == 5)
+    val t = (d: Int) => java.time.Instant.parse(f"2011-01-$d%02dT00:00:00Z").toEpochMilli
+    val ranges = binned.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("start"), r.getAs[Long]("end"))).toSeq
+    assert(ranges == Seq((0L, t(1), t(4)), (1L, t(5), t(8)), (2L, t(9), t(12)),
+      (3L, t(13), t(16)), (4L, t(17), t(19))))
+    // consecutive disks overlap (centers sqrt(2) apart, radius 1), so each
+    // bin unions into ONE connected polygon that covers every member
+    // center and only its own bin's centers
+    binned.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val g = GeomOps.fromWkb(r.getAs[Array[Byte]]("geom"))
+      assert(g.getNumGeometries == 1)
+      (1 until 20).foreach { day =>
+        val c = 40.0 + day
+        val inBin = (day - 1) / 4 == bin
+        val p = GeomOps.factory.createPoint(new org.locationtech.jts.geom.Coordinate(c, c))
+        // neighbor-bin centers are sqrt(2) > 1 away from any member disk
+        assert(g.covers(p) == inBin, s"day $day vs bin $bin")
+      }
+    }
+    // one bin: the union spans the whole track's time range
+    val one = TrackOps.timeBinAndUnion(tubes, "geom", "millis", 1).collect().head
+    assert(one.getAs[Long]("start") == t(1) && one.getAs[Long]("end") == t(19))
+  }
 }

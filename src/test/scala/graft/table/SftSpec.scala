@@ -139,4 +139,32 @@ class SftSpec extends AnyFunSuite {
     assert(sft.defaultDate.contains("b"))
     assert(Sft.parse("t", "a:Date,b:Date").defaultDate.contains("a"))
   }
+
+  // TemporalIndexCheckTest (accumulo index/TemporalIndexCheckTest.scala:
+  // 20-112): dtg detection + validation at schema load
+  test("TemporalIndexCheck: dtg key validation and detection") {
+    val noDtg = "foo:String,bar:Geometry,baz:String,geom:Point"
+    val oneDtg = s"$noDtg,dtg:Date"
+    val twoDtg = s"$oneDtg,dtg_end_time:Date"
+    // no valid DTG
+    assert(Sft.parse("t", noDtg).defaultDate.isEmpty)
+    // no valid DTG even if the key is set (incorrectly — no Date attrs)
+    assert(Sft.parse("t", s"$noDtg;geomesa.index.dtg='dtg'").defaultDate.isEmpty)
+    // valid DTG detected when the key is unset
+    assert(Sft.parse("t", oneDtg).defaultDate.contains("dtg"))
+    // valid DTG detected when the key names a missing attribute
+    assert(Sft.parse("t", s"$oneDtg;geomesa.index.dtg='no_such_dtg'").defaultDate.contains("dtg"))
+    // key set properly stays
+    assert(Sft.parse("t", s"$oneDtg;geomesa.index.dtg='dtg'").defaultDate.contains("dtg"))
+    // two candidates + bad key -> first Date attribute
+    assert(Sft.parse("t", s"$twoDtg;geomesa.index.dtg='no_such_dtg'").defaultDate.contains("dtg"))
+    // key properly set with multiple Date attributes stays
+    assert(Sft.parse("t", s"$twoDtg;geomesa.index.dtg='dtg_end_time'").defaultDate.contains("dtg_end_time"))
+    // a key naming a non-Date attribute is invalid -> detection
+    assert(Sft.parse("t", s"$oneDtg;geomesa.index.dtg='foo'").defaultDate.contains("dtg"))
+    // setDtgField analog: valid name sticks, invalid throws
+    assert(Sft.parse("t", oneDtg).withDtgField("dtg").defaultDate.contains("dtg"))
+    intercept[IllegalArgumentException](Sft.parse("t", noDtg).withDtgField("dtg"))
+    intercept[IllegalArgumentException](Sft.parse("t", oneDtg).withDtgField("foo"))
+  }
 }
