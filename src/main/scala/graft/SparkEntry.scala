@@ -280,6 +280,16 @@ object SparkEntry {
         .groupBy("bucket").count().withColumnRenamed("count", "n")
     }),
 
+    "q_hist_date" -> ((s, dir) => {
+      // BinnedDateArray histogram (stats/BinnedArray.scala:202-207 via
+      // WholeNumberBinnedArray:130-186): 24 exact 1.25-day bins over the
+      // events month; median/bounds are the reference's integral-edge
+      // formulas. Pure Column arithmetic — codegen, map-side combine.
+      val lo = 1704067200000L // 2024-01-01T00:00:00Z
+      graft.operators.Binned.dateHistogram(
+        t(s, dir, "events"), "ts", lo, lo + 30L * 86400000L, 24)
+    }),
+
     "q_minmax" -> ((s, dir) => {
       // MinMax stat analog (stats/MinMax.scala; HLL part is non-oracle)
       t(s, dir, "lineitem").agg(
@@ -1264,6 +1274,19 @@ object SparkEntry {
 
       "q_hist" ->
         "SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket, COUNT(*) AS n FROM lineitem GROUP BY 1",
+
+      // binSize = 108,000,000 ms is integral, so floor-divide, median and
+      // bin edges are exact integer arithmetic on both engines
+      "q_hist_date" ->
+        """WITH b AS (
+          |  SELECT LEAST(CAST(floor((epoch_ms(ts) - 1704067200000) / 108000000.0) AS INTEGER), 23) AS bin
+          |  FROM events
+          |  WHERE epoch_ms(ts) >= 1704067200000 AND epoch_ms(ts) <= 1704067200000 + 2592000000)
+          |SELECT bin, COUNT(*) AS count,
+          |  1704067200000 + 108000000 * CAST(bin AS BIGINT) + 54000000 AS median_millis,
+          |  1704067200000 + 108000000 * CAST(bin AS BIGINT) AS lo_millis,
+          |  1704067200000 + 108000000 * (CAST(bin AS BIGINT) + 1) AS hi_millis
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
       "q_minmax" ->
         """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

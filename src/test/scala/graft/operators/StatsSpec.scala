@@ -126,4 +126,23 @@ class StatsSpec extends AnyFunSuite with SparkTest {
       .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
     assert(m == Map("g1" -> Map("a" -> 1L)))
   }
+
+  test("dateHistogram: column plan matches the LongBins kernel row-for-row") {
+    import spark.implicits._
+    val lo = java.time.Instant.parse("2016-01-01T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2016-01-01T10:00:00Z").toEpochMilli
+    // values on and around every edge, plus out-of-range rows to drop
+    val millis = (0 until 600 by 7).map(m => lo + m * 60000L) ++
+      Seq(lo - 1, hi, hi + 1, lo, lo + 1)
+    val df = millis.map(m => new java.sql.Timestamp(m)).toDF("ts")
+    val got = Binned.dateHistogram(df, "ts", lo, hi, 10).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("count"),
+        r.getAs[Long]("median_millis"), r.getAs[Long]("lo_millis"), r.getAs[Long]("hi_millis")))
+    val kernel = Binned.LongBins(10, lo, hi)
+    val expected = millis.map(kernel.indexOf).filter(_ >= 0)
+      .groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (b, vs) =>
+        (b, vs.size.toLong, kernel.medianValue(b), kernel.boundsOf(b)._1, kernel.boundsOf(b)._2) }
+    assert(got.toSeq == expected)
+  }
 }
