@@ -1242,8 +1242,9 @@ object SparkEntry {
       // re-check -> exact refine, all in one scan
       StFunctions.register(s)
       prepareTables(s, dir)
+      // the dtg column ("ts") comes from the snapshot's manifest
       graft.table.GeomTable.readBBoxTime(s, tableRoot("geomxz3", dir), "s1",
-          -40.005, -30.005, 25.005, 20.005, 1704672000000L, 1705276800000L, dtgCol = "ts")
+          -40.005, -30.005, 25.005, 20.005, 1704672000000L, 1705276800000L)
         .selectExpr("event_id", "round(minx, 6) AS minx", "round(miny, 6) AS miny",
           "round(maxx, 6) AS maxx", "round(maxy, 6) AS maxy")
     }),

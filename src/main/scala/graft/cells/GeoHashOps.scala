@@ -124,7 +124,11 @@ object GeoHashOps {
 
     def expand(hashes: List[GH]): List[String] = {
       val next = hashes.flatMap(h => children(h.hash))
-      if (next.size < maxHashes && next.nonEmpty && next.head.hash.length < precChars) {
+      if (next.isEmpty) hashes.map(_.hash)
+      // budget: subdividing past maxHashes keeps the CURRENT level — a
+      // coarser prefix set is a superset cover, never an overrun
+      else if (next.size > maxHashes) hashes.map(_.hash)
+      else if (next.head.hash.length < precChars) {
         val deeper = expand(next)
         if (deeper.size > maxHashes) next.map(_.hash) else deeper
       } else next.map(_.hash)

@@ -71,8 +71,11 @@ object JsonPath {
       } else if (inner.nonEmpty && inner.forall(identChar)) out += PathAttribute(inner, bracketed = true)
       else fail(s"unparseable bracket contents '$inner'")
     }
+    var justScanned = false // the previous loop step emitted `..`'s DeepScan
     while (i < n) {
       if (sawFunction) fail("a path function must be the last element")
+      val wasScanned = justScanned
+      justScanned = false
       path.charAt(i) match {
         case '.' if i + 1 < n && path.charAt(i + 1) == '*' =>
           out += PathAttributeWildCard; i += 2
@@ -80,12 +83,15 @@ object JsonPath {
           // deep scan: one dot consumed, the next element must be an
           // attribute / bracketed attribute / wildcard (grammar :116)
           out += PathDeepScan
+          justScanned = true
           i += 1 // next loop iteration parses the scanned `.name` / `.*`
         case '.' if i + 1 < n && path.charAt(i + 1) == '[' =>
           // `.['name']` — the grammar's DeepScan alternative with a
           // bracketed attribute (JsonPathParser.scala:116; exercised by
-          // JsonPathFilterFunctionTest's $.json.['foo.foo'] forms)
-          out += PathDeepScan
+          // JsonPathFilterFunctionTest's $.json.['foo.foo'] forms).
+          // After `..` the DeepScan is already emitted — `$..['x']` is
+          // ONE scan, not two.
+          if (!wasScanned) out += PathDeepScan
           i += 1
           bracket()
         case '.' =>
@@ -175,22 +181,28 @@ object JsonPath {
     else if (n.isArray) arrayElements(n).map(toValue)
     else n.toString
 
+  /** Reference applyPathFunction (KryoJsonSerialization.scala:475-491):
+    * same numeric coercion (null counts as 0.0), but a non-numeric
+    * element degrades to null instead of throwing — a per-row grammar
+    * mismatch is dirty data, not a reason to fail the whole scan. */
   private def applyFunction(f: String, v: Any): Any = {
     def toNum(x: Any): Double = x match {
       case num: Number => num.doubleValue
       case null => 0.0
       case other => other.toString.toDouble
     }
-    v match {
-      case s: Seq[_] => f match {
-        case "length" => s.length
-        case "avg" => if (s.isEmpty) null else s.map(toNum).sum / s.length
-        case "min" => if (s.isEmpty) null else s.map(toNum).min
-        case "max" => if (s.isEmpty) null else s.map(toNum).max
+    try {
+      v match {
+        case s: Seq[_] => f match {
+          case "length" => s.length
+          case "avg" => if (s.isEmpty) null else s.map(toNum).sum / s.length
+          case "min" => if (s.isEmpty) null else s.map(toNum).min
+          case "max" => if (s.isEmpty) null else s.map(toNum).max
+        }
+        case s: String if f == "length" => s.length
+        case _ => null
       }
-      case s: String if f == "length" => s.length
-      case _ => null
-    }
+    } catch { case _: NumberFormatException => null }
   }
 
   /** Evaluate with the reference's result shape: null / scalar / Seq.

@@ -73,7 +73,10 @@ object Binned {
     val binSize: Double = (max - min) / length
 
     def indexOf(value: Double): Int = {
-      if (value < min || value > max) -1
+      // NaN compares false to everything — without the explicit check it
+      // would fall through to floor(NaN)=0 and pollute the first bin
+      // (the Column form already drops NaN as out-of-range)
+      if (value.isNaN || value < min || value > max) -1
       else {
         val i = math.floor((value - min) / binSize).toInt
         if (i < 0 || i > length) -1 else if (i == length) length - 1 else i

@@ -293,18 +293,26 @@ object Shapefile {
         found
       } else Seq(path + ".shp")
     }
-    def readBytes(p: String): Array[Byte] = {
-      val fs = fsOf(p); val st = fs.getFileStatus(new HPath(p))
-      require(st.getLen <= Int.MaxValue - 8, s"$p exceeds the shapefile 2GB bound")
-      val b = new Array[Byte](st.getLen.toInt)
-      val in = fs.open(new HPath(p))
-      try in.readFully(b) finally in.close()
-      b
-    }
     def dbfOf(shp: String): String = shp.stripSuffix(".shp") + ".dbf"
     // the FIRST file's .dbf header fixes the schema (like Spark's CSV
-    // inference reads one file); every other file must match exactly
-    val headerDefs = readDbfFieldDefs(readBytes(dbfOf(shpPaths.head)))
+    // inference reads one file); every other file must match exactly.
+    // Only the header region is read on the driver (bytes 8-9 LE give
+    // its length) — never the whole .dbf.
+    val headerBytes: Array[Byte] = {
+      val hp = new HPath(dbfOf(shpPaths.head))
+      val in = fsOf(hp.toString).open(hp)
+      try {
+        val head = new Array[Byte](32)
+        in.readFully(head)
+        val headerLen = (head(8) & 0xFF) | ((head(9) & 0xFF) << 8)
+        val total = math.max(33, headerLen)
+        val all = new Array[Byte](total)
+        System.arraycopy(head, 0, all, 0, 32)
+        in.readFully(all, 32, total - 32)
+        all
+      } finally in.close()
+    }
+    val headerDefs = readDbfFieldDefs(headerBytes)
     val schema = StructType(StructField(geomCol, BinaryType) +: headerDefs.map {
       case (name, 'N', _, 0) => StructField(name, LongType)
       case (name, 'N' | 'F', _, _) => StructField(name, DoubleType)
@@ -313,12 +321,15 @@ object Shapefile {
     })
     val headerDefsSeq = headerDefs.toSeq
     val firstShp = shpPaths.head
+    // the session's Hadoop settings (fs impls, credentials) must reach
+    // the tasks — a blank Configuration would lose every spark.hadoop.*
+    // option; Configuration itself is not serializable, so broadcast
+    // Spark's serializable wrapper
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
     val rdd = spark.sparkContext.parallelize(shpPaths, math.max(1, shpPaths.size)).flatMap { shp =>
-      // task-local Hadoop conf — the driver's Configuration is not
-      // serializable and must not ride the closure
       def taskBytes(p: String): Array[Byte] = {
-        val hconf = new org.apache.hadoop.conf.Configuration()
-        val hp = new HPath(p); val fs = hp.getFileSystem(hconf)
+        val hp = new HPath(p); val fs = hp.getFileSystem(bcConf.value.value)
         val st = fs.getFileStatus(hp)
         require(st.getLen <= Int.MaxValue - 8, s"$p exceeds the shapefile 2GB bound")
         val b = new Array[Byte](st.getLen.toInt)

@@ -112,6 +112,29 @@ object GeomTable {
   def read(spark: SparkSession, root: String, snapshotId: String): DataFrame =
     spark.read.parquet(s"$root/data/snapshot=$snapshotId")
 
+  final case class Manifest(res: Int, period: String, dtg: Option[String])
+
+  /** The layout parameters the snapshot was WRITTEN with. Queries must
+    * plan against these — XZ codes built at a different res (or time
+    * bins at a different period) have a different key base, and a
+    * mismatched BETWEEN silently filters out every row. */
+  def manifest(spark: SparkSession, root: String, snapshotId: String): Manifest = {
+    val path = new Path(s"$root/_manifests/$snapshotId.json")
+    val f = fs(spark, root)
+    require(f.exists(path), s"no manifest for snapshot $snapshotId under $root")
+    val in = f.open(path)
+    val text = try {
+      new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val res = """"res"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt).getOrElse(12)
+    val period = """"period"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse("week")
+    val dtg = """"dtg"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+    Manifest(res, period, dtg)
+  }
+
   private def boxWkb(minx: Double, miny: Double, maxx: Double, maxy: Double): Array[Byte] = {
     val gf = new org.locationtech.jts.geom.GeometryFactory()
     GeomOps.toWkb(gf.toGeometry(new org.locationtech.jts.geom.Envelope(minx, maxx, miny, maxy)))
@@ -120,11 +143,14 @@ object GeomTable {
   private def xzPred(ranges: Seq[graft.cells.IndexRange]): Column =
     ranges.map(r => col("xz").between(lit(r.lower), lit(r.upper))).reduce(_ || _)
 
-  /** bbox scan over a flat XZ2 layout: ranges + envelope + exact refine. */
+  /** bbox scan over a flat XZ2 layout: ranges + envelope + exact refine.
+    * The XZ resolution comes from the snapshot's own manifest, never
+    * from the caller (a mismatched res would return silent empties). */
   def readBBox(spark: SparkSession, root: String, snapshotId: String,
                minx: Double, miny: Double, maxx: Double, maxy: Double,
-               geomCol: String = "geom", res: Int = 12,
+               geomCol: String = "geom",
                maxRanges: Int = 64): DataFrame = {
+    val res = manifest(spark, root, snapshotId).res
     val ranges = XZ2(res).ranges(minx, miny, maxx, maxy, maxRanges)
     read(spark, root, snapshotId)
       .where(xzPred(ranges))
@@ -142,12 +168,14 @@ object GeomTable {
   def readBBoxTime(spark: SparkSession, root: String, snapshotId: String,
                    minx: Double, miny: Double, maxx: Double, maxy: Double,
                    startMillis: Long, endMillis: Long,
-                   geomCol: String = "geom", dtgCol: String = "dtg",
-                   res: Int = 12, period: String = "week",
+                   geomCol: String = "geom",
                    maxRanges: Int = 64): DataFrame = {
     require(endMillis > startMillis, s"empty interval: $startMillis..$endMillis")
-    val p = BinnedTime.period(period)
-    val sfc = XZ3(res, p)
+    val m = manifest(spark, root, snapshotId)
+    require(m.dtg.isDefined, s"snapshot $snapshotId was written without a dtg column")
+    val dtgCol = m.dtg.get
+    val p = BinnedTime.period(m.period)
+    val sfc = XZ3(m.res, p)
     val b0 = BinnedTime.toBinned(p, startMillis)
     val b1 = BinnedTime.toBinned(p, endMillis - 1)
     val binPred = (b0.bin.toInt to b1.bin.toInt).map { bin =>

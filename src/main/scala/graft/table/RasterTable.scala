@@ -107,6 +107,12 @@ object RasterTable {
         min("minx").as("minx"), min("miny").as("miny"),
         max("maxx").as("maxx"), max("maxy").as("maxy"),
         max(length(col("gh"))).as("gh_len"),
+        // max chunk extent per resolution: the planner pads the query by
+        // this much, which makes centroid-keyed geohash pruning exact
+        // (a chunk's key cell contains its centroid, and an overlapping
+        // chunk's centroid lies within half a chunk of the query box)
+        max(col("maxx") - col("minx")).as("max_w"),
+        max(col("maxy") - col("miny")).as("max_h"),
         count(lit(1)).as("chunks"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/bounds/snapshot=$snapshotId")
@@ -125,16 +131,23 @@ object RasterTable {
 
   final case class ResEntry(resKey: String, res: Double,
                             minx: Double, miny: Double, maxx: Double, maxy: Double,
-                            ghLen: Int, chunks: Long)
+                            ghLen: Int, maxW: Double, maxH: Double, chunks: Long)
 
   /** The per-resolution manifest (driver-side, O(#resolutions)). */
   def resolutions(spark: SparkSession, root: String, snapshotId: String): Seq[ResEntry] = {
     if (!isCommitted(spark, root, snapshotId)) return Seq.empty
-    spark.read.parquet(s"$root/bounds/snapshot=$snapshotId").collect().toSeq.map { r =>
+    val bounds = spark.read.parquet(s"$root/bounds/snapshot=$snapshotId")
+    val hasDims = bounds.columns.contains("max_w")
+    bounds.collect().toSeq.map { r =>
       ResEntry(r.getAs[String]("res_key"), r.getAs[Double]("res"),
         r.getAs[Double]("minx"), r.getAs[Double]("miny"),
         r.getAs[Double]("maxx"), r.getAs[Double]("maxy"),
-        r.getAs[Int]("gh_len"), r.getAs[Long]("chunks"))
+        r.getAs[Int]("gh_len"),
+        // pre-max_w manifests: fall back to the union extent (a wider
+        // pad means a wider scan, never a missed chunk)
+        if (hasDims) r.getAs[Double]("max_w") else r.getAs[Double]("maxx") - r.getAs[Double]("minx"),
+        if (hasDims) r.getAs[Double]("max_h") else r.getAs[Double]("maxy") - r.getAs[Double]("miny"),
+        r.getAs[Long]("chunks"))
     }
   }
 
@@ -167,29 +180,41 @@ object RasterTable {
       e.minx < qMaxX && e.maxx > qMinX && e.miny < qMaxY && e.maxy > qMinY
     }
 
-  /** Steps 2-4 of getQueryPlan: the geohash prefixes to scan. Empty
-    * string = the whole resolution. */
+  /**
+   * Steps 2-4 of getQueryPlan: the geohash prefixes to scan. Empty
+   * string = the whole resolution.
+   *
+   * The reference scans the query's closest-acceptable hash plus its
+   * touching ring (AccumuloRasterQueryPlanner:60-71, modifyHashRange
+   * :129-134). Because chunk keys are CENTROID-keyed (Raster.scala:31
+   * delegates to getClosestAcceptableGeoHash), a chunk's key cell is
+   * not guaranteed to contain the chunk, so the center+ring shape can
+   * miss chunks whose key cell sits outside it. This planner is
+   * provably a superset instead: pad the query box by half the
+   * resolution's max chunk extent (an overlapping chunk's centroid
+   * lies within that pad), cover the padded box with cells at the
+   * stored hash length (budgeted — over budget coarsens the prefixes,
+   * which only widens the scan), and match stored hashes by prefix in
+   * BOTH directions in `query` (a stored hash shorter than the prefix
+   * is an ancestor cell). The exact strict-overlap refine removes the
+   * extra rows.
+   */
   def hashPrefixes(qMinX: Double, qMinY: Double, qMaxX: Double, qMaxY: Double,
-                   expectedLen: Int): Seq[String] = {
-    val hashes: List[String] = GeoHashOps.closestAcceptableGeoHash(qMinX, qMaxX, qMinY, qMaxY) match {
-      case Some(gh) =>
-        val (glo, gla, ghi, gha) = gh.bbox
-        val covers = glo <= qMinX && gla <= qMinY && ghi >= qMaxX && gha >= qMaxY
-        if (covers) List(gh.hash)
-        else (gh.hash :: GeoHashOps.touching(gh).map(_.hash).toList).distinct
-      case None =>
-        scala.util.Try(GeoHashOps.coverFromBBox(qMinX, qMaxX, qMinY, qMaxY)).getOrElse(Nil)
-    }
-    // modifyHashRange (AccumuloRasterQueryPlanner:129-134): pad the
-    // planner hash to the stored length as a PREFIX in every case —
-    // prefix containment is a superset of the reference's exact-row
-    // shorten case, and the exact strict-overlap refine below makes the
-    // extra rows vanish. Then drop prefixes shadowed by shorter ones
-    // (ARange.mergeOverlapping analog).
-    val prefixes = hashes.map { h =>
-      if (expectedLen == 0) "" else if (expectedLen < h.length) h.substring(0, expectedLen) else h
-    }.distinct
-    prefixes.filterNot(p => prefixes.exists(o => o.length < p.length && p.startsWith(o)))
+                   expectedLen: Int, maxW: Double, maxH: Double): Seq[String] = {
+    if (expectedLen <= 0) return Seq("")
+    val padX = maxW / 2
+    val padY = maxH / 2
+    val lo = math.max(-180.0, qMinX - padX)
+    val hi = math.min(180.0, qMaxX + padX)
+    val la = math.max(-90.0, qMinY - padY)
+    val ha = math.min(90.0, qMaxY + padY)
+    // planner failure degrades to a full-resolution scan (the refine
+    // keeps it correct), never to "scan nothing"
+    val prefixes = scala.util.Try(
+      GeoHashOps.coverFromBBox(lo, hi, la, ha, maxHashes = 32, precChars = expectedLen)
+    ).getOrElse(List("")).distinct
+    if (prefixes.isEmpty) Seq("")
+    else prefixes.filterNot(p => prefixes.exists(o => o.length < p.length && p.startsWith(o)))
   }
 
   /**
@@ -213,11 +238,15 @@ object RasterTable {
     selected match {
       case None => data.where(lit(false))
       case Some(e) =>
-        val prefixes = hashPrefixes(qMinX, qMinY, qMaxX, qMaxY, e.ghLen)
-        if (prefixes.isEmpty) return data.where(lit(false))
+        val prefixes = hashPrefixes(qMinX, qMinY, qMaxX, qMaxY, e.ghLen, e.maxW, e.maxH)
         val ghPred = prefixes.map {
           case "" => lit(true)
-          case p => col("gh").startsWith(p)
+          case p =>
+            // descendants of p (stored at >= p chars) OR ancestors of p
+            // (stored shorter, including the "" whole-world key) — both
+            // sargable: a string range plus an exact IN list
+            val ancestors = (0 until p.length).map(p.substring(0, _))
+            col("gh").startsWith(p) || col("gh").isin(ancestors: _*)
         }.reduce(_ || _)
         data
           .where(col("res_key") === e.resKey)

@@ -89,6 +89,16 @@ class GeoHashOpsSpec extends AnyFunSuite {
     assert(wide.nonEmpty && !wide.contains(""))
   }
 
+  test("coverFromBBox never exceeds the budget: over-budget subdivision keeps the coarser level") {
+    // the hemispheric box intersects ~32 level-1 cells whose children
+    // blow any small budget — the cover must stay at the current level
+    val cover = GeoHashOps.coverFromBBox(-170, 170, -80, 80, maxHashes = 8)
+    assert(cover.size <= 8 || cover.forall(_.length == 1),
+      s"budget 8 produced ${cover.size} prefixes at lengths ${cover.map(_.length).distinct}")
+    val bigger = GeoHashOps.coverFromBBox(-170, 170, -80, 80, maxHashes = 32)
+    assert(bigger.size <= 32)
+  }
+
   test("calculatePrecision matches the log2 formula on the planner cases") {
     assert(GeoHashOps.calculatePrecision(-90.0, -67.5, 22.5, 45.0) === 7)
     // whole world: round(log2(1)+log2(1)) = 0 -> None upstream

@@ -76,6 +76,20 @@ class JsonPathSpec extends AnyFunSuite with Matchers with SparkTest {
       Seq(PathAttribute("foo"), PathDeepScan, PathAttribute("bar"))
   }
 
+  test("deep scan over a bracketed attribute is ONE scan, not two") {
+    JsonPath.parse("$..['x']") shouldBe
+      Seq(PathDeepScan, PathAttribute("x", bracketed = true))
+    JsonPath.parse("$.a..['x.y']") shouldBe
+      Seq(PathAttribute("a"), PathDeepScan, PathAttribute("x.y", bracketed = true))
+    // without the scan dot, `.['x']` is the grammar's DeepScan
+    // alternative (JsonPathParser.scala:116), same as the reference
+    JsonPath.parse("$.a.['x']") shouldBe
+      Seq(PathAttribute("a"), PathDeepScan, PathAttribute("x", bracketed = true))
+    // $..['x'] on nested dupes: one scan yields each match once
+    val j = """{"x":1,"b":{"x":2}}"""
+    JsonPath.evaluate(j, JsonPath.parse("$..['x']")) shouldBe Seq(1, 2)
+  }
+
   test("correctly parse functions") {
     JsonPath.parse("$.foo.length()") shouldBe Seq(PathAttribute("foo"), PathFunction("length"))
     JsonPath.parse("$.foo.min()") shouldBe Seq(PathAttribute("foo"), PathFunction("min"))
@@ -125,6 +139,12 @@ class JsonPathSpec extends AnyFunSuite with Matchers with SparkTest {
     eval("$.geometry.coordinates.avg()") shouldBe 20.0
     eval("$.type.length()") shouldBe 7 // "Feature"
     eval("$.geometry.type.length()") shouldBe 5
+    // non-numeric elements degrade to null, never a per-row throw
+    val mixed = """{"vals":["a","b"],"nums":[1,null,3]}"""
+    assert(JsonPath.evaluate(mixed, JsonPath.parse("$.vals.min()")) == null)
+    assert(JsonPath.evaluate(mixed, JsonPath.parse("$.vals.max()")) == null)
+    // reference toNum parity: null coerces to 0.0 inside a numeric array
+    JsonPath.evaluate(mixed, JsonPath.parse("$.nums.min()")) shouldBe 0.0
   }
 
   test("deep scan match order is breadth-first like the reference's queue walk") {

@@ -31,6 +31,8 @@ class BinnedSpec extends AnyFunSuite {
       assert(math.abs(lo - 0.1 * i) < 1e-3 && math.abs(hi - 0.1 * (i + 1)) < 1e-3)
     }
     assert(b.indexOf(-0.01) == -1 && b.indexOf(1.01) == -1)
+    // NaN is out of range, not bin 0 (matches the Column form's NULL)
+    assert(b.indexOf(Double.NaN) == -1)
   }
 
   test("bin dates: hour-wide bins over a 10-hour range") {

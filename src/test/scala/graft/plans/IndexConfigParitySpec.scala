@@ -58,7 +58,7 @@ class IndexConfigParitySpec extends AnyFunSuite with SparkTest {
       GeomTable.write(spark, zIntervalDf, root, "s1", dtgCol = Some("dtg"), period = period)
       for (((t0, t1), expected) <- zIntervalFilters) {
         val got = GeomTable.readBBoxTime(spark, root, "s1", -121, 69, -120, 80,
-            millis(t0), millis(t1), dtgCol = "dtg", period = period)
+            millis(t0), millis(t1))
           .select("fid").collect().map(_.getString(0)).sorted.toSeq
         assert(got === expected.sorted, s"period=$period interval=$t0/$t1")
       }
@@ -81,7 +81,7 @@ class IndexConfigParitySpec extends AnyFunSuite with SparkTest {
   test("XZConfiguration fixture: XZ2 at precision 10 (bbox 39,19,41,23 -> ids 0-3)") {
     val root = Files.createTempDirectory("graft-xzconf2").toString
     GeomTable.write(spark, xzConfDf, root, "s1", res = 10)
-    val got = GeomTable.readBBox(spark, root, "s1", 39, 19, 41, 23, res = 10)
+    val got = GeomTable.readBBox(spark, root, "s1", 39, 19, 41, 23)
       .select("fid").collect().map(_.getString(0).toInt).sorted.toSeq
     assert(got === (0 until 4))
   }
@@ -90,8 +90,7 @@ class IndexConfigParitySpec extends AnyFunSuite with SparkTest {
     val root = Files.createTempDirectory("graft-xzconf3").toString
     GeomTable.write(spark, xzConfDf, root, "s1", dtgCol = Some("dtg"), res = 10)
     val got = GeomTable.readBBoxTime(spark, root, "s1", 39, 19, 41, 23,
-        millis("2010-05-07T01:30:00.000Z"), millis("2010-05-07T05:30:00.000Z"),
-        dtgCol = "dtg", res = 10)
+        millis("2010-05-07T01:30:00.000Z"), millis("2010-05-07T05:30:00.000Z"))
       .select("fid").collect().map(_.getString(0).toInt).sorted.toSeq
     assert(got === Seq(2, 3))
   }

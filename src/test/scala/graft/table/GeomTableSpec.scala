@@ -122,4 +122,31 @@ class GeomTableSpec extends AnyFunSuite with SparkTest {
       Seq(("p1", wkb("POINT(5 5)"))).toDF("fid", "geom"), root, "s1")
     root
   }
+
+  test("readBBox/readBBoxTime plan against the written manifest, not caller defaults") {
+    val s = spark
+    import s.implicits._
+    // non-default res and period: a reader trusting its own defaults
+    // (res 12 / week) would build ranges at the wrong key base
+    val flat = newRoot()
+    GeomTable.write(spark, Seq(("a", wkb("POINT(5 5)"))).toDF("fid", "geom"),
+      flat, "s1", res = 9)
+    assert(GeomTable.manifest(spark, flat, "s1") === GeomTable.Manifest(9, "week", None))
+    assert(GeomTable.readBBox(spark, flat, "s1", 0, 0, 10, 10).count() === 1)
+
+    val temporal = newRoot()
+    val t0 = java.sql.Timestamp.valueOf("2020-06-01 12:00:00")
+    GeomTable.write(spark, Seq(("a", wkb("POINT(5 5)"), t0)).toDF("fid", "geom", "when"),
+      temporal, "s1", dtgCol = Some("when"), res = 10, period = "day")
+    assert(GeomTable.manifest(spark, temporal, "s1") ===
+      GeomTable.Manifest(10, "day", Some("when")))
+    val millis = t0.getTime
+    assert(GeomTable.readBBoxTime(spark, temporal, "s1", 0, 0, 10, 10,
+      millis - 1000, millis + 1000).count() === 1)
+    // a snapshot without a dtg refuses temporal reads instead of
+    // silently scanning a nonexistent layout
+    intercept[IllegalArgumentException] {
+      GeomTable.readBBoxTime(spark, flat, "s1", 0, 0, 10, 10, 0L, 1L)
+    }
+  }
 }

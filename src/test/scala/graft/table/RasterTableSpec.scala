@@ -172,6 +172,26 @@ class RasterTableSpec extends AnyFunSuite with SparkTest {
       s"expected gh pushdown in:\n$plan")
   }
 
+  test("a whole-world chunk (empty geohash key) is found next to small chunks") {
+    // (0,0,60,60) has calculatePrecision <= 5 -> no acceptable hash -> gh ""
+    // while (10,10,12,12) stores a real hash; both must come back
+    val root = writeStore(Seq(
+      ("big", 0.0, 0.0, 60.0, 60.0, 10.0, 1),
+      ("small", 10.0, 10.0, 12.0, 12.0, 10.0, 2)))
+    val rids = query(root, 5, 5, 40, 40).collect().map(_.getAs[String]("rid")).toSet
+    assert(rids === Set("big", "small"))
+  }
+
+  test("a chunk whose centroid-keyed cell is outside the query region is still found") {
+    // (-4,-6,4,2) strictly overlaps (2,1,34,27) but its centroid (0,-2)
+    // hashes into a southern cell the old center+ring plan never scanned
+    val root = writeStore(Seq(
+      ("straddler", -4.0, -6.0, 4.0, 2.0, 10.0, 1),
+      ("inside", 10.0, 10.0, 20.0, 20.0, 10.0, 2)))
+    val rids = query(root, 2, 1, 34, 27).collect().map(_.getAs[String]("rid")).toSet
+    assert(rids === Set("straddler", "inside"))
+  }
+
   // --- QueryAndMosaicTest through the store ---------------------------
 
   test("the stored tile comes back pixel-exact through query + mosaic") {
