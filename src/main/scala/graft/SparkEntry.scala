@@ -401,6 +401,19 @@ object SparkEntry {
         .select("event_id")
     }),
 
+    "q_planned_scan" -> ((s, dir) => {
+      // cost-based strategy selection (StrategyDecider.scala:47-63): the
+      // CQL's attr-equality conjunct routes the scan through the
+      // attribute-index layout (static cost 100 beats a full scan), the
+      // numeric conjunct refines as the residual — picked automatically
+      // from the layouts the snapshot actually has
+      StFunctions.register(s)
+      prepareTables(s, dir)
+      graft.table.SpatialTable.queryPlanned(s, tableRoot("attr", dir), "s1",
+          "event_type = 'click' AND value > 50.0", idColumn = "event_id")
+        .select("event_id")
+    }),
+
     "q_id_scan" -> ((s, dir) => {
       // ID-index lookup (IdIndex analog): direct feature-id fetch through
       // the id-bucketed sorted layout — bucket-directory pruning + sorted
@@ -1345,6 +1358,9 @@ object SparkEntry {
 
       "q_attr_scan" ->
         "SELECT event_id FROM events WHERE event_type = 'click'",
+
+      "q_planned_scan" ->
+        "SELECT event_id FROM events WHERE event_type = 'click' AND value > 50.0",
 
       "q_dwithin_join" ->
         s"""WITH $ptsCte, $zonesCte

@@ -151,6 +151,43 @@ object Cql {
     else split(0, n).map { case (a, b) => cql.substring(toks(a).start, toks(b - 1).end) }
   }
 
+  /** Split a filter at its top-level ANDs — the conjunct extraction the
+    * reference's FilterSplitter/FilterExtractingVisitor perform before
+    * strategy selection (geomesa-index-api planning/FilterSplitter
+    * .scala:63-107). Parenthesized groups stay whole, a top-level OR
+    * makes the whole filter one conjunct (no distribution), and the
+    * `AND` inside `a BETWEEN x AND y` is part of BETWEEN, not a cut. */
+  def splitAnd(cql: String): Seq[String] = {
+    val toks = lex(cql)
+    val n = toks.length - 1 // drop TEof
+    if (n <= 0) return Seq(cql)
+    var depth = 0
+    var pendingBetween = false
+    var hasTopOr = false
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < n) {
+      toks(i) match {
+        case TOp("(", _, _) => depth += 1
+        case TOp(")", _, _) => depth -= 1
+        case t: TIdent if depth == 0 && t.s.equalsIgnoreCase("BETWEEN") => pendingBetween = true
+        case t: TIdent if depth == 0 && t.s.equalsIgnoreCase("OR") => hasTopOr = true
+        case t: TIdent if depth == 0 && t.s.equalsIgnoreCase("AND") =>
+          if (pendingBetween) pendingBetween = false else cuts += i
+        case _ =>
+      }
+      i += 1
+    }
+    if (hasTopOr || cuts.isEmpty) Seq(cql)
+    else {
+      val bounds = (0 +: cuts.map(_ + 1).toSeq).zip(cuts.toSeq :+ n)
+      bounds.map { case (a, b) =>
+        require(a < b, s"dangling AND in filter: $cql")
+        cql.substring(toks(a).start, toks(b - 1).end)
+      }
+    }
+  }
+
   // ---- lexer ----------------------------------------------------------
 
   private sealed trait Tok { def start: Int; def end: Int }

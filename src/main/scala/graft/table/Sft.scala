@@ -142,6 +142,41 @@ object Sft {
     }
   }
 
+  /** GeoTools reserved words that cannot be attribute names — they
+    * collide with the CQL grammar (FeatureUtils.ReservedWords,
+    * geomesa-utils/.../geotools/FeatureUtils.scala:26-134; the
+    * published list in docs/user/datastores/reserved_words.rst).
+    * Case-insensitive; `override.reserved.words='true'` user data
+    * skips the check, like the reference's createSchema override. */
+  val ReservedWords: Set[String] = Set(
+    "AFTER", "AND", "BEFORE", "BEYOND", "CONTAINS", "CROSSES", "DISJOINT",
+    "DOES-NOT-EXIST", "DURING", "DWITHIN", "EQUALS", "EXCLUDE", "EXISTS",
+    "FALSE", "GEOMETRYCOLLECTION", "ID", "INCLUDE", "INTERSECTS", "IS",
+    "LIKE", "LINESTRING", "LOCATION", "MULTILINESTRING", "MULTIPOINT",
+    "MULTIPOLYGON", "NOT", "NULL", "OR", "OVERLAPS", "POINT", "POLYGON",
+    "RELATE", "TOUCHES", "TRUE", "WITHIN")
+
+  /** Attribute names of `s` that are reserved words
+    * (FeatureUtils.sftReservedWords analog). */
+  def reservedWords(s: Schema): Seq[String] =
+    s.fields.map(_.name.toUpperCase(java.util.Locale.US)).filter(ReservedWords.contains)
+
+  /** The createSchema-time check (GeoMesaDataStore rejects reserved
+    * attribute names when a TABLE is created, NOT when a spec string is
+    * parsed — SimpleFeatureTypes.createType accepts them, and its own
+    * tests use `id:Integer`). Call from table-creation paths. */
+  def validateReservedWords(s: Schema): Unit = {
+    val overridden = s.userData.exists {
+      case ("override.reserved.words", v) => v.equalsIgnoreCase("true"); case _ => false
+    }
+    if (!overridden) {
+      val bad = reservedWords(s)
+      require(bad.isEmpty,
+        s"reserved words in attribute names: ${bad.mkString(", ")} — " +
+          "set override.reserved.words='true' to skip this check")
+    }
+  }
+
   /** `createType("ns:name", "a:String,*geom:Point:srid=4326;k='v'")`. */
   def parse(name: String, spec: String): Schema = {
     val (ns, local) = splitName(name)

@@ -300,18 +300,44 @@ object SpatialTable {
       .write.mode("overwrite")
       .partitionBy("attr_bucket")
       .parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
-    writeString(f, marker, "")
+    // the commit marker records the bucket count: readers must hash with
+    // the WRITTEN modulus, never a caller-supplied one (a mismatched
+    // modulus probes the wrong bucket and silently finds nothing)
+    writeString(f, marker, buckets.toString)
+  }
+
+  /** The bucket count an index layout was written with (from its commit
+    * marker). None for pre-marker layouts — callers must then skip
+    * bucket pruning entirely rather than probe with a guessed modulus
+    * (a wrong modulus silently finds nothing). */
+  def indexBuckets(spark: SparkSession, root: String, snapshotId: String,
+                   attrCol: String): Option[Int] = {
+    val marker = new Path(s"$root/_manifests/$snapshotId.attr_$attrCol.committed")
+    val f = fs(spark, root)
+    if (!f.exists(marker)) None
+    else {
+      val in = f.open(marker)
+      val text = try {
+        new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+      if (text.isEmpty) None else Some(text.toInt)
+    }
   }
 
   /** Equality/range scan through the attribute index: bucket pruning
     * applies for equality (the hash bucket is known); range predicates
     * rely on the per-file sorted-attr row-group stats in every bucket. */
   def readByAttribute(spark: SparkSession, root: String, snapshotId: String,
-                      attrCol: String, value: Any, buckets: Int = 16): DataFrame = {
+                      attrCol: String, value: Any, buckets: Int = 0): DataFrame = {
+    val b = if (buckets > 0) Some(buckets) else indexBuckets(spark, root, snapshotId, attrCol)
     val idx = spark.read.parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
-    idx.where(col("attr_bucket") ===
-        pmod(xxhash64(typedLit(idx, attrCol, value)), lit(buckets)).cast("int"))
-      .where(col(attrCol) === lit(value))
+    val pruned = b match {
+      case Some(n) => idx.where(col("attr_bucket") ===
+        pmod(xxhash64(typedLit(idx, attrCol, value)), lit(n)).cast("int"))
+      case None => idx // unknown modulus: sorted-file stats still skip
+    }
+    pruned.where(col(attrCol) === lit(value))
   }
 
   /** xxhash64 hashes by the literal's TYPE (an Int literal hashes
@@ -323,9 +349,12 @@ object SpatialTable {
     lit(value).cast(idx.schema(targetCol).dataType)
 
   def readAttributeRange(spark: SparkSession, root: String, snapshotId: String,
-                         attrCol: String, lo: Any, hi: Any): DataFrame =
-    spark.read.parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
-      .where(col(attrCol).between(lit(lo), lit(hi)))
+                         attrCol: String, lo: Any, hi: Any): DataFrame = {
+    val idx = spark.read.parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
+    // cast the bounds to the column's type so a string "10" against a
+    // BIGINT column compares numerically (same hazard typedLit guards)
+    idx.where(col(attrCol).between(typedLit(idx, attrCol, lo), typedLit(idx, attrCol, hi)))
+  }
 
   /**
    * ID-index layout — the analog of the reference's IdIndex
@@ -357,6 +386,11 @@ object SpatialTable {
   def writeConfigured(spark: SparkSession, df: DataFrame, root: String, snapshotId: String,
                       sft: Sft.Schema, idCol: String, lonCol: String, latCol: String,
                       res: Int = 9, prefixRes: Int = 4, partitions: Int = 32): Snapshot = {
+    // createSchema-time reserved-word check (ReservedWordCheck
+    // .validateAttributeNames, GeoMesaSchemaValidator.scala:43-59). The
+    // designated id column is this engine's __fid__ analog, not an
+    // attribute, so it is exempt like the reference's feature id.
+    Sft.validateReservedWords(sft.copy(fields = sft.fields.filterNot(_.name == idCol)))
     val salts = sft.userDataMap.get("geomesa.z.splits").map(_.toInt).getOrElse(4)
     val enabled = sft.enabledIndices
     def on(n: String) = enabled.isEmpty || enabled.exists(_.equalsIgnoreCase(n))
@@ -368,18 +402,69 @@ object SpatialTable {
     snap
   }
 
+  /**
+   * Cost-planned CQL query — the StrategyDecider entry point: pick the
+   * cheapest scan (id lookup < attribute equals < attribute range < the
+   * primary z-pruned scan) for the filter's conjuncts given which
+   * secondary layouts this snapshot actually has, then apply the rest
+   * of the filter as the residual. `queryCql` is the ZScan it falls
+   * back to; an `id IN (...)` or `indexed_attr = 'v'` conjunct upgrades
+   * the scan to the matching layout automatically, like the reference's
+   * QueryPlanner (StrategyDecider.scala:47-63).
+   */
+  def queryPlanned(spark: SparkSession, root: String, snapshotId: String, cql: String,
+                   lonCol: String = "lon", latCol: String = "lat",
+                   idColumn: String = "id",
+                   props: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
+    import graft.plans.StrategyDecider
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    val indexed: Set[String] =
+      if (!f.exists(rootPath)) Set.empty
+      else f.listStatus(rootPath).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("index_") => n.stripPrefix("index_") }
+        .filter(a => f.exists(new Path(s"$root/index_$a/snapshot=$snapshotId")))
+        .toSet
+    val d = StrategyDecider.decide(cql, idColumn, indexed - idColumn, indexed.contains(idColumn))
+    def residual(df: DataFrame): DataFrame = d.residual match {
+      case None => df
+      case Some(r) =>
+        val defaults: Map[String, org.apache.spark.sql.Column] =
+          if (df.columns.contains(lonCol) && df.columns.contains(latCol))
+            Map("geom" -> StFunctions.fn("st_makePoint")(col(lonCol), col(latCol)))
+          else Map.empty
+        graft.plans.Cql.filter(df, r, defaults ++ props, idColumn)
+    }
+    d.strategy match {
+      case StrategyDecider.IdLookup(vs) =>
+        residual(readByIds(spark, root, snapshotId, idColumn, vs))
+      case StrategyDecider.AttrEquals(a, vs) =>
+        residual(vs.map(v => readByAttribute(spark, root, snapshotId, a, v)).reduce(_ union _))
+      case StrategyDecider.AttrRange(a, lo, hi) =>
+        residual(readAttributeRange(spark, root, snapshotId, a, lo, hi))
+      case StrategyDecider.ZScan =>
+        queryCql(spark, root, snapshotId, cql, lonCol, latCol, idColumn, props)
+    }
+  }
+
   /** Direct multi-id lookup through the id index. Each id contributes a
     * `(bucket = hash(id) AND id = v)` disjunct; the bucket equalities are
     * plan-time constants, so partition pruning keeps only the touched
     * bucket directories and the sorted-id row-group stats skip inside
     * them. Missing ids simply match nothing. */
   def readByIds(spark: SparkSession, root: String, snapshotId: String,
-                idCol: String, values: Seq[Any], buckets: Int = 16): DataFrame = {
+                idCol: String, values: Seq[Any], buckets: Int = 0): DataFrame = {
     require(values.nonEmpty, "readByIds needs at least one id")
+    val b = if (buckets > 0) Some(buckets) else indexBuckets(spark, root, snapshotId, idCol)
     val idx = spark.read.parquet(s"$root/index_$idCol/snapshot=$snapshotId")
     val pred = values.map { v =>
-      col("attr_bucket") === pmod(xxhash64(typedLit(idx, idCol, v)), lit(buckets)).cast("int") &&
-        col(idCol) === lit(v)
+      val eq = col(idCol) === lit(v)
+      b match {
+        case Some(n) =>
+          col("attr_bucket") === pmod(xxhash64(typedLit(idx, idCol, v)), lit(n)).cast("int") && eq
+        case None => eq
+      }
     }.reduce(_ || _)
     idx.where(pred)
   }

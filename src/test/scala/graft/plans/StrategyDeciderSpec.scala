@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+import graft.functions.StFunctions
+import graft.table.SpatialTable
+import graft.plans.StrategyDecider._
+
+/**
+ * StrategyDecider parity (reference StrategyDecider.scala:47-63 +
+ * the static costs in the index/strategies FilterStrategy classes): the
+ * cheapest eligible index wins, the rest of the filter becomes the
+ * residual, and the routed scan returns exactly what the full primary
+ * scan returns.
+ */
+class StrategyDeciderSpec extends AnyFunSuite with SparkTest {
+
+  private val attrs = Set("event_type", "name")
+
+  test("splitAnd: top-level conjuncts only; BETWEEN keeps its AND; OR blocks the split") {
+    assert(Cql.splitAnd("a = 'x' AND b = 'y'") === Seq("a = 'x'", "b = 'y'"))
+    assert(Cql.splitAnd("a BETWEEN 1 AND 5") === Seq("a BETWEEN 1 AND 5"))
+    assert(Cql.splitAnd("a BETWEEN 1 AND 5 AND b = 'y'") ===
+      Seq("a BETWEEN 1 AND 5", "b = 'y'"))
+    assert(Cql.splitAnd("(a = 'x' OR b = 'y') AND c = 'z'") ===
+      Seq("(a = 'x' OR b = 'y')", "c = 'z'"))
+    assert(Cql.splitAnd("a = 'x' OR b = 'y'") === Seq("a = 'x' OR b = 'y'"))
+  }
+
+  test("static cost model: id(1) < attr equals(100) < z3(200) < attr range(250) < z2(400)") {
+    // id lookup beats everything
+    val idWin = decide("event_type = 'login' AND id IN ('a', 'b')", "id", attrs, hasIdIndex = true)
+    assert(idWin.strategy === IdLookup(Seq("a", "b")) && idWin.cost === 1L)
+    assert(idWin.residual === Some("event_type = 'login'"))
+    // bare IN is a feature-id filter
+    assert(decide("IN ('a')", "id", attrs, hasIdIndex = true).strategy === IdLookup(Seq("a")))
+    // attr equals beats spatial
+    val attrWin = decide("BBOX(geom, 0, 0, 10, 10) AND event_type = 'login'", "id", attrs, hasIdIndex = false)
+    assert(attrWin.strategy === AttrEquals("event_type", Seq("login")) && attrWin.cost === 100L)
+    assert(attrWin.residual === Some("BBOX(geom, 0, 0, 10, 10)"))
+    // z3 (200) beats attr RANGE (250)
+    val z3Win = decide(
+      "name BETWEEN 'a' AND 'b' AND BBOX(geom, 0, 0, 10, 10) AND dtg DURING 2024-01-01T00:00:00Z/2024-01-02T00:00:00Z",
+      "id", attrs, hasIdIndex = false)
+    assert(z3Win.strategy === ZScan && z3Win.cost === 200L)
+    // spatial-only: attr range (250) beats z2 (400)
+    val rangeWin = decide("name BETWEEN 'a' AND 'b' AND BBOX(geom, 0, 0, 10, 10)", "id", attrs, hasIdIndex = false)
+    assert(rangeWin.strategy === AttrRange("name", "a", "b") && rangeWin.cost === 250L)
+    // unindexed attributes never offer
+    assert(decide("other = 'x'", "id", attrs, hasIdIndex = false).strategy === ZScan)
+    // no layouts at all -> ZScan with the whole filter as residual
+    val z = decide("event_type = 'login'", "id", Set.empty, hasIdIndex = false)
+    assert(z.strategy === ZScan && z.residual === Some("event_type = 'login'"))
+  }
+
+  test("queryPlanned routes to the id/attr layouts and matches the full scan") {
+    val s = spark
+    import s.implicits._
+    StFunctions.register(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_decider").toString
+    val df = (0 until 500).map { i =>
+      (s"f$i", if (i % 5 == 0) "login" else "view",
+        -20.0 + (i % 40), -10.0 + (i % 20), i.toLong)
+    }.toDF("id", "event_type", "lon", "lat", "value")
+    SpatialTable.write(spark, df, dir, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 2, partitions = 4)
+    SpatialTable.writeAttributeIndex(spark, dir, "s1", "event_type")
+    SpatialTable.writeAttributeIndex(spark, dir, "s1", "value")
+    SpatialTable.writeIdIndex(spark, dir, "s1", "id")
+
+    def both(cql: String): (Set[String], Set[String]) = {
+      val planned = SpatialTable.queryPlanned(spark, dir, "s1", cql)
+        .select("id").collect().map(_.getString(0)).toSet
+      val full = SpatialTable.queryCql(spark, dir, "s1", cql)
+        .select("id").collect().map(_.getString(0)).toSet
+      (planned, full)
+    }
+
+    // id route (+ residual)
+    val (p1, f1) = both("id IN ('f0', 'f5', 'f7') AND event_type = 'login'")
+    assert(p1 === f1 && p1 === Set("f0", "f5"))
+    // attr route with spatial residual
+    val (p2, f2) = both("event_type = 'login' AND BBOX(geom, -20.5, -10.5, -10.5, -0.5)")
+    assert(p2 === f2 && p2.nonEmpty)
+    // pure spatial falls back to the primary z scan
+    val (p3, f3) = both("BBOX(geom, -20.5, -10.5, -10.5, -0.5)")
+    assert(p3 === f3 && p3.nonEmpty)
+    // attr range route
+    val (p4, f4) = both("value BETWEEN 10 AND 20")
+    assert(p4 === f4 && p4.size === 11)
+  }
+}

@@ -167,4 +167,23 @@ class SftSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sft.parse("t", noDtg).withDtgField("dtg"))
     intercept[IllegalArgumentException](Sft.parse("t", oneDtg).withDtgField("foo"))
   }
+
+  // FeatureUtils.ReservedWords (geomesa-utils geotools/FeatureUtils.scala:
+  // 26-134; docs reserved_words.rst): TABLE creation rejects attribute
+  // names that collide with the CQL grammar, case-insensitively, unless
+  // override.reserved.words='true'. Spec parsing itself accepts them
+  // (the reference's SimpleFeatureTypesTest uses id:Integer freely).
+  test("reserved words: flagged on the schema, rejected at table creation, overridable") {
+    // parse never rejects
+    val loc = Sft.parse("t", "location:String,geom:Point")
+    assert(Sft.reservedWords(loc) == Seq("LOCATION"))
+    assert(Sft.reservedWords(Sft.parse("t", "Point:String")) == Seq("POINT"))
+    assert(Sft.reservedWords(Sft.parse("t", "name:String,geom:Point")).isEmpty)
+    // the createSchema-time check
+    val e = intercept[IllegalArgumentException](Sft.validateReservedWords(loc))
+    assert(e.getMessage.contains("LOCATION"))
+    Sft.validateReservedWords(Sft.parse("t", "name:String,geom:Point"))
+    Sft.validateReservedWords(
+      Sft.parse("t", "location:String,geom:Point;override.reserved.words='true'"))
+  }
 }
