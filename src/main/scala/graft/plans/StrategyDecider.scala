@@ -72,8 +72,13 @@ object StrategyDecider {
   }
 
   private val QuotedList = """'((?:[^']|'')*)'""".r
-  private def literals(s: String): Seq[String] =
-    QuotedList.findAllMatchIn(s).map(_.group(1).replace("''", "'")).toSeq
+  private val NumberList = """-?\d+(?:\.\d+)?""".r
+  /** The literal values of an IN list — quoted strings, or bare numbers
+    * when nothing is quoted (numeric id/attr lists). */
+  private def literals(s: String): Seq[String] = {
+    val quoted = QuotedList.findAllMatchIn(s).map(_.group(1).replace("''", "'")).toSeq
+    if (quoted.nonEmpty) quoted else NumberList.findAllIn(s).toSeq
+  }
 
   private val EqRe = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*('(?:[^']|'')*'|-?[0-9.]+)\s*$""".r
   private val InRe = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\((.*)\)\s*$""".r
@@ -99,15 +104,20 @@ object StrategyDecider {
     val conjuncts = Cql.splitAnd(cql).map(unwrap)
 
     // (strategy, cost) offered by conjunct i, best per the static model
+    // an empty IN list offers nothing (the residual still evaluates it)
+    def nonEmptyIds(vals: String)(mk: Seq[String] => Strategy): Option[(Strategy, Long)] = {
+      val vs = literals(vals)
+      if (vs.isEmpty) None else Some((mk(vs), if (mk(vs).isInstanceOf[IdLookup]) 1L else 100L))
+    }
     def offer(c: String): Option[(Strategy, Long)] = c match {
       case BareInRe(vals) if hasIdIndex =>
-        Some((IdLookup(literals(vals)), 1L))
+        nonEmptyIds(vals)(IdLookup.apply)
       case InRe(name, vals) if name == idColumn && hasIdIndex =>
-        Some((IdLookup(literals(vals)), 1L))
+        nonEmptyIds(vals)(IdLookup.apply)
       case EqRe(name, v) if name == idColumn && hasIdIndex =>
         Some((IdLookup(Seq(unquote(v))), 1L))
       case InRe(name, vals) if indexedAttrs.contains(name) =>
-        Some((AttrEquals(name, literals(vals)), 100L))
+        nonEmptyIds(vals)(AttrEquals(name, _))
       case EqRe(name, v) if indexedAttrs.contains(name) =>
         Some((AttrEquals(name, Seq(unquote(v))), 100L))
       case BetweenRe(name, lo, hi) if indexedAttrs.contains(name) =>

@@ -32,8 +32,12 @@ class StrategyDeciderSpec extends AnyFunSuite with SparkTest {
     val idWin = decide("event_type = 'login' AND id IN ('a', 'b')", "id", attrs, hasIdIndex = true)
     assert(idWin.strategy === IdLookup(Seq("a", "b")) && idWin.cost === 1L)
     assert(idWin.residual === Some("event_type = 'login'"))
-    // bare IN is a feature-id filter
+    // bare IN is a feature-id filter; numeric id lists work unquoted
     assert(decide("IN ('a')", "id", attrs, hasIdIndex = true).strategy === IdLookup(Seq("a")))
+    assert(decide("id IN (5, 77)", "id", attrs, hasIdIndex = true).strategy ===
+      IdLookup(Seq("5", "77")))
+    // an empty IN list offers nothing (evaluates in the residual instead)
+    assert(decide("IN ()", "id", attrs, hasIdIndex = true).strategy === ZScan)
     // attr equals beats spatial
     val attrWin = decide("BBOX(geom, 0, 0, 10, 10) AND event_type = 'login'", "id", attrs, hasIdIndex = false)
     assert(attrWin.strategy === AttrEquals("event_type", Seq("login")) && attrWin.cost === 100L)
