@@ -271,7 +271,8 @@ object Cql {
 
   private final class ParseError(msg: String) extends RuntimeException(msg)
 
-  private val SpatialOps = Set("BBOX", "INTERSECTS", "DISJOINT", "CONTAINS",
+  // shared with StrategyDecider's conjunct classification
+  private[plans] val SpatialOps = Set("BBOX", "INTERSECTS", "DISJOINT", "CONTAINS",
     "WITHIN", "TOUCHES", "CROSSES", "OVERLAPS", "EQUALS", "DWITHIN", "BEYOND", "RELATE")
   private val GeomKeywords = Set("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
     "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION", "LINEARRING")

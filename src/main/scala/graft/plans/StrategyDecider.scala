@@ -43,9 +43,8 @@ object StrategyDecider {
     * evaluate as the residual ("secondary") filter. */
   final case class Decision(strategy: Strategy, residual: Option[String], cost: Long)
 
-  private val SpatialOps =
-    Set("BBOX", "INTERSECTS", "WITHIN", "CONTAINS", "DWITHIN", "CROSSES",
-      "OVERLAPS", "TOUCHES", "EQUALS", "DISJOINT", "BEYOND", "RELATE")
+  // the one spatial-operator list, shared with the filter compiler
+  private val SpatialOps = Cql.SpatialOps
   private val TemporalOps = Set("DURING", "BEFORE", "AFTER", "TEQUALS")
 
   private def idIdent(s: String): Boolean =
@@ -71,13 +70,30 @@ object StrategyDecider {
     } else t
   }
 
-  private val QuotedList = """'((?:[^']|'')*)'""".r
-  private val NumberList = """-?\d+(?:\.\d+)?""".r
-  /** The literal values of an IN list — quoted strings, or bare numbers
-    * when nothing is quoted (numeric id/attr lists). */
-  private def literals(s: String): Seq[String] = {
-    val quoted = QuotedList.findAllMatchIn(s).map(_.group(1).replace("''", "'")).toSeq
-    if (quoted.nonEmpty) quoted else NumberList.findAllIn(s).toSeq
+  private val QuotedLit = """(?s)^'((?:[^']|'')*)'$""".r
+  private val NumberLit = """^-?\d+(?:\.\d+)?$""".r
+  /** The literal values of an IN list: every comma-separated item must
+    * be a quoted string or a bare number, else None — a partially
+    * parsed list must NOT drive the scan (the routed conjunct is
+    * removed from the residual, so dropping a value would silently
+    * lose rows). */
+  private def literals(s: String): Option[Seq[String]] = {
+    // split on commas outside quotes
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ',' if !inQuote => items += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    items += cur.result()
+    val parsed = items.map(_.trim).map {
+      case QuotedLit(v) => Some(v.replace("''", "'"))
+      case n if NumberLit.findFirstIn(n).isDefined => Some(n)
+      case _ => None
+    }
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) None else Some(parsed.map(_.get).toSeq)
   }
 
   private val EqRe = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*('(?:[^']|'')*'|-?[0-9.]+)\s*$""".r
@@ -101,23 +117,26 @@ object StrategyDecider {
    */
   def decide(cql: String, idColumn: String, indexedAttrs: Set[String],
              hasIdIndex: Boolean, dtgColumn: Option[String] = Some("dtg")): Decision = {
-    val conjuncts = Cql.splitAnd(cql).map(unwrap)
+    // classification looks through one level of parens; the residual is
+    // rebuilt from the RAW substrings, re-parenthesized, so an OR group
+    // can never change precedence against AND ("a OR b AND c" trap)
+    val raw = Cql.splitAnd(cql)
+    val conjuncts = raw.map(unwrap)
 
-    // (strategy, cost) offered by conjunct i, best per the static model
-    // an empty IN list offers nothing (the residual still evaluates it)
-    def nonEmptyIds(vals: String)(mk: Seq[String] => Strategy): Option[(Strategy, Long)] = {
-      val vs = literals(vals)
-      if (vs.isEmpty) None else Some((mk(vs), if (mk(vs).isInstanceOf[IdLookup]) 1L else 100L))
-    }
+    // (strategy, cost) offered by conjunct i, per the static model; an
+    // unparseable or empty IN list offers nothing (the whole filter
+    // then evaluates on the fallback scan instead)
+    def listOffer(vals: String, cost: Long)(mk: Seq[String] => Strategy): Option[(Strategy, Long)] =
+      literals(vals).map(vs => (mk(vs), cost))
     def offer(c: String): Option[(Strategy, Long)] = c match {
       case BareInRe(vals) if hasIdIndex =>
-        nonEmptyIds(vals)(IdLookup.apply)
+        listOffer(vals, 1L)(IdLookup.apply)
       case InRe(name, vals) if name == idColumn && hasIdIndex =>
-        nonEmptyIds(vals)(IdLookup.apply)
+        listOffer(vals, 1L)(IdLookup.apply)
       case EqRe(name, v) if name == idColumn && hasIdIndex =>
         Some((IdLookup(Seq(unquote(v))), 1L))
       case InRe(name, vals) if indexedAttrs.contains(name) =>
-        nonEmptyIds(vals)(AttrEquals(name, _))
+        listOffer(vals, 100L)(AttrEquals(name, _))
       case EqRe(name, v) if indexedAttrs.contains(name) =>
         Some((AttrEquals(name, Seq(unquote(v))), 100L))
       case BetweenRe(name, lo, hi) if indexedAttrs.contains(name) =>
@@ -143,7 +162,7 @@ object StrategyDecider {
 
     offers.sortBy(_._1._2).headOption match {
       case Some(((strategy, cost), at)) if cost < zCost =>
-        val rest = conjuncts.zipWithIndex.collect { case (c, i) if i != at => c }
+        val rest = raw.zipWithIndex.collect { case (c, i) if i != at => s"($c)" }
         Decision(strategy, if (rest.isEmpty) None else Some(rest.mkString(" AND ")), cost)
       case _ =>
         Decision(ZScan, Some(cql), zCost)

@@ -262,16 +262,20 @@ object SpatialTable {
    * z-ranges, and cell_prefix directory pruning with no manual readBBox
    * call (plan-asserted in CqlSpec).
    */
+  /** The default property mapping CQL geometries resolve through on a
+    * lon/lat table (shared by every CQL entry point). */
+  private def geomDefaults(df: DataFrame, lonCol: String,
+                           latCol: String): Map[String, org.apache.spark.sql.Column] =
+    if (df.columns.contains(lonCol) && df.columns.contains(latCol))
+      Map("geom" -> StFunctions.fn("st_makePoint")(col(lonCol), col(latCol)))
+    else Map.empty
+
   def queryCql(spark: SparkSession, root: String, snapshotId: String, cql: String,
                lonCol: String = "lon", latCol: String = "lat",
                idColumn: String = "id",
                props: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
     val df = read(spark, root, snapshotId)
-    val defaults: Map[String, org.apache.spark.sql.Column] =
-      if (df.columns.contains(lonCol) && df.columns.contains(latCol))
-        Map("geom" -> StFunctions.fn("st_makePoint")(col(lonCol), col(latCol)))
-      else Map.empty
-    graft.plans.Cql.filter(df, cql, defaults ++ props, idColumn)
+    graft.plans.Cql.filter(df, cql, geomDefaults(df, lonCol, latCol) ++ props, idColumn)
   }
 
   /**
@@ -414,33 +418,36 @@ object SpatialTable {
    */
   def queryPlanned(spark: SparkSession, root: String, snapshotId: String, cql: String,
                    lonCol: String = "lon", latCol: String = "lat",
-                   idColumn: String = "id",
+                   idColumn: String = "id", dtgColumn: Option[String] = Some("dtg"),
                    props: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
     import graft.plans.StrategyDecider
     val f = fs(spark, root)
     val rootPath = new Path(root)
+    // a layout is plannable only once its COMMIT MARKER exists — a
+    // crashed index write leaves a data directory the planner must
+    // never route through (the pre-index full scan stays correct)
     val indexed: Set[String] =
       if (!f.exists(rootPath)) Set.empty
       else f.listStatus(rootPath).toSeq
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("index_") => n.stripPrefix("index_") }
-        .filter(a => f.exists(new Path(s"$root/index_$a/snapshot=$snapshotId")))
+        .filter(a => f.exists(new Path(s"$root/_manifests/$snapshotId.attr_$a.committed")))
         .toSet
-    val d = StrategyDecider.decide(cql, idColumn, indexed - idColumn, indexed.contains(idColumn))
+    val d = StrategyDecider.decide(cql, idColumn, indexed - idColumn,
+      indexed.contains(idColumn), dtgColumn)
     def residual(df: DataFrame): DataFrame = d.residual match {
       case None => df
       case Some(r) =>
-        val defaults: Map[String, org.apache.spark.sql.Column] =
-          if (df.columns.contains(lonCol) && df.columns.contains(latCol))
-            Map("geom" -> StFunctions.fn("st_makePoint")(col(lonCol), col(latCol)))
-          else Map.empty
-        graft.plans.Cql.filter(df, r, defaults ++ props, idColumn)
+        graft.plans.Cql.filter(df, r, geomDefaults(df, lonCol, latCol) ++ props, idColumn)
     }
     d.strategy match {
       case StrategyDecider.IdLookup(vs) =>
         residual(readByIds(spark, root, snapshotId, idColumn, vs))
       case StrategyDecider.AttrEquals(a, vs) =>
-        residual(vs.map(v => readByAttribute(spark, root, snapshotId, a, v)).reduce(_ union _))
+        // ONE scan with an OR of per-value (bucket, equality) conjuncts
+        // (readByIds generalizes to any indexed column) — a per-value
+        // union would duplicate rows for repeated or cast-equal values
+        residual(readByIds(spark, root, snapshotId, a, vs.distinct))
       case StrategyDecider.AttrRange(a, lo, hi) =>
         residual(readAttributeRange(spark, root, snapshotId, a, lo, hi))
       case StrategyDecider.ZScan =>

@@ -31,7 +31,7 @@ class StrategyDeciderSpec extends AnyFunSuite with SparkTest {
     // id lookup beats everything
     val idWin = decide("event_type = 'login' AND id IN ('a', 'b')", "id", attrs, hasIdIndex = true)
     assert(idWin.strategy === IdLookup(Seq("a", "b")) && idWin.cost === 1L)
-    assert(idWin.residual === Some("event_type = 'login'"))
+    assert(idWin.residual === Some("(event_type = 'login')"))
     // bare IN is a feature-id filter; numeric id lists work unquoted
     assert(decide("IN ('a')", "id", attrs, hasIdIndex = true).strategy === IdLookup(Seq("a")))
     assert(decide("id IN (5, 77)", "id", attrs, hasIdIndex = true).strategy ===
@@ -41,7 +41,7 @@ class StrategyDeciderSpec extends AnyFunSuite with SparkTest {
     // attr equals beats spatial
     val attrWin = decide("BBOX(geom, 0, 0, 10, 10) AND event_type = 'login'", "id", attrs, hasIdIndex = false)
     assert(attrWin.strategy === AttrEquals("event_type", Seq("login")) && attrWin.cost === 100L)
-    assert(attrWin.residual === Some("BBOX(geom, 0, 0, 10, 10)"))
+    assert(attrWin.residual === Some("(BBOX(geom, 0, 0, 10, 10))"))
     // z3 (200) beats attr RANGE (250)
     val z3Win = decide(
       "name BETWEEN 'a' AND 'b' AND BBOX(geom, 0, 0, 10, 10) AND dtg DURING 2024-01-01T00:00:00Z/2024-01-02T00:00:00Z",
@@ -55,6 +55,18 @@ class StrategyDeciderSpec extends AnyFunSuite with SparkTest {
     // no layouts at all -> ZScan with the whole filter as residual
     val z = decide("event_type = 'login'", "id", Set.empty, hasIdIndex = false)
     assert(z.strategy === ZScan && z.residual === Some("event_type = 'login'"))
+    // a residual OR group keeps its parentheses — precedence must not
+    // change when conjuncts are re-joined ("a OR b AND c" trap)
+    val orGroup = decide("event_type = 'login' AND (a = 'x' OR b = 'y') AND c = 'w'",
+      "id", attrs, hasIdIndex = false)
+    assert(orGroup.strategy === AttrEquals("event_type", Seq("login")))
+    assert(orGroup.residual === Some("((a = 'x' OR b = 'y')) AND (c = 'w')"))
+    // a partially-quoted or non-literal IN list offers nothing (routing
+    // it would silently drop the unparsed values)
+    assert(decide("event_type IN ('click', 7)", "id", attrs, hasIdIndex = false).strategy
+      === AttrEquals("event_type", Seq("click", "7")))
+    assert(decide("event_type IN ('click', foo)", "id", attrs, hasIdIndex = false).strategy
+      === ZScan)
   }
 
   test("queryPlanned routes to the id/attr layouts and matches the full scan") {
@@ -92,5 +104,13 @@ class StrategyDeciderSpec extends AnyFunSuite with SparkTest {
     // attr range route
     val (p4, f4) = both("value BETWEEN 10 AND 20")
     assert(p4 === f4 && p4.size === 11)
+    // duplicate IN values must not duplicate rows (single scan, not a union)
+    val dupCount = SpatialTable.queryPlanned(spark, dir, "s1",
+      "event_type IN ('login', 'login')").count()
+    assert(dupCount === 100)
+    // the residual OR-group precedence case end-to-end
+    val (p5, f5) = both(
+      "event_type = 'login' AND (value = 0 OR value = 5) AND id = 'f0'")
+    assert(p5 === f5 && p5 === Set("f0"))
   }
 }
