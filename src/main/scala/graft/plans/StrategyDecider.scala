@@ -116,7 +116,17 @@ object StrategyDecider {
    * layout; `hasIdIndex` = the id layout exists for `idColumn`.
    */
   def decide(cql: String, idColumn: String, indexedAttrs: Set[String],
-             hasIdIndex: Boolean, dtgColumn: Option[String] = Some("dtg")): Decision = {
+             hasIdIndex: Boolean, dtgColumn: Option[String] = Some("dtg"),
+             cardinality: Map[String, String] = Map.empty): Decision = {
+    // the reference's cardinality hint (AttributeFilterStrategy.scala:
+    // 73-75, from the `cardinality=high|low` attribute option): a
+    // high-cardinality attribute costs a tenth, low ten times
+    def attrCost(attr: String, base: Long): Long =
+      cardinality.get(attr).map(_.toLowerCase(java.util.Locale.US)) match {
+        case Some("high") => base / 10
+        case Some("low") => base * 10
+        case _ => base
+      }
     // classification looks through one level of parens; the residual is
     // rebuilt from the RAW substrings, re-parenthesized, so an OR group
     // can never change precedence against AND ("a OR b AND c" trap)
@@ -136,11 +146,11 @@ object StrategyDecider {
       case EqRe(name, v) if name == idColumn && hasIdIndex =>
         Some((IdLookup(Seq(unquote(v))), 1L))
       case InRe(name, vals) if indexedAttrs.contains(name) =>
-        listOffer(vals, 100L)(AttrEquals(name, _))
+        listOffer(vals, attrCost(name, 100L))(AttrEquals(name, _))
       case EqRe(name, v) if indexedAttrs.contains(name) =>
-        Some((AttrEquals(name, Seq(unquote(v))), 100L))
+        Some((AttrEquals(name, Seq(unquote(v))), attrCost(name, 100L)))
       case BetweenRe(name, lo, hi) if indexedAttrs.contains(name) =>
-        Some((AttrRange(name, unquote(lo), unquote(hi)), 250L))
+        Some((AttrRange(name, unquote(lo), unquote(hi)), attrCost(name, 250L)))
       case _ => None
     }
 

@@ -125,6 +125,13 @@ object Sft {
 
     def userDataMap: Map[String, String] = userData.toMap
 
+    /** Attribute cardinality hints (`index=true:cardinality=high|low`,
+      * SimpleFeatureTypes.OPT_CARDINALITY) — drives the strategy
+      * decider's cost adjustment like the reference's
+      * AttributeFilterStrategy.getCost. */
+    def cardinalities: Map[String, String] =
+      fields.flatMap(f => f.option("cardinality").map(f.name -> _)).toMap
+
     /** `geomesa.indices.enabled='z3,z2,attr'` -> the layouts to build. */
     def enabledIndices: Seq[String] =
       userDataMap.get("geomesa.indices.enabled").map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)

@@ -67,6 +67,16 @@ class StrategyDeciderSpec extends AnyFunSuite with SparkTest {
       === AttrEquals("event_type", Seq("click", "7")))
     assert(decide("event_type IN ('click', foo)", "id", attrs, hasIdIndex = false).strategy
       === ZScan)
+    // cardinality hints (AttributeFilterStrategy.scala:73-75): low *10
+    // flips an attr-equals loss to z3; high /10 flips a range loss to a win
+    val lowCard = decide(
+      "event_type = 'login' AND BBOX(geom, 0, 0, 10, 10) AND dtg DURING 2024-01-01T00:00:00Z/2024-01-02T00:00:00Z",
+      "id", attrs, hasIdIndex = false, cardinality = Map("event_type" -> "low"))
+    assert(lowCard.strategy === ZScan && lowCard.cost === 200L) // 1000 > 200
+    val highCard = decide(
+      "name BETWEEN 'a' AND 'b' AND BBOX(geom, 0, 0, 10, 10) AND dtg DURING 2024-01-01T00:00:00Z/2024-01-02T00:00:00Z",
+      "id", attrs, hasIdIndex = false, cardinality = Map("name" -> "high"))
+    assert(highCard.strategy === AttrRange("name", "a", "b") && highCard.cost === 25L)
   }
 
   test("queryPlanned routes to the id/attr layouts and matches the full scan") {
