@@ -103,7 +103,7 @@ object GeomTable {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/_manifests"))
     val manifest =
-      s"""{"res":$res,"period":"$period","dtg":${dtgCol.map(d => s""""$d"""").getOrElse("null")}}"""
+      s"""{"res":$res,"period":"$period","geom":"$geomCol","dtg":${dtgCol.map(d => s""""$d"""").getOrElse("null")}}"""
     val out = f.create(new Path(s"$root/_manifests/$snapshotId.json"), true)
     out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
     f.create(new Path(s"$root/_manifests/$snapshotId.committed"), true).close()
@@ -112,7 +112,8 @@ object GeomTable {
   def read(spark: SparkSession, root: String, snapshotId: String): DataFrame =
     spark.read.parquet(s"$root/data/snapshot=$snapshotId")
 
-  final case class Manifest(res: Int, period: String, dtg: Option[String])
+  final case class Manifest(res: Int, period: String, dtg: Option[String],
+                            geom: String = "geom")
 
   /** The layout parameters the snapshot was WRITTEN with. Queries must
     * plan against these — XZ codes built at a different res (or time
@@ -132,7 +133,9 @@ object GeomTable {
     val period = """"period"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
       .map(_.group(1)).getOrElse("week")
     val dtg = """"dtg"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
-    Manifest(res, period, dtg)
+    val geom = """"geom"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse("geom")
+    Manifest(res, period, dtg, geom)
   }
 
   private def boxWkb(minx: Double, miny: Double, maxx: Double, maxy: Double): Array[Byte] = {
@@ -148,9 +151,10 @@ object GeomTable {
     * from the caller (a mismatched res would return silent empties). */
   def readBBox(spark: SparkSession, root: String, snapshotId: String,
                minx: Double, miny: Double, maxx: Double, maxy: Double,
-               geomCol: String = "geom",
                maxRanges: Int = 64): DataFrame = {
-    val res = manifest(spark, root, snapshotId).res
+    val m = manifest(spark, root, snapshotId)
+    val res = m.res
+    val geomCol = m.geom
     val ranges = XZ2(res).ranges(minx, miny, maxx, maxy, maxRanges)
     read(spark, root, snapshotId)
       .where(xzPred(ranges))
@@ -168,12 +172,12 @@ object GeomTable {
   def readBBoxTime(spark: SparkSession, root: String, snapshotId: String,
                    minx: Double, miny: Double, maxx: Double, maxy: Double,
                    startMillis: Long, endMillis: Long,
-                   geomCol: String = "geom",
                    maxRanges: Int = 64): DataFrame = {
     require(endMillis > startMillis, s"empty interval: $startMillis..$endMillis")
     val m = manifest(spark, root, snapshotId)
     require(m.dtg.isDefined, s"snapshot $snapshotId was written without a dtg column")
     val dtgCol = m.dtg.get
+    val geomCol = m.geom
     val p = BinnedTime.period(m.period)
     val sfc = XZ3(m.res, p)
     val b0 = BinnedTime.toBinned(p, startMillis)
