@@ -651,6 +651,43 @@ object SparkEntry {
       operators.Multimodal.phashPairs(hashed, "image_id", "ph", maxDist = 12)
     }),
 
+    "q_tube_bins" -> ((s, dir) => {
+      // NoGapFill.timeBinAndUnion (TubeBuilder.scala:133-160) through
+      // the oracle: rows collapse to unique millis (deterministic time
+      // order), bins are equal-size sequential groups, and the per-bin
+      // [start, end] ranges are exact integer arithmetic both engines
+      // replicate; the unioned geometry itself is certified by
+      // TrackOpsSpec's coverage assertions
+      import s.implicits._
+      StFunctions.register(s)
+      val tube = t(s, dir, "events")
+        .selectExpr("unix_millis(cast(ts AS timestamp)) AS millis", "event_id")
+        .groupBy("millis").agg(min("event_id").as("event_id"))
+        .withColumn("sx", (col("event_id") % 7).cast("double"))
+        .withColumn("geom", StFunctions.fn("st_makeBBOX")(
+          col("sx"), lit(0.0), col("sx") + 1, lit(1.0)))
+      graft.operators.TrackOps.timeBinAndUnion(tube, "geom", "millis", 7)
+        .select(col("bin"), col("start").as("start_millis"), col("end").as("end_millis"))
+    }),
+
+    "q_union_area" -> ((s, dir) => {
+      // geometric-union aggregate (TubeBuilder unionFeatures analog,
+      // Stats.UnionAgg) certified by exact arithmetic: events snap to
+      // integer unit-box slots, so each group's union area IS its
+      // distinct-slot count — integer shoelace sums are exact doubles
+      StFunctions.register(s)
+      val boxes = t(s, dir, "events")
+        .selectExpr("event_id % 25 AS grp",
+          "CAST(event_id % 97 AS DOUBLE) AS sx",
+          "CAST(CAST(floor(event_id / 97) AS BIGINT) % 41 AS DOUBLE) AS sy")
+        .withColumn("geom", StFunctions.fn("st_makeBBOX")(
+          col("sx"), col("sy"), col("sx") + 1, col("sy") + 1))
+      boxes.groupBy("grp")
+        .agg(graft.operators.Stats.geomUnion(col("geom")).as("u"))
+        .select(col("grp"),
+          StFunctions.fn("st_area")(col("u")).cast("long").as("area"))
+    }),
+
     "q_tube_select" -> ((s, dir) => {
       // spatio-temporal corridor join (TubeSelectProcess analog), planar
       // variant: corridor membership = exact JTS point-to-segment
@@ -1510,6 +1547,24 @@ object SparkEntry {
            |  CAST(epoch_ms(p.ts) // 1000 AS INT) AS dtg_s,
            |  CAST(p.lat AS REAL) AS lat, CAST(p.lon AS REAL) AS lon
            |FROM pts p JOIN events e ON p.event_id = e.event_id""".stripMargin,
+
+      // binSize = floor(n/7) + (n%7==0 ? 0 : 1); floor() is explicit —
+      // DuckDB CAST(double AS BIGINT) rounds to nearest while Spark's
+      // cast truncates, so every division goes through floor()
+      "q_tube_bins" ->
+        """WITH u AS (SELECT DISTINCT epoch_ms(ts) AS millis FROM events),
+          |r AS (SELECT millis, ROW_NUMBER() OVER (ORDER BY millis) - 1 AS rn,
+          |             COUNT(*) OVER () AS n FROM u),
+          |b AS (SELECT millis,
+          |        CAST(floor(rn / (CAST(floor(n / 7.0) AS BIGINT) +
+          |          CASE WHEN n % 7 = 0 THEN 0 ELSE 1 END)) AS BIGINT) AS bin FROM r)
+          |SELECT bin, MIN(millis) AS start_millis, MAX(millis) AS end_millis
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+      "q_union_area" ->
+        """SELECT event_id % 25 AS grp,
+          |  COUNT(DISTINCT (event_id % 97, CAST(floor(event_id / 97.0) AS BIGINT) % 41)) AS area
+          |FROM events GROUP BY 1""".stripMargin,
 
       "q_tube_select" -> {
         val d = pointToSegSql("f.lon", "f.lat", "s2.x0", "s2.y0", "s2.x1", "s2.y1")
