@@ -651,6 +651,38 @@ object SparkEntry {
       operators.Multimodal.phashPairs(hashed, "image_id", "ph", maxDist = 12)
     }),
 
+    "q_convert_xml" -> ((s, dir) => {
+      // XML converter end-to-end (geomesa-convert-xml analog): events
+      // serialize to XML documents in-plan, the XPath converter parses
+      // them back, and DuckDB recomputes the rows straight from the
+      // table. Double round-trips exactly (shortest-repr string form).
+      val docs = t(s, dir, "events").select(
+        concat(lit("<event id=\""), col("event_id").cast("string"), lit("\"><type>"),
+          col("event_type"), lit("</type><value>"), col("value").cast("string"),
+          lit("</value></event>")).as("line"))
+      sources.Converters.convert(docs, "line", Seq(
+        sources.Converters.Field("event_id", sources.Converters.XPath("/event/@id"), "bigint"),
+        sources.Converters.Field("event_type", sources.Converters.XPath("/event/type/text()")),
+        sources.Converters.Field("value", sources.Converters.XPath("/event/value/text()"), "double")))
+        .select("event_id", "event_type", "value")
+    }),
+
+    "q_map_counts" -> ((s, dir) => {
+      // map aggregation (KryoLazyMapAggregatingIterator analog): exact
+      // value->count maps per group, rendered as a canonical sorted
+      // string so the oracle compares content, not map ordering
+      // floor() explicit: DuckDB CAST(double AS BIGINT) rounds to
+      // nearest while Spark's cast truncates
+      val m = graft.operators.Stats.mapCounts(
+        t(s, dir, "events").selectExpr("event_type",
+          "CAST(floor(value) AS BIGINT) % 10 AS bucket"),
+        "event_type", "bucket")
+      m.select(col("event_type"),
+        expr("""concat_ws(",", transform(array_sort(map_keys(value_counts)),
+          |k -> concat(CAST(k AS STRING), ':', CAST(value_counts[k] AS STRING))))""".stripMargin
+          .replace("\n", " ")).as("counts"))
+    }),
+
     "q_tube_bins" -> ((s, dir) => {
       // NoGapFill.timeBinAndUnion (TubeBuilder.scala:133-160) through
       // the oracle: rows collapse to unique millis (deterministic time
@@ -1551,6 +1583,15 @@ object SparkEntry {
       // binSize = floor(n/7) + (n%7==0 ? 0 : 1); floor() is explicit —
       // DuckDB CAST(double AS BIGINT) rounds to nearest while Spark's
       // cast truncates, so every division goes through floor()
+      "q_convert_xml" ->
+        "SELECT event_id, event_type, value FROM events",
+
+      "q_map_counts" ->
+        """SELECT event_type,
+          |  string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY bucket) AS counts
+          |FROM (SELECT event_type, CAST(floor(value) AS BIGINT) % 10 AS bucket, COUNT(*) AS n
+          |      FROM events GROUP BY 1, 2) GROUP BY event_type""".stripMargin,
+
       "q_tube_bins" ->
         """WITH u AS (SELECT DISTINCT epoch_ms(ts) AS millis FROM events),
           |r AS (SELECT millis, ROW_NUMBER() OVER (ORDER BY millis) - 1 AS rn,
