@@ -651,6 +651,61 @@ object SparkEntry {
       operators.Multimodal.phashPairs(hashed, "image_id", "ph", maxDist = 12)
     }),
 
+    "q_convert_fixed" -> ((s, dir) => {
+      // fixed-width converter end-to-end (geomesa-convert fixed-width
+      // analog): events serialize to fixed-width lines in-plan (lpad'd
+      // columns at known offsets), the slice converter parses them
+      // back, and DuckDB recomputes the rows from the table
+      val lines = t(s, dir, "events").select(
+        concat(lpad(col("event_id").cast("string"), 10, "0"),
+          rpad(col("event_type"), 12, " "),
+          lpad(col("user_id").cast("string"), 8, "0")).as("line"))
+      sources.Converters.convert(lines, "line", Seq(
+        sources.Converters.Field("event_id", sources.Converters.FixedWidth(0, 10), "bigint"),
+        sources.Converters.Field("event_type",
+          sources.Converters.FixedWidthTransform(10, 12, "trim($0)")),
+        sources.Converters.Field("user_id", sources.Converters.FixedWidth(22, 8), "bigint")))
+        .select("event_id", "event_type", "user_id")
+    }),
+
+    "q_lambda_merge" -> ((s, dir) => {
+      // lambda-store merged view (LambdaQueryRunner.runMergedQuery
+      // analog): the persistent tier loses to the live changelog —
+      // live upserts replace, live deletes suppress, untouched
+      // persistent rows pass through. Tiers derive deterministically
+      // from events; DuckDB replays the same semantics in SQL
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .selectExpr("CAST(user_id AS STRING) AS id",
+          "unix_millis(CAST(ts AS timestamp)) AS millis",
+          "event_id", "CAST(event_id % 360 AS DOUBLE) - 180.0 AS lon",
+          "CAST(event_id % 180 AS DOUBLE) - 90.0 AS lat", "event_type")
+      // persistent tier: each user's EARLIEST event (by millis, event_id)
+      val persistent = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("millis"), col("event_id"))))
+        .where(col("rn") === 1)
+        .select(col("id"), col("lon"), col("lat"),
+          typedLit(Map.empty[String, String]).as("attrs"),
+          expr("timestamp_millis(millis)").as("updated"))
+        .as[graft.streaming.ChangelogStream.GeoState]
+      // live tier: users with an odd latest event_id emit an upsert at
+      // their LATEST position; every 7th user's live tier is a delete
+      val latest = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(desc("millis"), desc("event_id"))))
+        .where(col("rn") === 1)
+      val live = latest
+        .where(col("event_id") % 2 === 1 || col("id").cast("long") % 7 === 0)
+        .select(
+          when(col("id").cast("long") % 7 === 0, lit("delete")).otherwise(lit("upsert")).as("kind"),
+          expr("timestamp_millis(millis)").as("ts"), col("id"),
+          col("lon"), col("lat"), typedLit(Map.empty[String, String]).as("attrs"))
+        .as[graft.streaming.ChangelogStream.GeoEvent]
+      graft.streaming.ChangelogStream.mergedView(s, persistent, live)
+        .toDF().selectExpr("id", "lon", "lat", "unix_millis(updated) AS updated_millis")
+    }),
+
     "q_convert_xml" -> ((s, dir) => {
       // XML converter end-to-end (geomesa-convert-xml analog): events
       // serialize to XML documents in-plan, the XPath converter parses
@@ -1583,8 +1638,28 @@ object SparkEntry {
       // binSize = floor(n/7) + (n%7==0 ? 0 : 1); floor() is explicit —
       // DuckDB CAST(double AS BIGINT) rounds to nearest while Spark's
       // cast truncates, so every division goes through floor()
+      "q_convert_fixed" ->
+        "SELECT event_id, event_type, user_id FROM events",
+
       "q_convert_xml" ->
         "SELECT event_id, event_type, value FROM events",
+
+      "q_lambda_merge" ->
+        """WITH ev AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS id, epoch_ms(ts) AS millis, event_id,
+          |         CAST(event_id % 360 AS DOUBLE) - 180.0 AS lon,
+          |         CAST(event_id % 180 AS DOUBLE) - 90.0 AS lat
+          |  FROM events),
+          |f AS (SELECT id, lon, lat, millis FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY millis, event_id) AS rn FROM ev) WHERE rn = 1),
+          |l AS (SELECT id, lon, lat, millis, event_id FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY millis DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1)
+          |SELECT f.id,
+          |  CASE WHEN l.event_id % 2 = 1 THEN l.lon ELSE f.lon END AS lon,
+          |  CASE WHEN l.event_id % 2 = 1 THEN l.lat ELSE f.lat END AS lat,
+          |  CASE WHEN l.event_id % 2 = 1 THEN l.millis ELSE f.millis END AS updated_millis
+          |FROM f JOIN l ON f.id = l.id
+          |WHERE CAST(f.id AS BIGINT) % 7 <> 0""".stripMargin,
 
       "q_map_counts" ->
         """SELECT event_type,
