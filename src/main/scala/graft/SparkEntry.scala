@@ -651,6 +651,19 @@ object SparkEntry {
       operators.Multimodal.phashPairs(hashed, "image_id", "ph", maxDist = 12)
     }),
 
+    "q_convert_delim" -> ((s, dir) => {
+      // delimited converter end-to-end (geomesa-convert-text analog):
+      // events serialize to CSV lines in-plan, the Col-spec converter
+      // splits them back, and DuckDB recomputes from the table
+      val lines = t(s, dir, "events").select(
+        concat_ws(",", col("event_id"), col("event_type"), col("user_id")).as("line"))
+      sources.Converters.convert(lines, "line", Seq(
+        sources.Converters.Field("event_id", sources.Converters.Col(0), "bigint"),
+        sources.Converters.Field("event_type", sources.Converters.Col(1)),
+        sources.Converters.Field("user_id", sources.Converters.Col(2), "bigint")))
+        .select("event_id", "event_type", "user_id")
+    }),
+
     "q_convert_fixed" -> ((s, dir) => {
       // fixed-width converter end-to-end (geomesa-convert fixed-width
       // analog): events serialize to fixed-width lines in-plan (lpad'd
@@ -1638,6 +1651,9 @@ object SparkEntry {
       // binSize = floor(n/7) + (n%7==0 ? 0 : 1); floor() is explicit —
       // DuckDB CAST(double AS BIGINT) rounds to nearest while Spark's
       // cast truncates, so every division goes through floor()
+      "q_convert_delim" ->
+        "SELECT event_id, event_type, user_id FROM events",
+
       "q_convert_fixed" ->
         "SELECT event_id, event_type, user_id FROM events",
 
