@@ -724,10 +724,16 @@ object SparkEntry {
       // serialize to XML documents in-plan, the XPath converter parses
       // them back, and DuckDB recomputes the rows straight from the
       // table. Double round-trips exactly (shortest-repr string form).
+      // the events table is one parquet split at bench scale and AQE
+      // coalesces a bare repartition right back down (the docs are only
+      // a few MB — AQE can't see that the DOWNSTREAM per-row DOM parse
+      // is the real cost). localCheckpoint pins the 32-way split so the
+      // parse runs parallel, like a real many-split corpus would
       val docs = t(s, dir, "events").select(
         concat(lit("<event id=\""), col("event_id").cast("string"), lit("\"><type>"),
           col("event_type"), lit("</type><value>"), col("value").cast("string"),
           lit("</value></event>")).as("line"))
+        .repartition(32).localCheckpoint()
       sources.Converters.convert(docs, "line", Seq(
         sources.Converters.Field("event_id", sources.Converters.XPath("/event/@id"), "bigint"),
         sources.Converters.Field("event_type", sources.Converters.XPath("/event/type/text()")),

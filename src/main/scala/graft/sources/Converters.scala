@@ -78,32 +78,71 @@ object Converters {
     } else graft.geom.GeomOps.wktToWkbOrNull(s)
   }
 
-  private def parseXml(xml: String): org.w3c.dom.Document =
-    javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder()
-      .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+  // parser/xpath/transformer machinery is NOT thread-safe but IS
+  // reusable — per-task thread locals instead of a factory per ROW
+  // (building DocumentBuilderFactory per record was ~30x slower; the
+  // reference likewise caches its parser per converter instance)
+  @transient private lazy val docBuilder =
+    new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+      override def initialValue(): javax.xml.parsers.DocumentBuilder =
+        javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    }
+  @transient private lazy val xpathEval =
+    new ThreadLocal[javax.xml.xpath.XPath] {
+      override def initialValue(): javax.xml.xpath.XPath =
+        javax.xml.xpath.XPathFactory.newInstance().newXPath()
+    }
+  // XPath.evaluate(String, ...) COMPILES the expression on every call —
+  // the converter's paths are a fixed small set, so compile each once
+  // per thread (XPathExpression is not thread-safe but is reusable)
+  @transient private lazy val xpathCompiled =
+    new ThreadLocal[scala.collection.mutable.HashMap[String, javax.xml.xpath.XPathExpression]] {
+      override def initialValue() = scala.collection.mutable.HashMap.empty
+    }
+  private def compiledXPath(p: String): javax.xml.xpath.XPathExpression =
+    xpathCompiled.get().getOrElseUpdate(p, xpathEval.get().compile(p))
+  @transient private lazy val xmlTransformer =
+    new ThreadLocal[javax.xml.transform.Transformer] {
+      override def initialValue(): javax.xml.transform.Transformer = {
+        val tf = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
+        tf.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
+        tf
+      }
+    }
+
+  private def parseXml(xml: String): org.w3c.dom.Document = {
+    val b = docBuilder.get()
+    b.reset()
+    b.parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+  }
 
   /** Evaluate ALL of a record's XPaths against ONE parsed DOM — the
     * reference parses each record once and runs every field's xpath over
     * it; a per-field parse would cost k DOM parses per row at scale.
     * Context = the root ELEMENT, so relative paths resolve against the
     * (possibly exploded feature) node; absolute paths ignore context. */
+  // .asNondeterministic() below is an OPTIMIZER FENCE, not a semantic
+  // claim: CollapseProject inlines deterministic intermediate columns
+  // into every consumer, turning the shared once-per-record evaluation
+  // into one DOM parse PER FIELD (3-4x the work; ScalaUDF calls are not
+  // recovered by codegen subexpression elimination). Non-deterministic
+  // expressions are never duplicated, so the shared array materializes
+  // exactly once per record.
   private val xpathsUdf = udf { (xml: String, paths: Seq[String]) =>
     if (xml == null) null
     else {
       try {
         val doc = parseXml(xml)
-        val xp = javax.xml.xpath.XPathFactory.newInstance().newXPath()
         val root = doc.getDocumentElement
         paths.map { p =>
           try {
-            val s = xp.evaluate(p, root)
+            val s = compiledXPath(p).evaluate(root)
             if (s == null || s.isEmpty) null else s
           } catch { case _: Exception => null }
         }
       } catch { case _: Exception => paths.map(_ => null) }
     }
-  }
+  }.asNondeterministic()
 
   /** XML feature-path: evaluate the path as a NODESET and serialize each
     * matched node to its own standalone XML record (the reference's
@@ -113,11 +152,11 @@ object Converters {
     else {
       try {
         val doc = parseXml(xml)
-        val xp = javax.xml.xpath.XPathFactory.newInstance().newXPath()
-        val nodes = xp.evaluate(path, doc.getDocumentElement,
+        val nodes = compiledXPath(path).evaluate(doc.getDocumentElement,
           javax.xml.xpath.XPathConstants.NODESET)
           .asInstanceOf[org.w3c.dom.NodeList]
-        val tf = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
+        val tf = xmlTransformer.get()
+        tf.reset()
         tf.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
         (0 until nodes.getLength).map { i =>
           val out = new java.io.StringWriter()
