@@ -675,8 +675,7 @@ object SparkEntry {
           lpad(col("user_id").cast("string"), 8, "0")).as("line"))
       sources.Converters.convert(lines, "line", Seq(
         sources.Converters.Field("event_id", sources.Converters.FixedWidth(0, 10), "bigint"),
-        sources.Converters.Field("event_type",
-          sources.Converters.FixedWidthTransform(10, 12, "trim($0)")),
+        sources.Converters.Field("event_type", sources.Converters.FixedWidth(10, 12)),
         sources.Converters.Field("user_id", sources.Converters.FixedWidth(22, 8), "bigint")))
         .select("event_id", "event_type", "user_id")
     }),
@@ -724,16 +723,19 @@ object SparkEntry {
       // serialize to XML documents in-plan, the XPath converter parses
       // them back, and DuckDB recomputes the rows straight from the
       // table. Double round-trips exactly (shortest-repr string form).
-      // the events table is one parquet split at bench scale and AQE
-      // coalesces a bare repartition right back down (the docs are only
-      // a few MB — AQE can't see that the DOWNSTREAM per-row DOM parse
-      // is the real cost). localCheckpoint pins the 32-way split so the
-      // parse runs parallel, like a real many-split corpus would
+      // the events table is one parquet split at bench scale; an
+      // explicit repartition(32) pins the parallelism for the
+      // parse-dominant stage (REPARTITION_BY_NUM shuffles are exempt
+      // from AQE partition coalescing), like a real many-split corpus
       val docs = t(s, dir, "events").select(
         concat(lit("<event id=\""), col("event_id").cast("string"), lit("\"><type>"),
-          col("event_type"), lit("</type><value>"), col("value").cast("string"),
+          // escape markup characters — the XPath text() extraction
+          // unescapes, so raw oracle values still round-trip exactly
+          regexp_replace(regexp_replace(regexp_replace(
+            col("event_type"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;"),
+          lit("</type><value>"), col("value").cast("string"),
           lit("</value></event>")).as("line"))
-        .repartition(32).localCheckpoint()
+        .repartition(32)
       sources.Converters.convert(docs, "line", Seq(
         sources.Converters.Field("event_id", sources.Converters.XPath("/event/@id"), "bigint"),
         sources.Converters.Field("event_type", sources.Converters.XPath("/event/type/text()")),
@@ -1654,9 +1656,6 @@ object SparkEntry {
            |  CAST(p.lat AS REAL) AS lat, CAST(p.lon AS REAL) AS lon
            |FROM pts p JOIN events e ON p.event_id = e.event_id""".stripMargin,
 
-      // binSize = floor(n/7) + (n%7==0 ? 0 : 1); floor() is explicit —
-      // DuckDB CAST(double AS BIGINT) rounds to nearest while Spark's
-      // cast truncates, so every division goes through floor()
       "q_convert_delim" ->
         "SELECT event_id, event_type, user_id FROM events",
 
@@ -1689,6 +1688,9 @@ object SparkEntry {
           |FROM (SELECT event_type, CAST(floor(value) AS BIGINT) % 10 AS bucket, COUNT(*) AS n
           |      FROM events GROUP BY 1, 2) GROUP BY event_type""".stripMargin,
 
+      // binSize = floor(n/7) + (n%7==0 ? 0 : 1); floor() is explicit —
+      // DuckDB CAST(double AS BIGINT) rounds to nearest while Spark's
+      // cast truncates, so every division goes through floor()
       "q_tube_bins" ->
         """WITH u AS (SELECT DISTINCT epoch_ms(ts) AS millis FROM events),
           |r AS (SELECT millis, ROW_NUMBER() OVER (ORDER BY millis) - 1 AS rn,

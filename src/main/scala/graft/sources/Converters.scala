@@ -99,15 +99,19 @@ object Converters {
     new ThreadLocal[scala.collection.mutable.HashMap[String, javax.xml.xpath.XPathExpression]] {
       override def initialValue() = scala.collection.mutable.HashMap.empty
     }
-  private def compiledXPath(p: String): javax.xml.xpath.XPathExpression =
-    xpathCompiled.get().getOrElseUpdate(p, xpathEval.get().compile(p))
+  private def compiledXPath(p: String): javax.xml.xpath.XPathExpression = {
+    val cache = xpathCompiled.get()
+    // bounded: a converter's path set is small; an unbounded stream of
+    // distinct paths (dynamic configs on a long-lived executor) must
+    // not grow the thread-local forever
+    if (cache.size >= 256 && !cache.contains(p)) xpathEval.get().compile(p)
+    else cache.getOrElseUpdate(p, xpathEval.get().compile(p))
+  }
   @transient private lazy val xmlTransformer =
     new ThreadLocal[javax.xml.transform.Transformer] {
-      override def initialValue(): javax.xml.transform.Transformer = {
-        val tf = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
-        tf.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
-        tf
-      }
+      // output properties are (re)set per call — reset() clears them
+      override def initialValue(): javax.xml.transform.Transformer =
+        javax.xml.transform.TransformerFactory.newInstance().newTransformer()
     }
 
   private def parseXml(xml: String): org.w3c.dom.Document = {
@@ -127,7 +131,10 @@ object Converters {
   // into one DOM parse PER FIELD (3-4x the work; ScalaUDF calls are not
   // recovered by codegen subexpression elimination). Non-deterministic
   // expressions are never duplicated, so the shared array materializes
-  // exactly once per record.
+  // exactly once per record. Tradeoff: predicates no longer push below
+  // the projection, so filters on the converter's non-XML fields run
+  // after the parse — the right side of the trade for parse-dominant
+  // XML workloads (the reference's converter parses every record too).
   private val xpathsUdf = udf { (xml: String, paths: Seq[String]) =>
     if (xml == null) null
     else {
