@@ -292,15 +292,25 @@ object SpatialTable {
    * for the usual attribute+bbox combination.
    */
   def writeAttributeIndex(spark: SparkSession, root: String, snapshotId: String,
-                          attrCol: String, buckets: Int = 16): Unit = {
+                          attrCol: String, buckets: Int = 16,
+                          tierCol: Option[String] = None): Unit = {
     val marker = s"$root/_manifests/$snapshotId.attr_$attrCol.committed"
     val f = fs(spark, root)
     if (f.exists(new Path(marker))) return // resume: done
     val data = read(spark, root, snapshotId)
+    // the reference's TIERED secondary sort (AttributeIndex rows are
+    // attr ++ date ++ z): with a tier column — typically the dtg — the
+    // files sort (attr, tier, cell), so an attr-equality + time-range
+    // scan also skips row groups on the tier's min/max stats. The sort
+    // MUST lead with the partition column: partitionBy's writer re-sorts
+    // any task whose rows are not already ordered by the partition
+    // expressions, which would silently destroy the inner ordering (and
+    // its row-group stats) otherwise.
+    val sortCols = (Seq("attr_bucket", attrCol) ++ tierCol.toSeq :+ "cell").map(col)
     data
       .withColumn("attr_bucket", pmod(xxhash64(col(attrCol)), lit(buckets)).cast("int"))
       .repartition(buckets, col("attr_bucket"))
-      .sortWithinPartitions(attrCol, "cell")
+      .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite")
       .partitionBy("attr_bucket")
       .parquet(s"$root/index_$attrCol/snapshot=$snapshotId")

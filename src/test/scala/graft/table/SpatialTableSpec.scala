@@ -223,6 +223,32 @@ class SpatialTableSpec extends AnyFunSuite with SparkTest {
     SpatialTable.writeAttributeIndex(spark, root, "s1", "fmt", buckets = 16)
   }
 
+  test("tiered attribute index: files sort (attr, tier, cell) and answer exactly") {
+    // the reference's AttributeIndex tiering (rows are attr ++ date ++ z):
+    // a tier column between the attribute and the cell gives attr-equality
+    // + tier-range scans row-group min/max skipping on the tier
+    val d = java.nio.file.Files.createTempDirectory("graft_tiered").toString
+    val df = SyntheticImages.geoTable(spark, 1000, partitions = 4).drop("bytes")
+    SpatialTable.write(spark, df, d, "s1", "image_id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 2, partitions = 4)
+    SpatialTable.writeAttributeIndex(spark, d, "s1", "fmt", buckets = 8,
+      tierCol = Some("w"))
+    // equality scan parity through the tiered layout
+    val full = SpatialTable.read(spark, d, "s1").where(col("fmt") === "png")
+      .select("image_id").collect().map(_.getString(0)).sorted.toSeq
+    val viaIdx = SpatialTable.readByAttribute(spark, d, "s1", "fmt", "png")
+      .select("image_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(viaIdx == full && full.nonEmpty)
+    // physical ordering: within every file, rows are sorted by (fmt, w)
+    val ordering = spark.read.parquet(s"$d/index_fmt/snapshot=s1")
+      .select(input_file_name().as("f"), col("fmt"), col("w"))
+      .collect().groupBy(_.getString(0))
+    ordering.values.foreach { rows =>
+      val pairs = rows.map(r => (r.getString(1), r.getInt(2))).toSeq
+      assert(pairs == pairs.sorted, "file not sorted by (attr, tier)")
+    }
+  }
+
   test("id index: direct multi-id lookup equals full-scan filter and prunes buckets") {
     SpatialTable.writeIdIndex(spark, root, "s1", "image_id", buckets = 16)
     val ids = Seq("img000000007", "img000000123", "img_missing")
