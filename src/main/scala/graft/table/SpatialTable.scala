@@ -58,9 +58,13 @@ object SpatialTable {
       .withColumn("salt", pmod(xxhash64(col(idCol)), lit(salts)).cast("int"))
 
     val dataPath = s"$root/data/snapshot=$snapshotId"
+    // the sort MUST lead with the partition column: partitionBy's writer
+    // re-sorts any task whose rows are not already ordered by the
+    // partition expressions, which would silently destroy the cell
+    // ordering (and its row-group min/max stats) otherwise
     indexed
       .repartition(partitions, col("cell_prefix"), col("salt"))
-      .sortWithinPartitions("cell")
+      .sortWithinPartitions("cell_prefix", "cell")
       .write.mode("overwrite")
       .partitionBy("cell_prefix")
       .parquet(dataPath)
@@ -190,9 +194,12 @@ object SpatialTable {
         unix_millis(col(dtgCol).cast("timestamp")), lit(period)))
 
     val dataPath = s"$root/data/snapshot=$snapshotId"
+    // lead with the partition columns so the writer keeps our ordering
+    // (same rationale as [[write]]): files stay cell-sorted for
+    // row-group range skipping
     indexed
       .repartition(partitions, col("time_bin"), col("cell_prefix"), col("salt"))
-      .sortWithinPartitions("cell")
+      .sortWithinPartitions("time_bin", "cell_prefix", "cell")
       .write.mode("overwrite")
       .partitionBy("time_bin", "cell_prefix")
       .parquet(dataPath)
