@@ -487,10 +487,145 @@ object PartitionScheme {
       names.zip(segs).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
         .write.mode("overwrite").partitionBy(names: _*).format(format).save(path)
     }
+    persistScheme(df.sparkSession, path, scheme, overwrite = true)
+  }
+
+  /** Incremental write — the FS storage's appending writer semantics
+    * (MetadataFileSystemStorage.getWriter: every writer session lands a
+    * NEW data file in its partition directory; CompactionTest asserts
+    * one file per write). Appends accumulate small files by design;
+    * [[compact]] merges them. The scheme config is persisted on the
+    * first write only (appends must not race the marker). */
+  def append(df: DataFrame, path: String, scheme: PartitionScheme,
+             resolve: Resolver = WkbResolver, format: String = "parquet"): Unit = {
+    requireUtc(df.sparkSession)
+    requireFormat(format)
+    val segs = scheme.segmentCols(resolve)
+    val names = segNames(scheme)
+    val out = names.zip(segs).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    if (names.isEmpty) out.write.mode("append").format(format).save(path)
+    else out.write.mode("append").partitionBy(names: _*).format(format).save(path)
+    persistScheme(df.sparkSession, path, scheme, overwrite = false)
+  }
+
+  private def persistScheme(spark: SparkSession, path: String,
+                            scheme: PartitionScheme, overwrite: Boolean): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_scheme.json"), true)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_scheme.json")
+    if (!overwrite && fs.exists(marker)) return
+    val out = fs.create(marker, true)
     try out.write(toConfig(scheme).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Leaf partition directories (relative `_p0=a/_p1=b` paths; the empty
+    * string for a flat scheme) mapped to their data files. Listed from
+    * the filesystem — the storage's metadata IS the layout here, like
+    * `getMetadata.getFiles` over the reference's metadata file. */
+  def partitionFiles(spark: SparkSession, path: String,
+                     scheme: PartitionScheme): Map[String, Seq[org.apache.hadoop.fs.Path]] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val depth = segNames(scheme).size
+    // Spark's own hidden-path rule: '_'/'.'-prefixed names are metadata
+    // UNLESS they contain '=' (partition directories like `_p0=2017`)
+    def isData(name: String): Boolean =
+      name.contains("=") || (!name.startsWith("_") && !name.startsWith("."))
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(dir).toSeq.collect {
+        case s if s.isFile && isData(s.getPath.getName) => s.getPath
+      }
+    def walk(dir: org.apache.hadoop.fs.Path, rel: String, levels: Int): Seq[(String, Seq[org.apache.hadoop.fs.Path])] = {
+      if (levels == 0) {
+        val files = dataFiles(dir)
+        if (files.isEmpty) Nil else Seq(rel -> files)
+      } else {
+        fs.listStatus(dir).toSeq.collect {
+          case s if s.isDirectory && isData(s.getPath.getName) =>
+            val name = s.getPath.getName
+            walk(s.getPath, if (rel.isEmpty) name else s"$rel/$name", levels - 1)
+        }.flatten
+      }
+    }
+    if (!fs.exists(root)) Map.empty else walk(root, "", depth).toMap
+  }
+
+  /**
+   * Compact partitions — `MetadataFileSystemStorage.compact(partition)`
+   * re-expressed as ONE distributed Spark job over every flagged
+   * partition instead of the reference's per-partition local rewrite
+   * (FileSystemCompactionJob is its MapReduce equivalent): read only the
+   * flagged directories, shuffle once on the partition columns so each
+   * directory is rewritten by a single task into a single file
+   * (`maxRecordsPerFile` > 0 re-splits oversized outputs at write time,
+   * deterministically), then swap files in place — new files move in
+   * before old files delete, so a concurrent reader sees duplicates
+   * briefly, never a gap (the same trade the reference makes).
+   *
+   * `partitions` narrows the job (default: every partition with more
+   * than one file). `retain` drops rows failing the predicate during
+   * the rewrite — the age-off-on-compaction pattern (the reference ages
+   * data off in its Accumulo compaction iterator, age-off docs /
+   * DtgAgeOffTest); a partition whose rows all expire is deleted.
+   *
+   * Returns the relative paths of the partitions compacted.
+   */
+  def compact(spark: SparkSession, path: String, scheme: PartitionScheme,
+              format: String = "parquet",
+              partitions: Option[Seq[String]] = None,
+              retain: Option[Column] = None,
+              maxRecordsPerFile: Long = 0L): Seq[String] = {
+    requireFormat(format)
+    val names = segNames(scheme)
+    val all = partitionFiles(spark, path, scheme)
+    val flagged = partitions match {
+      case Some(ps) =>
+        val missing = ps.filterNot(all.contains)
+        require(missing.isEmpty, s"unknown partitions: ${missing.mkString(", ")}")
+        ps.distinct
+      case None =>
+        // age-off must visit single-file partitions too
+        if (retain.isDefined) all.keys.toSeq.sorted
+        else all.collect { case (rel, files) if files.size > 1 => rel }.toSeq.sorted
+    }
+    if (flagged.isEmpty) return Nil
+
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = flagged.map(rel => if (rel.isEmpty) path else s"$path/$rel")
+    val df0 = withPartitionInferenceOff(spark) {
+      spark.read.format(format).option("basePath", path).load(dirs: _*)
+    }
+    val df1 = retain.fold(df0)(df0.where)
+    val shuffled =
+      if (names.isEmpty) df1.coalesce(1)
+      else df1.repartition(flagged.size, names.map(col): _*)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".compact-${java.util.UUID.randomUUID}")
+    val w0 = shuffled.write.mode("overwrite").format(format)
+    val w1 = if (names.isEmpty) w0 else w0.partitionBy(names: _*)
+    val w2 = if (maxRecordsPerFile > 0) w1.option("maxRecordsPerFile", maxRecordsPerFile) else w1
+    w2.save(tmp.toString)
+
+    try {
+      flagged.foreach { rel =>
+        val oldDir = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
+        val newDir = if (rel.isEmpty) tmp else new org.apache.hadoop.fs.Path(tmp, rel)
+        val newFiles =
+          if (fs.exists(newDir))
+            fs.listStatus(newDir).toSeq.collect {
+              case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith(".") => s.getPath
+            }
+          else Nil // every row of this partition expired
+        newFiles.foreach { f =>
+          require(fs.rename(f, new org.apache.hadoop.fs.Path(oldDir, f.getName)),
+            s"rename failed: $f -> $oldDir")
+        }
+        all(rel).foreach(fs.delete(_, false))
+        if (newFiles.isEmpty && !rel.isEmpty) fs.delete(oldDir, true)
+      }
+    } finally fs.delete(tmp, true)
+    flagged
   }
 
   /** Read back with partition pruning driven by the scheme cover: each

@@ -295,4 +295,82 @@ class PartitionSchemeSpec extends AnyFunSuite with Matchers with SparkTest {
     an[IllegalArgumentException] should be thrownBy
       PartitionScheme.write(df, path, scheme, resolver, format = "avro")
   }
+
+  // ---- CompactionTest (geomesa-fs-storage-parquet/.../CompactionTest.
+  // scala:40-86): each writer session lands its own file; compact merges
+  // a partition to a single file with the same rows ---------------------
+
+  // single-partition input: a writer session writes exactly one file
+  // (a multi-slice plan with an empty slice 0 would add Spark's forced
+  // empty part-00000 sidecar — a plan artifact, not writer semantics)
+  private def oneRow(id: Long, name: String, ts: String) =
+    spark.range(id, id + 1, 1, 1).select(
+      col("id"), lit(name).as("name"), lit(10.0).as("lon"), lit(10.0).as("lat"),
+      lit(ts).cast("timestamp").as("ts"))
+
+  test("compact partitions: appends accumulate files, compact merges to one (CompactionTest)") {
+    val scheme = DateTimeScheme("yyyy/MM/dd", ChronoUnit.DAYS, 1, "ts", leaf = true)
+    val resolver = LonLatResolver("lon", "lat")
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val partition = "_p0=2017/_p1=01/_p2=01"
+
+    def files = PartitionScheme.partitionFiles(spark, path, scheme)
+    def rows = PartitionScheme.read(spark, path, scheme).collect()
+
+    // first feature goes in its own file; second and third in separate files
+    Seq("first", "second", "third").zipWithIndex.foreach { case (name, i) =>
+      PartitionScheme.append(oneRow(i, name, "2017-01-01 10:00:00"), path, scheme, resolver)
+      files(partition) should have size (i + 1).toLong
+      rows should have size (i + 1).toLong
+    }
+
+    // an already-compact partition on another day is not touched
+    PartitionScheme.append(oneRow(9, "other-day", "2017-01-02 10:00:00"), path, scheme, resolver)
+
+    PartitionScheme.compact(spark, path, scheme) shouldBe Seq(partition)
+    files(partition) should have size 1
+    files("_p0=2017/_p1=01/_p2=02") should have size 1
+    rows.map(_.getString(1)).sorted shouldBe Seq("first", "other-day", "second", "third")
+
+    // pruned reads still work over the compacted layout
+    val pruned = PartitionScheme.read(spark, path, scheme,
+      Some("ts >= '2017-01-01T00:00:00Z' and ts < '2017-01-02T00:00:00Z'"))
+    pruned.collect().map(_.getString(1)).sorted shouldBe Seq("first", "second", "third")
+
+    // nothing left to compact: no-op
+    PartitionScheme.compact(spark, path, scheme) shouldBe empty
+  }
+
+  test("compact with retain ages off expired rows; fully-expired partitions are deleted") {
+    val scheme = DateTimeScheme("yyyy/MM/dd", ChronoUnit.DAYS, 1, "ts", leaf = true)
+    val resolver = LonLatResolver("lon", "lat")
+    val path = java.nio.file.Files.createTempDirectory("graft_ageoff").toString
+    // two days, two files each
+    PartitionScheme.append(oneRow(0, "old-a", "2017-01-01 01:00:00"), path, scheme, resolver)
+    PartitionScheme.append(oneRow(1, "old-b", "2017-01-01 02:00:00"), path, scheme, resolver)
+    PartitionScheme.append(oneRow(2, "new-a", "2017-01-02 01:00:00"), path, scheme, resolver)
+    PartitionScheme.append(oneRow(3, "new-b", "2017-01-02 02:00:00"), path, scheme, resolver)
+
+    val compacted = PartitionScheme.compact(spark, path, scheme,
+      retain = Some(col("ts") >= lit("2017-01-02 00:00:00").cast("timestamp")))
+    compacted.sorted shouldBe Seq("_p0=2017/_p1=01/_p2=01", "_p0=2017/_p1=01/_p2=02")
+
+    val files = PartitionScheme.partitionFiles(spark, path, scheme)
+    files.keySet shouldBe Set("_p0=2017/_p1=01/_p2=02") // expired day removed
+    files("_p0=2017/_p1=01/_p2=02") should have size 1
+    PartitionScheme.read(spark, path, scheme).collect()
+      .map(_.getString(1)).sorted shouldBe Seq("new-a", "new-b")
+  }
+
+  test("compact a flat scheme merges the root's files in place") {
+    val scheme = FlatScheme
+    val path = java.nio.file.Files.createTempDirectory("graft_compact_flat").toString
+    PartitionScheme.append(oneRow(0, "a", "2017-01-01 10:00:00"), path, scheme)
+    PartitionScheme.append(oneRow(1, "b", "2017-01-01 11:00:00"), path, scheme)
+    PartitionScheme.partitionFiles(spark, path, scheme)("") should have size 2
+    PartitionScheme.compact(spark, path, scheme) shouldBe Seq("")
+    PartitionScheme.partitionFiles(spark, path, scheme)("") should have size 1
+    PartitionScheme.read(spark, path, scheme).collect()
+      .map(_.getString(1)).sorted shouldBe Seq("a", "b")
+  }
 }
