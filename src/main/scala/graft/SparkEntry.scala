@@ -426,6 +426,34 @@ object SparkEntry {
         .selectExpr("event_id")
     }),
 
+    "q_mutation_replay" -> ((s, dir) => {
+      // FeatureWriter / removeFeatures semantics as copy-on-write
+      // snapshot rewrites (AccumuloFeatureWriterTest:52-171): modify by
+      // CQL (fids preserved), remove by CQL (null attrs survive), then
+      // upsert (existing ids replace, new ids append) — each commits a
+      // new snapshot and rebuilds the derived cells, so the chain is
+      // idempotent across re-runs via the commit markers
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.table.SpatialTable
+      StFunctions.register(s)
+      val root = tableRoot("mut", dir)
+      val base = pts(s, dir).drop("ts")
+        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+      SpatialTable.write(s, base, root, "s1", "event_id", "lon", "lat",
+        res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      SpatialTable.updateWhere(s, root, "s1", "s2", "event_type = 'click'",
+        Map("value" -> lit(-1.5)), idCol = "event_id")
+      SpatialTable.deleteWhere(s, root, "s2", "s3", "event_type = 'view'",
+        idCol = "event_id")
+      val planted = Seq(1L, 2L, 3L, 900000001L, 900000002L)
+      import s.implicits._
+      val ups = planted.toDF("event_id")
+        .withColumn("lon", lit(10.0)).withColumn("lat", lit(10.0))
+        .withColumn("value", lit(7.25)).withColumn("event_type", lit("planted"))
+      SpatialTable.upsert(s, root, "s3", "s4", ups, idCol = "event_id")
+      SpatialTable.read(s, root, "s4").select("event_id", "event_type", "value")
+    }),
+
     "q_dwithin_join" -> ((s, dir) => {
       // SQL proximity join through the injected SpatialJoinRewrite:
       // st_dwithinPlanar plans as a cell equi-join with distance-expanded
@@ -2000,6 +2028,24 @@ object SparkEntry {
 
       "q_id_scan" ->
         "SELECT event_id FROM events WHERE event_id IN (5, 77, 1234, 4321, 999999999)",
+
+      // the same mutation chain replayed in SQL: CASE = modifyFeatures,
+      // IS DISTINCT FROM = removeFeatures (null attrs survive both
+      // sides), anti-join + union = upsert
+      "q_mutation_replay" ->
+        """WITH upd AS (
+          |  SELECT event_id, event_type,
+          |         CASE WHEN event_type = 'click' THEN -1.5 ELSE value END AS value
+          |  FROM events),
+          |del AS (SELECT * FROM upd WHERE event_type IS DISTINCT FROM 'view'),
+          |ups AS (SELECT CAST(e AS BIGINT) AS event_id, 'planted' AS event_type,
+          |               CAST(7.25 AS DOUBLE) AS value
+          |        FROM (VALUES (1), (2), (3), (900000001), (900000002)) AS t(e)),
+          |fin AS (
+          |  SELECT d.event_id, d.event_type, d.value FROM del d
+          |  WHERE d.event_id NOT IN (SELECT event_id FROM ups)
+          |  UNION ALL SELECT * FROM ups)
+          |SELECT event_id, event_type, value FROM fin""".stripMargin,
 
       "q_stat_dsl" ->
         """SELECT event_type, min(value) AS value_min, max(value) AS value_max,

@@ -121,9 +121,7 @@ object SpatialTable {
    * were written as.
    */
   def readAll(spark: SparkSession, root: String): DataFrame = {
-    val f = fs(spark, root)
-    val committed = f.listStatus(new Path(s"$root/_manifests")).toSeq
-      .map(_.getPath.getName).filter(_.endsWith(".committed")).map(_.stripSuffix(".committed"))
+    val committed = snapshots(spark, root)
     require(committed.nonEmpty, s"no committed snapshots under $root")
     // list ONLY committed snapshot directories into the read: the
     // mergeSchema pass touches every file's footer, so a crashed write's
@@ -518,6 +516,137 @@ object SpatialTable {
       .saveAsTable(table)
   }
 
+  // ---- mutation (FeatureWriter / removeFeatures / removeSchema analogs) ----
+
+  /** Secondary index layouts committed for a snapshot: column name ->
+    * bucket count from the commit marker. */
+  def indexedColumns(spark: SparkSession, root: String,
+                     snapshotId: String): Map[String, Option[Int]] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Map.empty
+    else f.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("index_") => n.stripPrefix("index_") }
+      .filter(a => f.exists(new Path(s"$root/_manifests/$snapshotId.attr_$a.committed")))
+      .map(a => a -> indexBuckets(spark, root, snapshotId, a))
+      .toMap
+  }
+
+  /**
+   * Copy-on-write snapshot rewrite — the engine's single mutation
+   * primitive. The reference mutates features in place through a
+   * FeatureWriter (AccumuloFeatureWriterTest: updates preserve feature
+   * ids, a changed geometry/date issues delete keys so EVERY index table
+   * stays consistent, AccumuloDataStoreDeleteTest: removeFeatures). On
+   * an immutable columnar layout the equivalent is one distributed job:
+   * read the source snapshot, apply `transform` to the user columns, and
+   * commit the result as a NEW snapshot at the same (res, prefixRes,
+   * salts) — derived columns (cell/cell_prefix/salt) re-derive, so a
+   * moved geometry lands in its new cell and can never be found at the
+   * old one, and every secondary layout the source snapshot had is
+   * rebuilt (same bucket counts), keeping all indices consistent by
+   * construction rather than by delete-key bookkeeping. Old snapshots
+   * stay readable (time travel); commit markers make the whole rewrite
+   * idempotent/resumable like [[write]].
+   */
+  def rewrite(spark: SparkSession, root: String, fromSnapshot: String, toSnapshot: String,
+              transform: DataFrame => DataFrame,
+              idCol: String = "id", lonCol: String = "lon", latCol: String = "lat",
+              partitions: Int = 32): Snapshot = {
+    require(fromSnapshot != toSnapshot, "rewrite must target a NEW snapshot id")
+    require(isCommitted(spark, root, fromSnapshot), s"source snapshot $fromSnapshot not committed")
+    val old = manifest(spark, root, fromSnapshot)
+    val base = read(spark, root, fromSnapshot).drop("cell", "cell_prefix", "salt")
+    val snap = write(spark, transform(base), root, toSnapshot, idCol, lonCol, latCol,
+      old.res, old.prefixRes, old.salts, partitions)
+    indexedColumns(spark, root, fromSnapshot).foreach { case (a, buckets) =>
+      writeAttributeIndex(spark, root, toSnapshot, a, buckets.getOrElse(16))
+    }
+    snap
+  }
+
+  /** A CQL predicate over the user columns, null-safe for mutation
+    * routing: rows where the filter evaluates NULL (e.g. `name = 'x'`
+    * with a null name) are NOT matched, per filter semantics. */
+  private def cqlPred(df: DataFrame, cql: String, lonCol: String, latCol: String,
+                      idColumn: String,
+                      props: Map[String, org.apache.spark.sql.Column]) = {
+    val arrays = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+    }.toSet
+    coalesce(graft.plans.Cql.parse(cql, geomDefaults(df, lonCol, latCol) ++ props,
+      idColumn, arrays), lit(false))
+  }
+
+  /** removeFeatures(filter) — new snapshot keeps the rows the filter
+    * does NOT match (AccumuloDataStoreDeleteTest "delete" blocks;
+    * AccumuloFeatureWriterTest "provide ability to remove features"). */
+  def deleteWhere(spark: SparkSession, root: String, fromSnapshot: String, toSnapshot: String,
+                  cql: String, idCol: String = "id",
+                  lonCol: String = "lon", latCol: String = "lat",
+                  props: Map[String, org.apache.spark.sql.Column] = Map.empty): Snapshot =
+    rewrite(spark, root, fromSnapshot, toSnapshot,
+      df => df.where(!cqlPred(df, cql, lonCol, latCol, idCol, props)),
+      idCol, lonCol, latCol)
+
+  /** modifyFeatures(attrs, values, filter) — set columns on the rows a
+    * CQL filter matches, preserving feature ids (AccumuloFeatureWriter
+    * Test "update all features based on some ecql" :122-142; updates
+    * that change the geometry re-index automatically via [[rewrite]]). */
+  def updateWhere(spark: SparkSession, root: String, fromSnapshot: String, toSnapshot: String,
+                  cql: String, sets: Map[String, org.apache.spark.sql.Column],
+                  idCol: String = "id", lonCol: String = "lon", latCol: String = "lat",
+                  props: Map[String, org.apache.spark.sql.Column] = Map.empty): Snapshot = {
+    require(sets.nonEmpty, "updateWhere needs at least one column to set")
+    rewrite(spark, root, fromSnapshot, toSnapshot, { df =>
+      require(sets.keys.forall(df.columns.contains),
+        s"unknown columns: ${sets.keys.filterNot(df.columns.contains).mkString(", ")}")
+      // materialize the match ONCE: the predicate may reference columns
+      // being set (the fixture's own filter does — name = 'fred' while
+      // setting name), and folding withColumn would re-evaluate it
+      // against already-updated values for the later sets
+      val matched = df.withColumn("__match", cqlPred(df, cql, lonCol, latCol, idCol, props))
+      sets.foldLeft(matched) { case (d, (name, value)) =>
+        d.withColumn(name, when(col("__match"), value).otherwise(col(name)))
+      }.drop("__match")
+    }, idCol, lonCol, latCol)
+  }
+
+  /**
+   * Writer-with-existing-fids semantics: rows of `updates` whose id
+   * already exists REPLACE the stored row (the reference writer's
+   * same-row-key overwrite; AccumuloFeatureWriterTest "update a single
+   * feature that it wrote and preserve feature IDs" :52-92, "verify
+   * delete and add same key works" :353-398); new ids append. One
+   * anti-join on the id — broadcast when `updates` is small, shuffled
+   * hash otherwise (AQE picks) — then a union; no driver round-trip.
+   */
+  def upsert(spark: SparkSession, root: String, fromSnapshot: String, toSnapshot: String,
+             updates: DataFrame, idCol: String = "id",
+             lonCol: String = "lon", latCol: String = "lat"): Snapshot =
+    rewrite(spark, root, fromSnapshot, toSnapshot, { df =>
+      val incoming = updates.drop("cell", "cell_prefix", "salt")
+      require(df.columns.sorted.sameElements(incoming.columns.sorted),
+        s"upsert schema mismatch: table has [${df.columns.sorted.mkString(",")}], " +
+          s"updates have [${incoming.columns.sorted.mkString(",")}]")
+      df.join(incoming.select(idCol).distinct(), Seq(idCol), "left_anti")
+        .unionByName(incoming)
+    }, idCol, lonCol, latCol)
+
+  /**
+   * removeSchema analog (AccumuloDataStoreDeleteTest "delete a schema
+   * completely" :52-78): drop the table root — data, every index
+   * layout, manifests, metrics, audit. Other table roots are untouched
+   * ("keep other tables when a separate schema is deleted"); reads and
+   * [[snapshots]] on the dropped root subsequently fail/return empty.
+   */
+  def dropTable(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (f.exists(p)) require(f.delete(p, true), s"failed to delete $root")
+  }
+
   def metricsTable(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/_metrics")
 
@@ -529,12 +658,18 @@ object SpatialTable {
     Snapshot(snapshotId, root, intField("prefix_res"), intField("res"), intField("salts"))
   }
 
-  /** Snapshot ids present under the root, newest-committed only. */
+  /** Snapshot ids present under the root, committed only. Secondary
+    * index layouts commit through markers in the same directory
+    * (`<id>.attr_<col>.committed`) — only ids with a matching snapshot
+    * manifest (`<id>.json`) are snapshots. */
   def snapshots(spark: SparkSession, root: String): Seq[String] = {
     val f = fs(spark, root)
     val dir = new Path(s"$root/_manifests")
     if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".committed")).map(_.stripSuffix(".committed")).toSeq.sorted
+    else {
+      val names = f.listStatus(dir).map(_.getPath.getName).toSet
+      names.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed"))
+        .filter(id => names.contains(s"$id.json")).toSeq.sorted
+    }
   }
 }
