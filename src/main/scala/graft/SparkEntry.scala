@@ -454,6 +454,29 @@ object SparkEntry {
       SpatialTable.read(s, root, "s4").select("event_id", "event_type", "value")
     }),
 
+    "q_stats_cached" -> ((s, dir) => {
+      // GeoMesaStats analog: stats collected ONCE at write time
+      // (count + envelope + per-attribute min/max in one distributed
+      // agg), then served from the _stats metadata sidecar with no data
+      // scan — this entry reads the CACHED values and the oracle
+      // recomputes them from the raw table, certifying the collector
+      import graft.table.{SpatialTable, TableStats}
+      StFunctions.register(s)
+      val root = tableRoot("stats", dir)
+      val base = pts(s, dir).drop("ts")
+        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+      SpatialTable.write(s, base, root, "s1", "event_id", "lon", "lat",
+        res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      if (!TableStats.exists(s, root, "s1"))
+        TableStats.collect(s, root, "s1", Seq("event_type"))
+      val st = TableStats.cached(s, root, "s1").get
+      val (minx, miny, maxx, maxy) = st.bounds.get
+      val a = st.attributes("event_type")
+      import s.implicits._
+      Seq((st.count, minx, miny, maxx, maxy, a.min, a.max, a.count))
+        .toDF("cnt", "minx", "miny", "maxx", "maxy", "type_min", "type_max", "type_count")
+    }),
+
     "q_dwithin_join" -> ((s, dir) => {
       // SQL proximity join through the injected SpatialJoinRewrite:
       // st_dwithinPlanar plans as a cell equi-join with distance-expanded
@@ -2028,6 +2051,14 @@ object SparkEntry {
 
       "q_id_scan" ->
         "SELECT event_id FROM events WHERE event_id IN (5, 77, 1234, 4321, 999999999)",
+
+      // the collector's cached values recomputed from the raw table
+      "q_stats_cached" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+           |  min(lon) AS minx, min(lat) AS miny, max(lon) AS maxx, max(lat) AS maxy,
+           |  min(event_type) AS type_min, max(event_type) AS type_max,
+           |  CAST(count(event_type) AS BIGINT) AS type_count
+           |FROM (SELECT event_type, $LonExpr AS lon, $LatExpr AS lat FROM events)""".stripMargin,
 
       // the same mutation chain replayed in SQL: CASE = modifyFeatures,
       // IS DISTINCT FROM = removeFeatures (null attrs survive both

@@ -70,8 +70,10 @@ object SpatialTable {
       .parquet(dataPath)
 
     // per-partition lineage metrics (row counts + cell ranges): readable
-    // as a table, used for audits and coarse planning
-    val metrics = spark.read.parquet(dataPath)
+    // as a table, used for audits and coarse planning. The schema is
+    // KNOWN (we just wrote it) — passing it skips footer inference and
+    // keeps an empty write (no data files, schema-only table) valid
+    val metrics = spark.read.schema(indexed.schema).parquet(dataPath)
       .groupBy("cell_prefix", "salt")
       .agg(count(lit(1)).as("rows"), min("cell").as("min_cell"), max("cell").as("max_cell"))
       .withColumn("snapshot", lit(snapshotId))
@@ -202,7 +204,7 @@ object SpatialTable {
       .partitionBy("time_bin", "cell_prefix")
       .parquet(dataPath)
 
-    val metrics = spark.read.parquet(dataPath)
+    val metrics = spark.read.schema(indexed.schema).parquet(dataPath)
       .groupBy("time_bin", "cell_prefix", "salt")
       .agg(count(lit(1)).as("rows"), min("cell").as("min_cell"), max("cell").as("max_cell"))
       .withColumn("snapshot", lit(snapshotId))
@@ -418,6 +420,14 @@ object SpatialTable {
     if (on("attr")) sft.secondaryIndexed.filter(df.columns.contains)
       .foreach(a => writeAttributeIndex(spark, root, snapshotId, a))
     if (on("id")) writeIdIndex(spark, root, snapshotId, idCol)
+    // stats-on-write (GeoMesaMetadataStats; AccumuloDataStoreStatsTest
+    // :364-388 "not calculate stats when collection is disabled"):
+    // tracked attributes are the indexed ones plus the default date
+    if (sft.userDataMap.get("geomesa.stats.enable").forall(_.toBoolean)) {
+      val tracked = (sft.secondaryIndexed ++ sft.defaultDate.toSeq)
+        .distinct.filter(df.columns.contains)
+      TableStats.collect(spark, root, snapshotId, tracked, lonCol, latCol)
+    }
     snap
   }
 
@@ -562,6 +572,13 @@ object SpatialTable {
       old.res, old.prefixRes, old.salts, partitions)
     indexedColumns(spark, root, fromSnapshot).foreach { case (a, buckets) =>
       writeAttributeIndex(spark, root, toSnapshot, a, buckets.getOrElse(16))
+    }
+    // stats follow mutations (the reference updates its stat rows from
+    // the writer): re-collect for the new snapshot over the same
+    // attributes the source tracked
+    TableStats.cached(spark, root, fromSnapshot).foreach { st =>
+      TableStats.collect(spark, root, toSnapshot,
+        st.attributes.keys.toSeq.sorted, lonCol, latCol)
     }
     snap
   }

@@ -1,0 +1,222 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampType}
+
+import graft.cells.Cells
+
+/**
+ * Cached table statistics — the reference's GeoMesaStats surface
+ * (geomesa-index-api/.../stats/GeoMesaStats.scala; behavior fixtures in
+ * AccumuloDataStoreStatsTest:49-390): stats are COLLECTED at write time
+ * and served from metadata afterwards, so `getCount` / `getBounds` /
+ * `getAttributeBounds` never scan the data, and query planning can
+ * estimate selectivity cheaply. `exact = true` falls back to a real
+ * scan, like the reference's `StatsScan` path.
+ *
+ * Spark-first shape: collection is ONE distributed aggregation job over
+ * the snapshot (count + envelope + per-attribute min/max/non-null/
+ * approx-cardinality in a single `agg`, all codegen; TopK adds one
+ * small groupBy per tracked attribute), serialized as a JSON sidecar
+ * `<root>/_stats/<snapshot>.json` — the analog of the reference's
+ * catalog-metadata stat rows (monoidal merge happens inside Spark's
+ * partial aggregation instead of an Accumulo StatsCombiner). Spatial
+ * count ESTIMATES come from the per-partition lineage metrics the write
+ * already records (rows per cell_prefix): the estimate is the row count
+ * of the directories a bbox cover touches — a guaranteed superset at
+ * prefix granularity, zero I/O beyond the tiny metrics table. That
+ * replaces the reference's stored spatial histogram sketch with
+ * metadata the layout maintains anyway.
+ */
+object TableStats {
+
+  /** Whole-world bounds, returned when no stats exist or the table is
+    * empty (the reference's wholeWorldEnvelope default). */
+  val WholeWorld: (Double, Double, Double, Double) = (-180.0, -90.0, 180.0, 90.0)
+
+  final case class AttributeStat(min: String, max: String, count: Long,
+                                 cardinality: Long, dataType: String,
+                                 topK: Seq[(String, Long)])
+
+  final case class Stats(snapshot: String, count: Long,
+                         bounds: Option[(Double, Double, Double, Double)],
+                         attributes: Map[String, AttributeStat])
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def statsPath(root: String, snapshotId: String) =
+    s"$root/_stats/$snapshotId.json"
+
+  def exists(spark: SparkSession, root: String, snapshotId: String): Boolean =
+    fs(spark, root).exists(new Path(statsPath(root, snapshotId)))
+
+  /** Render a stat value losslessly enough to order/compare after a
+    * round-trip: timestamps as UTC micros, everything else as its
+    * canonical string form. */
+  private def render(dt: DataType, c: org.apache.spark.sql.Column) = dt match {
+    case TimestampType => unix_micros(c).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /**
+   * Collect and persist stats for a snapshot in one aggregation pass
+   * (+ one small groupBy per tracked attribute for TopK). `attributes`
+   * names the columns to track bounds/TopK for — the reference tracks
+   * the default geometry, default date, and indexed attributes
+   * (GeoMesaMetadataStats.statsFor). Re-collect overwrites.
+   */
+  def collect(spark: SparkSession, root: String, snapshotId: String,
+              attributes: Seq[String] = Seq.empty,
+              lonCol: String = "lon", latCol: String = "lat",
+              topK: Int = 10): Unit = {
+    val df = SpatialTable.read(spark, root, snapshotId)
+    val tracked = attributes.filter(df.columns.contains)
+    val spatial = df.columns.contains(lonCol) && df.columns.contains(latCol)
+    val aggs =
+      Seq(count(lit(1)).as("count")) ++
+        // envelope as double regardless of the column's numeric type
+        // (decimal lon/lat tables would ClassCastException on getDouble)
+        (if (spatial) Seq(min(col(lonCol).cast("double")).as("minx"),
+          min(col(latCol).cast("double")).as("miny"),
+          max(col(lonCol).cast("double")).as("maxx"),
+          max(col(latCol).cast("double")).as("maxy")) else Nil) ++
+        tracked.flatMap { a =>
+          val dt = df.schema(a).dataType
+          Seq(render(dt, min(col(a))).as(s"min_$a"), render(dt, max(col(a))).as(s"max_$a"),
+            count(col(a)).as(s"count_$a"), approx_count_distinct(col(a)).as(s"card_$a"))
+        }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val total = row.getLong(row.fieldIndex("count"))
+
+    val tops: Map[String, Seq[(String, Long)]] =
+      if (total == 0) Map.empty
+      else tracked.map { a =>
+        val dt = df.schema(a).dataType
+        a -> df.where(col(a).isNotNull)
+          .groupBy(render(dt, col(a)).as("v")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("v")).limit(topK).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+      }.toMap
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("snapshot", snapshotId)
+    node.put("count", total)
+    if (spatial && total > 0) {
+      val b = node.putArray("bounds")
+      Seq("minx", "miny", "maxx", "maxy").foreach(f =>
+        b.add(row.getDouble(row.fieldIndex(f))))
+    }
+    val attrsNode = node.putObject("attributes")
+    tracked.foreach { a =>
+      val n = attrsNode.putObject(a)
+      val cnt = row.getLong(row.fieldIndex(s"count_$a"))
+      n.put("count", cnt)
+      n.put("cardinality", row.getLong(row.fieldIndex(s"card_$a")))
+      n.put("type", df.schema(a).dataType.simpleString)
+      if (cnt > 0) {
+        n.put("min", row.getString(row.fieldIndex(s"min_$a")))
+        n.put("max", row.getString(row.fieldIndex(s"max_$a")))
+      }
+      val tk = n.putArray("topk")
+      tops.getOrElse(a, Nil).foreach { case (v, c) =>
+        val e = tk.addArray(); e.add(v); e.add(c)
+      }
+    }
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/_stats"))
+    val out = f.create(new Path(statsPath(root, snapshotId)), true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Parse the cached stats; None when never collected. */
+  def cached(spark: SparkSession, root: String, snapshotId: String): Option[Stats] = {
+    val f = fs(spark, root)
+    val p = new Path(statsPath(root, snapshotId))
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      val bounds = Option(n.get("bounds")).filter(_.size == 4).map(b =>
+        (b.get(0).asDouble, b.get(1).asDouble, b.get(2).asDouble, b.get(3).asDouble))
+      val attrs = {
+        val it = n.get("attributes").fields()
+        val b = Map.newBuilder[String, AttributeStat]
+        while (it.hasNext) {
+          val e = it.next()
+          val a = e.getValue
+          val tk = (0 until a.get("topk").size).map { i =>
+            val pair = a.get("topk").get(i)
+            (pair.get(0).asText, pair.get(1).asLong)
+          }
+          b += e.getKey -> AttributeStat(
+            Option(a.get("min")).map(_.asText).orNull,
+            Option(a.get("max")).map(_.asText).orNull,
+            a.get("count").asLong, a.get("cardinality").asLong,
+            a.get("type").asText, tk)
+        }
+        b.result()
+      }
+      Some(Stats(n.get("snapshot").asText, n.get("count").asLong, bounds, attrs))
+    }
+  }
+
+  /** Feature count: cached (None when stats were never collected) or
+    * exact via a scan, optionally under a CQL filter — the reference's
+    * stats.getCount(sft, filter, exact). */
+  def getCount(spark: SparkSession, root: String, snapshotId: String,
+               exact: Boolean = false, cql: Option[String] = None,
+               lonCol: String = "lon", latCol: String = "lat",
+               idColumn: String = "id"): Option[Long] = {
+    if (exact) {
+      val df = cql match {
+        case Some(q) => SpatialTable.queryCql(spark, root, snapshotId, q, lonCol, latCol, idColumn)
+        case None => SpatialTable.read(spark, root, snapshotId)
+      }
+      Some(df.count())
+    } else cached(spark, root, snapshotId).map(_.count)
+  }
+
+  /** Spatial bounds from the cached stats; whole world when stats are
+    * missing or the table is empty (the reference's default). */
+  def getBounds(spark: SparkSession, root: String,
+                snapshotId: String): (Double, Double, Double, Double) =
+    cached(spark, root, snapshotId).flatMap(_.bounds).getOrElse(WholeWorld)
+
+  /** (min, max, non-null count) for a tracked attribute, rendered as
+    * strings (timestamps as UTC micros); None when untracked or empty. */
+  def getAttributeBounds(spark: SparkSession, root: String, snapshotId: String,
+                         attribute: String): Option[(String, String, Long)] =
+    cached(spark, root, snapshotId).flatMap(_.attributes.get(attribute))
+      .filter(_.count > 0).map(a => (a.min, a.max, a.count))
+
+  def getTopK(spark: SparkSession, root: String, snapshotId: String,
+              attribute: String): Seq[(String, Long)] =
+    cached(spark, root, snapshotId).flatMap(_.attributes.get(attribute))
+      .map(_.topK).getOrElse(Seq.empty)
+
+  /**
+   * Estimated count for a bbox query, from the per-partition lineage
+   * metrics: the total rows of the cell_prefix directories the bbox
+   * cover touches. A superset bound at prefix granularity (estimate >=
+   * exact; 0 exactly when no data directory intersects the box), zero
+   * data I/O — the planner-side analog of the reference's stored
+   * spatial histogram estimate (GeoMesaStats.getCount without exact).
+   */
+  def estimateCount(spark: SparkSession, root: String, snapshotId: String,
+                    bbox: (Double, Double, Double, Double),
+                    maxCells: Int = 4096): Long = {
+    val snap = SpatialTable.manifest(spark, root, snapshotId)
+    val m = spark.read.parquet(s"$root/_metrics/snapshot=$snapshotId")
+    val pruned =
+      if (Cells.coverCountBBox(bbox._1, bbox._2, bbox._3, bbox._4, snap.prefixRes) > maxCells) m
+      else m.where(col("cell_prefix").isin(
+        Cells.coverBBox(bbox._1, bbox._2, bbox._3, bbox._4, snap.prefixRes, maxCells): _*))
+    pruned.agg(coalesce(sum("rows"), lit(0L))).collect().head.getLong(0)
+  }
+}
