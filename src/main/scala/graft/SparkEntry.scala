@@ -477,6 +477,37 @@ object SparkEntry {
         .toDF("cnt", "minx", "miny", "maxx", "maxy", "type_min", "type_max", "type_count")
     }),
 
+    "q_fs_compact" -> ((s, dir) => {
+      // FS-storage appending writer + distributed compaction with
+      // age-off (MetadataFileSystemStorage.getWriter/compact;
+      // DtgAgeOffTest's retain-on-rewrite): two appends land separate
+      // files in each daily partition, compact(retain) merges every
+      // directory to ONE file and drops expired rows — fully-expired
+      // days delete their directories. The result certifies the
+      // retained-row semantics AND the one-file-per-partition invariant
+      // (the `files` column is the real post-compaction file count; the
+      // oracle emits literal 1)
+      import graft.table.{PartitionScheme, Sft}
+      val scheme = PartitionScheme(
+        Sft.parse("events", "ts:Date,*geom:Point:srid=4326"), "daily")
+      val resolver = PartitionScheme.LonLatResolver("lon", "lat")
+      val root = tableRoot("fscompact", dir)
+      val base = pts(s, dir)
+      PartitionScheme.write(base.where(col("event_id") % 2 === 0), root, scheme, resolver)
+      PartitionScheme.append(base.where(col("event_id") % 2 === 1), root, scheme, resolver)
+      PartitionScheme.compact(s, root, scheme,
+        retain = Some(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp")))
+      import s.implicits._
+      val files = PartitionScheme.partitionFiles(s, root, scheme).toSeq
+        .map { case (rel, fs) => (rel.split('/').map(_.split('=')(1)).mkString("/"), fs.size) }
+        .toDF("part", "files")
+      PartitionScheme.read(s, root, scheme)
+        .groupBy(date_format(col("ts"), "yyyy/MM/dd").as("part"))
+        .agg(count(lit(1)).as("n"))
+        .join(files, "part")
+        .select("part", "n", "files")
+    }),
+
     "q_dwithin_join" -> ((s, dir) => {
       // SQL proximity join through the injected SpatialJoinRewrite:
       // st_dwithinPlanar plans as a cell equi-join with distance-expanded
@@ -2059,6 +2090,15 @@ object SparkEntry {
            |  min(event_type) AS type_min, max(event_type) AS type_max,
            |  CAST(count(event_type) AS BIGINT) AS type_count
            |FROM (SELECT event_type, $LonExpr AS lon, $LatExpr AS lat FROM events)""".stripMargin,
+
+      // the compacted table holds exactly the retained rows, one file
+      // per surviving daily partition (expired days have no row here —
+      // their directories were deleted)
+      "q_fs_compact" ->
+        s"""WITH $ptsCte
+           |SELECT strftime(ts, '%Y/%m/%d') AS part, COUNT(*) AS n, 1 AS files
+           |FROM pts WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           |GROUP BY 1""".stripMargin,
 
       // the same mutation chain replayed in SQL: CASE = modifyFeatures,
       // IS DISTINCT FROM = removeFeatures (null attrs survive both
