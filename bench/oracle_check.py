@@ -20,8 +20,8 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df.reset_index(drop=True)
+    # ignore_index=True already resets the index
+    return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
 def main(sf_dir: str, out_dir: str) -> int:

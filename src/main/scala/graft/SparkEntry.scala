@@ -473,7 +473,12 @@ object SparkEntry {
       val (minx, miny, maxx, maxy) = st.bounds.get
       val a = st.attributes("event_type")
       import s.implicits._
-      Seq((st.count, minx, miny, maxx, maxy, a.min, a.max, a.count))
+      // bounds rounded on BOTH sides: DuckDB rewrites the /100.0 in the
+      // lon/lat derivation into a reciprocal multiply, 1 ULP off Spark's
+      // division — max() surfaces exactly that ULP
+      def r9(x: Double): Double = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((st.count, r9(minx), r9(miny), r9(maxx), r9(maxy), a.min, a.max, a.count))
         .toDF("cnt", "minx", "miny", "maxx", "maxy", "type_min", "type_max", "type_count")
     }),
 
@@ -2086,7 +2091,8 @@ object SparkEntry {
       // the collector's cached values recomputed from the raw table
       "q_stats_cached" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
-           |  min(lon) AS minx, min(lat) AS miny, max(lon) AS maxx, max(lat) AS maxy,
+           |  round(min(lon), 9) AS minx, round(min(lat), 9) AS miny,
+           |  round(max(lon), 9) AS maxx, round(max(lat), 9) AS maxy,
            |  min(event_type) AS type_min, max(event_type) AS type_max,
            |  CAST(count(event_type) AS BIGINT) AS type_count
            |FROM (SELECT event_type, $LonExpr AS lon, $LatExpr AS lat FROM events)""".stripMargin,

@@ -80,12 +80,15 @@ object Cql {
     * evaluator matches any; AttributeIndexStrategyTest "lists of
     * strings/doubles" cases). */
   def filter(df: DataFrame, cql: String, props: Map[String, Column] = Map.empty,
-             idColumn: String = "id"): DataFrame = {
-    val arrays = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
-    }.toSet
-    df.where(parse(cql, props, idColumn, arrays))
-  }
+             idColumn: String = "id"): DataFrame =
+    df.where(parse(cql, props, idColumn, arrayProps(df)))
+
+  /** The multi-valued (List-typed) attribute names of a DataFrame — the
+    * ONE definition of which properties get any-element comparison
+    * semantics, shared by every CQL entry point. */
+  def arrayProps(df: DataFrame): Set[String] = df.schema.fields.collect {
+    case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+  }.toSet
 
   /** Compile a CQL *expression* (not a predicate) — the grammar the
     * reference's query transforms use ("derived=strConcat(a, b)"):

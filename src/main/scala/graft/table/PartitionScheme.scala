@@ -576,6 +576,12 @@ object PartitionScheme {
               retain: Option[Column] = None,
               maxRecordsPerFile: Long = 0L): Seq[String] = {
     requireFormat(format)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish any swap a crashed compaction left behind BEFORE listing —
+    // its journal is the redo log; without this a re-run would read the
+    // duplicated old+new files together and bake the duplicates in
+    healCompactions(fs, root)
     val names = segNames(scheme)
     val all = partitionFiles(spark, path, scheme)
     val flagged = partitions match {
@@ -590,42 +596,127 @@ object PartitionScheme {
     }
     if (flagged.isEmpty) return Nil
 
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = flagged.map(rel => if (rel.isEmpty) path else s"$path/$rel")
+    // read EXACTLY the files listed above, not their directories: a file
+    // landed by a concurrent append between the listing and the scan is
+    // then neither rewritten nor deleted — it simply survives the
+    // compaction, instead of being double-counted (rows compacted in AND
+    // the original file never removed)
+    val inputs = flagged.flatMap(all(_)).map(_.toString)
     val df0 = withPartitionInferenceOff(spark) {
-      spark.read.format(format).option("basePath", path).load(dirs: _*)
+      spark.read.format(format).option("basePath", path).load(inputs: _*)
     }
     val df1 = retain.fold(df0)(df0.where)
     val shuffled =
       if (names.isEmpty) df1.coalesce(1)
       else df1.repartition(flagged.size, names.map(col): _*)
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact-${java.util.UUID.randomUUID}")
-    val w0 = shuffled.write.mode("overwrite").format(format)
-    val w1 = if (names.isEmpty) w0 else w0.partitionBy(names: _*)
-    val w2 = if (maxRecordsPerFile > 0) w1.option("maxRecordsPerFile", maxRecordsPerFile) else w1
-    w2.save(tmp.toString)
-
     try {
-      flagged.foreach { rel =>
-        val oldDir = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
-        val newDir = if (rel.isEmpty) tmp else new org.apache.hadoop.fs.Path(tmp, rel)
-        val newFiles =
-          if (fs.exists(newDir))
-            fs.listStatus(newDir).toSeq.collect {
-              case s if s.isFile && !s.getPath.getName.startsWith("_") &&
-                !s.getPath.getName.startsWith(".") => s.getPath
-            }
-          else Nil // every row of this partition expired
+      val w0 = shuffled.write.mode("overwrite").format(format)
+      val w1 = if (names.isEmpty) w0 else w0.partitionBy(names: _*)
+      val w2 = if (maxRecordsPerFile > 0) w1.option("maxRecordsPerFile", maxRecordsPerFile) else w1
+      w2.save(tmp.toString)
+    } catch { case e: Throwable => fs.delete(tmp, true); throw e }
+
+    // write-ahead journal, committed atomically via rename: the swap
+    // below (rename new files in, delete old files, drop fully-expired
+    // dirs) is re-playable from it, so a crash or failed rename mid-swap
+    // is healed by the next compact() instead of leaving permanent
+    // duplicate rows. Old files are listed explicitly; remaining new
+    // files are whatever is still under tmp at replay time (renames
+    // already applied have left it).
+    val deletes = flagged.flatMap(all(_))
+    val dropDirs = flagged.filter { rel =>
+      rel.nonEmpty && !fs.exists(new org.apache.hadoop.fs.Path(tmp, rel))
+    }
+    val journal = writeJournal(fs, root, tmp, flagged, deletes, dropDirs)
+    applySwap(fs, root, tmp, flagged, deletes, dropDirs, journal)
+    flagged
+  }
+
+  private val JournalPrefix = ".compact-journal-"
+
+  private def writeJournal(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           tmp: org.apache.hadoop.fs.Path,
+                           flagged: Seq[String],
+                           deletes: Seq[org.apache.hadoop.fs.Path],
+                           dropDirs: Seq[String]): org.apache.hadoop.fs.Path = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("tmp", tmp.getName)
+    val pn = node.putArray("partitions"); flagged.foreach(pn.add)
+    val dn = node.putArray("deletes"); deletes.foreach(p => dn.add(p.toString))
+    val xn = node.putArray("dropDirs"); dropDirs.foreach(xn.add)
+    val id = java.util.UUID.randomUUID.toString
+    val staged = new org.apache.hadoop.fs.Path(root, s"$JournalPrefix$id.tmp")
+    val committed = new org.apache.hadoop.fs.Path(root, s"$JournalPrefix$id.json")
+    val out = fs.create(staged, true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8")) finally out.close()
+    require(fs.rename(staged, committed), s"journal commit failed: $committed")
+    committed
+  }
+
+  /** Replay/perform the swap: move tmp's data files into their target
+    * partition dirs, delete the journaled old files, drop fully-expired
+    * partition dirs, then remove tmp and the journal. Every step is
+    * idempotent (exists-guarded), so a partial run replays cleanly. */
+  private def applySwap(fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path,
+                        tmp: org.apache.hadoop.fs.Path,
+                        flagged: Seq[String],
+                        deletes: Seq[org.apache.hadoop.fs.Path],
+                        dropDirs: Seq[String],
+                        journal: org.apache.hadoop.fs.Path): Unit = {
+    flagged.foreach { rel =>
+      val oldDir = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
+      val newDir = if (rel.isEmpty) tmp else new org.apache.hadoop.fs.Path(tmp, rel)
+      if (fs.exists(newDir)) {
+        val newFiles = fs.listStatus(newDir).toSeq.collect {
+          case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith(".") => s.getPath
+        }
         newFiles.foreach { f =>
-          require(fs.rename(f, new org.apache.hadoop.fs.Path(oldDir, f.getName)),
+          val target = new org.apache.hadoop.fs.Path(oldDir, f.getName)
+          require(fs.exists(target) || fs.rename(f, target),
             s"rename failed: $f -> $oldDir")
         }
-        all(rel).foreach(fs.delete(_, false))
-        if (newFiles.isEmpty && !rel.isEmpty) fs.delete(oldDir, true)
       }
-    } finally fs.delete(tmp, true)
-    flagged
+    }
+    deletes.foreach(p => if (fs.exists(p)) fs.delete(p, false))
+    dropDirs.foreach { rel =>
+      val d = new org.apache.hadoop.fs.Path(root, rel)
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    fs.delete(tmp, true)
+    fs.delete(journal, false)
+  }
+
+  /** Redo crashed swaps from their journals (and sweep uncommitted
+    * `.tmp` journals + their orphaned tmp dirs — those crashed BEFORE
+    * the journal committed, so the old files are untouched and the
+    * half-written output is garbage). */
+  private def healCompactions(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(JournalPrefix))
+    entries.foreach { j =>
+      if (j.getName.endsWith(".tmp")) fs.delete(j, false)
+      else {
+        val in = fs.open(j)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        val tmp = new org.apache.hadoop.fs.Path(root, n.get("tmp").asText())
+        def strs(field: String): Seq[String] = {
+          val it = n.get(field).elements(); val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }
+        applySwap(fs, root, tmp, strs("partitions"),
+          strs("deletes").map(new org.apache.hadoop.fs.Path(_)), strs("dropDirs"), j)
+      }
+    }
   }
 
   /** Read back with partition pruning driven by the scheme cover: each

@@ -321,10 +321,12 @@ object SpatialTable {
       .write.mode("overwrite")
       .partitionBy("attr_bucket")
       .parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
-    // the commit marker records the bucket count: readers must hash with
-    // the WRITTEN modulus, never a caller-supplied one (a mismatched
-    // modulus probes the wrong bucket and silently finds nothing)
-    writeString(f, marker, buckets.toString)
+    // the commit marker records the bucket count (readers must hash with
+    // the WRITTEN modulus, never a caller-supplied one — a mismatched
+    // modulus probes the wrong bucket and silently finds nothing) and,
+    // on a second line, the tier column, so mutation rebuilds preserve
+    // the tiered sort instead of silently demoting to (attr, cell)
+    writeString(f, marker, (buckets.toString +: tierCol.toSeq).mkString("\n"))
   }
 
   /** The bucket count an index layout was written with (from its commit
@@ -332,7 +334,17 @@ object SpatialTable {
     * bucket pruning entirely rather than probe with a guessed modulus
     * (a wrong modulus silently finds nothing). */
   def indexBuckets(spark: SparkSession, root: String, snapshotId: String,
-                   attrCol: String): Option[Int] = {
+                   attrCol: String): Option[Int] =
+    indexMarker(spark, root, snapshotId, attrCol).flatMap(_.headOption).map(_.toInt)
+
+  /** The tier column an index layout was written with (the second marker
+    * line), if any — mutation rebuilds must reuse it. */
+  def indexTier(spark: SparkSession, root: String, snapshotId: String,
+                attrCol: String): Option[String] =
+    indexMarker(spark, root, snapshotId, attrCol).flatMap(_.lift(1))
+
+  private def indexMarker(spark: SparkSession, root: String, snapshotId: String,
+                          attrCol: String): Option[Seq[String]] = {
     val marker = new Path(s"$root/_manifests/$snapshotId.attr_$attrCol.committed")
     val f = fs(spark, root)
     if (!f.exists(marker)) None
@@ -342,7 +354,7 @@ object SpatialTable {
         new String(org.apache.commons.io.IOUtils.toByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8).trim
       } finally in.close()
-      if (text.isEmpty) None else Some(text.toInt)
+      if (text.isEmpty) None else Some(text.linesIterator.toSeq)
     }
   }
 
@@ -446,18 +458,10 @@ object SpatialTable {
                    idColumn: String = "id", dtgColumn: Option[String] = Some("dtg"),
                    props: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
     import graft.plans.StrategyDecider
-    val f = fs(spark, root)
-    val rootPath = new Path(root)
     // a layout is plannable only once its COMMIT MARKER exists — a
     // crashed index write leaves a data directory the planner must
     // never route through (the pre-index full scan stays correct)
-    val indexed: Set[String] =
-      if (!f.exists(rootPath)) Set.empty
-      else f.listStatus(rootPath).toSeq
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("index_") => n.stripPrefix("index_") }
-        .filter(a => f.exists(new Path(s"$root/_manifests/$snapshotId.attr_$a.committed")))
-        .toSet
+    val indexed: Set[String] = indexedColumns(spark, root, snapshotId).keySet
     val d = StrategyDecider.decide(cql, idColumn, indexed - idColumn,
       indexed.contains(idColumn), dtgColumn)
     def residual(df: DataFrame): DataFrame = d.residual match {
@@ -567,11 +571,25 @@ object SpatialTable {
     require(fromSnapshot != toSnapshot, "rewrite must target a NEW snapshot id")
     require(isCommitted(spark, root, fromSnapshot), s"source snapshot $fromSnapshot not committed")
     val old = manifest(spark, root, fromSnapshot)
-    val base = read(spark, root, fromSnapshot).drop("cell", "cell_prefix", "salt")
-    val snap = write(spark, transform(base), root, toSnapshot, idCol, lonCol, latCol,
-      old.res, old.prefixRes, old.salts, partitions)
+    // temporal layouts (writeTemporal) recommit as temporal: time_bin is
+    // DERIVED — it must re-derive from the (possibly updated) dtg, never
+    // survive as a stale data column, and the new snapshot must keep the
+    // time_bin directory partitioning + its period/dtg manifest fields
+    val m = manifestString(spark, root, fromSnapshot)
+    val period = """"period":"([^"]+)"""".r.findFirstMatchIn(m).map(_.group(1))
+    val base = read(spark, root, fromSnapshot).drop("cell", "cell_prefix", "salt", "time_bin")
+    val snap = period match {
+      case Some(p) =>
+        val dtgCol = """"dtg":"([^"]+)"""".r.findFirstMatchIn(m).get.group(1)
+        writeTemporal(spark, transform(base), root, toSnapshot, idCol, lonCol, latCol,
+          dtgCol, p, old.res, old.prefixRes, old.salts, partitions)
+      case None =>
+        write(spark, transform(base), root, toSnapshot, idCol, lonCol, latCol,
+          old.res, old.prefixRes, old.salts, partitions)
+    }
     indexedColumns(spark, root, fromSnapshot).foreach { case (a, buckets) =>
-      writeAttributeIndex(spark, root, toSnapshot, a, buckets.getOrElse(16))
+      writeAttributeIndex(spark, root, toSnapshot, a, buckets.getOrElse(16),
+        indexTier(spark, root, fromSnapshot, a))
     }
     // stats follow mutations (the reference updates its stat rows from
     // the writer): re-collect for the new snapshot over the same
@@ -588,13 +606,9 @@ object SpatialTable {
     * with a null name) are NOT matched, per filter semantics. */
   private def cqlPred(df: DataFrame, cql: String, lonCol: String, latCol: String,
                       idColumn: String,
-                      props: Map[String, org.apache.spark.sql.Column]) = {
-    val arrays = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
-    }.toSet
+                      props: Map[String, org.apache.spark.sql.Column]) =
     coalesce(graft.plans.Cql.parse(cql, geomDefaults(df, lonCol, latCol) ++ props,
-      idColumn, arrays), lit(false))
-  }
+      idColumn, graft.plans.Cql.arrayProps(df)), lit(false))
 
   /** removeFeatures(filter) — new snapshot keeps the rows the filter
     * does NOT match (AccumuloDataStoreDeleteTest "delete" blocks;
@@ -643,10 +657,20 @@ object SpatialTable {
              updates: DataFrame, idCol: String = "id",
              lonCol: String = "lon", latCol: String = "lat"): Snapshot =
     rewrite(spark, root, fromSnapshot, toSnapshot, { df =>
-      val incoming = updates.drop("cell", "cell_prefix", "salt")
+      val incoming = updates.drop("cell", "cell_prefix", "salt", "time_bin")
       require(df.columns.sorted.sameElements(incoming.columns.sorted),
         s"upsert schema mismatch: table has [${df.columns.sorted.mkString(",")}], " +
           s"updates have [${incoming.columns.sorted.mkString(",")}]")
+      // a DataFrame has no row order, so "last write wins" is undefined
+      // for duplicate ids within ONE batch — reject them loudly instead
+      // of committing duplicate feature ids (the reference writer is
+      // sequential, so the ambiguity cannot arise there)
+      val dups = incoming.groupBy(idCol).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).select(idCol).limit(5)
+        .collect().map(_.get(0)).toSeq
+      require(dups.isEmpty,
+        s"upsert batch has duplicate ids (unordered rows — last-wins is " +
+          s"undefined): ${dups.mkString(", ")}")
       df.join(incoming.select(idCol).distinct(), Seq(idCol), "left_anti")
         .unionByName(incoming)
     }, idCol, lonCol, latCol)

@@ -72,7 +72,10 @@ object TableStats {
               attributes: Seq[String] = Seq.empty,
               lonCol: String = "lon", latCol: String = "lat",
               topK: Int = 10): Unit = {
-    val df = SpatialTable.read(spark, root, snapshotId)
+    // one disk read total: the main agg plus each tracked attribute's
+    // TopK groupBy all scan the persisted copy, not the parquet N+1 times
+    // (writeConfigured/rewrite call this on every write and mutation)
+    val df = SpatialTable.read(spark, root, snapshotId).persist()
     val tracked = attributes.filter(df.columns.contains)
     val spatial = df.columns.contains(lonCol) && df.columns.contains(latCol)
     val aggs =
@@ -88,18 +91,21 @@ object TableStats {
           Seq(render(dt, min(col(a))).as(s"min_$a"), render(dt, max(col(a))).as(s"max_$a"),
             count(col(a)).as(s"count_$a"), approx_count_distinct(col(a)).as(s"card_$a"))
         }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val (row, tops) = try {
+      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val total = r.getLong(r.fieldIndex("count"))
+      val t: Map[String, Seq[(String, Long)]] =
+        if (total == 0) Map.empty
+        else tracked.map { a =>
+          val dt = df.schema(a).dataType
+          a -> df.where(col(a).isNotNull)
+            .groupBy(render(dt, col(a)).as("v")).agg(count(lit(1)).as("n"))
+            .orderBy(desc("n"), asc("v")).limit(topK).collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+        }.toMap
+      (r, t)
+    } finally df.unpersist()
     val total = row.getLong(row.fieldIndex("count"))
-
-    val tops: Map[String, Seq[(String, Long)]] =
-      if (total == 0) Map.empty
-      else tracked.map { a =>
-        val dt = df.schema(a).dataType
-        a -> df.where(col(a).isNotNull)
-          .groupBy(render(dt, col(a)).as("v")).agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), asc("v")).limit(topK).collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
-      }.toMap
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()

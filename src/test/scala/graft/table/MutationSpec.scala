@@ -182,4 +182,69 @@ class MutationSpec extends AnyFunSuite with SparkTest {
       SpatialTable.upsert(spark, root, "s1", "s2",
         Seq(("fid1", "x")).toDF("id", "name"))) // schema mismatch
   }
+
+  test("upsert rejects duplicate ids within one batch (unordered rows make " +
+    "last-wins undefined — never commit duplicate feature ids)") {
+    val root = freshRoot("graft_mut8")
+    writePeople(root)
+    val dup = Seq(
+      ("fid1", "a", 1L, 45.0, 49.0),
+      ("fid1", "b", 2L, 45.0, 49.0)).toDF("id", "name", "age", "lon", "lat")
+    val e = intercept[IllegalArgumentException](
+      SpatialTable.upsert(spark, root, "s1", "s2", dup))
+    assert(e.getMessage.contains("duplicate ids"))
+  }
+
+  test("mutating a temporal snapshot keeps the temporal layout and " +
+    "re-derives time_bin from the updated dtg") {
+    val root = freshRoot("graft_mut9")
+    val df = Seq(
+      ("id1", 10.0, 10.0, "2024-01-02 12:00:00"),
+      ("id2", 10.0, 10.0, "2024-01-05 12:00:00"),
+      ("id3", 10.0, 10.0, "2024-03-20 12:00:00"))
+      .toDF("id", "lon", "lat", "d")
+      .withColumn("dtg", $"d".cast("timestamp")).drop("d")
+    SpatialTable.writeTemporal(spark, df, root, "s1", "id", "lon", "lat", "dtg",
+      period = "day", res = 9, prefixRes = 3, salts = 1, partitions = 2)
+
+    // move id1 two months forward — its time_bin directory must move too
+    SpatialTable.updateWhere(spark, root, "s1", "s2", "IN ('id1')",
+      Map("dtg" -> lit("2024-03-10 12:00:00").cast("timestamp")))
+
+    def names(startMs: Long, endMs: Long): Set[String] =
+      SpatialTable.readBBoxTime(spark, root, "s2", (9.0, 9.0, 11.0, 11.0),
+        startMs, endMs).select("id").as[String].collect().toSet
+    def ms(s: String): Long = java.sql.Timestamp.valueOf(s).getTime
+    // the January window no longer finds id1; the March window does
+    assert(names(ms("2024-01-01 00:00:00"), ms("2024-02-01 00:00:00")) == Set("id2"))
+    assert(names(ms("2024-03-01 00:00:00"), ms("2024-04-01 00:00:00")) == Set("id1", "id3"))
+    // time_bin is re-derived, not stale: id1's bin equals the bin its NEW
+    // dtg falls in (id3's March bins are nearby; id2's January bin is not)
+    val bins = SpatialTable.read(spark, root, "s2")
+      .select("id", "time_bin").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val p = graft.cells.BinnedTime.period("day")
+    assert(bins("id1") == graft.cells.BinnedTime.toBinned(p, ms("2024-03-10 12:00:00")).bin.toInt)
+    assert(bins("id2") == graft.cells.BinnedTime.toBinned(p, ms("2024-01-05 12:00:00")).bin.toInt)
+  }
+
+  test("mutation rebuilds a tiered attribute index with its tier preserved") {
+    val root = freshRoot("graft_mut10")
+    val df = Seq(
+      ("id1", "will", 45.0, 49.0, "2024-01-02 12:00:00"),
+      ("id2", "sue", 45.0, 49.0, "2024-01-05 12:00:00"))
+      .toDF("id", "name", "lon", "lat", "d")
+      .withColumn("dtg", $"d".cast("timestamp")).drop("d")
+    SpatialTable.write(spark, df, root, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 1, partitions = 1)
+    SpatialTable.writeAttributeIndex(spark, root, "s1", "name", buckets = 4,
+      tierCol = Some("dtg"))
+    assert(SpatialTable.indexTier(spark, root, "s1", "name").contains("dtg"))
+    assert(SpatialTable.indexBuckets(spark, root, "s1", "name").contains(4))
+
+    SpatialTable.deleteWhere(spark, root, "s1", "s2", "name = 'sue'")
+    // the rebuilt index keeps both the bucket count and the tier sort
+    assert(SpatialTable.indexTier(spark, root, "s2", "name").contains("dtg"))
+    assert(SpatialTable.indexBuckets(spark, root, "s2", "name").contains(4))
+    assert(SpatialTable.readByAttribute(spark, root, "s2", "name", "will").count() == 1)
+  }
 }

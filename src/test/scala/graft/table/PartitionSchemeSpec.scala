@@ -362,6 +362,61 @@ class PartitionSchemeSpec extends AnyFunSuite with Matchers with SparkTest {
       .map(_.getString(1)).sorted shouldBe Seq("new-a", "new-b")
   }
 
+  test("a crashed compaction swap heals from its journal on the next compact " +
+    "(no permanent duplicates, no lost rows)") {
+    val scheme = DateTimeScheme("yyyy/MM/dd", ChronoUnit.DAYS, 1, "ts", leaf = true)
+    val resolver = LonLatResolver("lon", "lat")
+    val path = java.nio.file.Files.createTempDirectory("graft_heal").toString
+    val partition = "_p0=2017/_p1=01/_p2=01"
+    PartitionScheme.append(oneRow(0, "keep", "2017-01-01 10:00:00"), path, scheme, resolver)
+    PartitionScheme.append(oneRow(1, "stale", "2017-01-01 11:00:00"), path, scheme, resolver)
+
+    // simulate a compaction that wrote its output and its journal, then
+    // crashed before the swap: tmp holds the compacted file (here: a
+    // copy of the "keep" file), the journal lists BOTH old files for
+    // deletion — replay must move the new file in, delete the old ones,
+    // and remove tmp + journal
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = PartitionScheme.partitionFiles(spark, path, scheme)
+    val rows = PartitionScheme.read(spark, path, scheme).collect()
+    rows should have size 2
+    val keepFile = {
+      // identify which data file holds "keep" (id 0) by reading each
+      val byFile = all(partition).map { f =>
+        f -> spark.read.parquet(f.toString).collect().map(_.getString(1)).toSeq
+      }
+      byFile.collectFirst { case (f, vs) if vs == Seq("keep") => f }.get
+    }
+    val tmpDir = new org.apache.hadoop.fs.Path(path, ".compact-heal-test")
+    val tmpPart = new org.apache.hadoop.fs.Path(tmpDir, partition)
+    fs.mkdirs(tmpPart)
+    org.apache.hadoop.fs.FileUtil.copy(fs, keepFile, fs,
+      new org.apache.hadoop.fs.Path(tmpPart, "part-compacted.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val journal =
+      s"""{"tmp":".compact-heal-test","partitions":["$partition"],
+         |"deletes":[${all(partition).map(p => "\"" + p + "\"").mkString(",")}],
+         |"dropDirs":[]}""".stripMargin.replace("\n", "")
+    val jPath = new org.apache.hadoop.fs.Path(path, ".compact-journal-heal.json")
+    val out = fs.create(jPath, true)
+    out.write(journal.getBytes("UTF-8")); out.close()
+
+    // next compact heals FIRST (and then finds nothing multi-file to do)
+    PartitionScheme.compact(spark, path, scheme) shouldBe empty
+    fs.exists(jPath) shouldBe false
+    fs.exists(tmpDir) shouldBe false
+    PartitionScheme.partitionFiles(spark, path, scheme)(partition) should have size 1
+    PartitionScheme.read(spark, path, scheme).collect()
+      .map(_.getString(1)) shouldBe Array("keep")
+
+    // an uncommitted .tmp journal (crash before journal commit) is swept
+    val staged = new org.apache.hadoop.fs.Path(path, ".compact-journal-x.tmp")
+    val o2 = fs.create(staged, true); o2.write("{".getBytes("UTF-8")); o2.close()
+    PartitionScheme.compact(spark, path, scheme) shouldBe empty
+    fs.exists(staged) shouldBe false
+  }
+
   test("compact a flat scheme merges the root's files in place") {
     val scheme = FlatScheme
     val path = java.nio.file.Files.createTempDirectory("graft_compact_flat").toString
