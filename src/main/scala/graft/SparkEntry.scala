@@ -1183,6 +1183,44 @@ object SparkEntry {
           "CAST(floor(q_score * 1000000 + 0.5) AS BIGINT) AS q_score_e6")
     }),
 
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style duplicate-line / duplicate-paragraph signals. The
+      // corpus text is single-line, so a multi-line document is
+      // constructed per row from its own words (5-word lines, a
+      // doc_id%3-selected duplication pattern, chr(10) separators) — the
+      // SAME construction runs in the DuckDB oracle, which then
+      // recomputes the metrics with list_* algebra.
+      val toks = "filter(split(text, ' '), x -> x != '')"
+      def line(start: Int) = s"array_join(slice($toks, $start, 5), ' ')"
+      val (l1, l2, l3) = (line(1), line(6), line(11))
+      val nl = "chr(10)"
+      val text2 =
+        s"""CASE CAST(doc_id % 3 AS INT)
+           |  WHEN 0 THEN concat($l1, $nl, $l2, $nl, $l1, $nl, $nl, $l3, $nl, $l3)
+           |  WHEN 1 THEN concat($l1, $nl, $l2, $nl, $nl, $l1, $nl, $l2)
+           |  ELSE concat($l1, $nl, $l2, $nl, $l3)
+           |END""".stripMargin
+      val docs = t(s, dir, "documents").selectExpr("doc_id", s"$text2 AS text2")
+      operators.TextAnalysis.withRepetition(docs, "text2")
+        .select("doc_id", "rep_line_n", "rep_line_dup_frac_e6", "rep_line_dup_char_frac_e6",
+          "rep_para_n", "rep_para_dup_frac_e6", "rep_para_dup_char_frac_e6")
+    }),
+
+    "q_top_bigram" -> ((s, dir) => {
+      // most-frequent word-2-gram coverage (the Gopher top-n-gram rule);
+      // the synthetic word-stream corpus has natural repeated bigrams
+      operators.TextAnalysis.withTopBigram(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "top_bigram", "top_bigram_count", "top_bigram_char_frac_e6")
+    }),
+
+    "q_stratified" -> ((s, dir) => {
+      // deterministic quota sampling per source (domain mixing); the
+      // two-phase salted top-K must equal the oracle's single window
+      operators.Sampling.stratifiedTopK(t(s, dir, "documents"), "source", "doc_id",
+          quotas = Map("src18" -> 7, "src6" -> 5), defaultQuota = 3)
+        .selectExpr("doc_id", "source", "CAST(sample_rank AS BIGINT) AS sample_rank")
+    }),
+
     "q_knn_ring" -> ((s, dir) => {
       // the scalable kNN operator (cell-ring expansion, haversine).
       // Oracled since r3: the haversine is replicated term-for-term in
@@ -1950,6 +1988,65 @@ object SparkEntry {
           |    0.25 * uniq + 0.2 * (1 - punct * 4) +
           |    0.15 * LEAST(1.0, mean_word / 6.0) + 0.1 * (1 - digits * 2))) * 1000000 + 0.5) AS BIGINT) AS q_score_e6
           |FROM g""".stripMargin,
+
+      "q_repetition" ->
+        """WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          |  FROM documents),
+          |c AS (SELECT doc_id,
+          |    -- DuckDB's out-of-range list slice is NULL (Spark's slice is
+          |    -- an empty array -> array_join '') so coalesce to ''
+          |    COALESCE(array_to_string(t[1:5], ' '), '') AS l1,
+          |    COALESCE(array_to_string(t[6:10], ' '), '') AS l2,
+          |    COALESCE(array_to_string(t[11:15], ' '), '') AS l3
+          |  FROM base),
+          |tx AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+          |    WHEN 0 THEN l1 || chr(10) || l2 || chr(10) || l1 || chr(10) || chr(10) || l3 || chr(10) || l3
+          |    WHEN 1 THEN l1 || chr(10) || l2 || chr(10) || chr(10) || l1 || chr(10) || l2
+          |    ELSE l1 || chr(10) || l2 || chr(10) || l3 END AS text2
+          |  FROM c),
+          |arr AS (SELECT doc_id,
+          |    list_filter(list_transform(string_split(text2, chr(10)), x -> trim(x)), x -> x <> '') AS ln,
+          |    list_filter(list_transform(string_split(text2, chr(10) || chr(10)), x -> trim(x)), x -> x <> '') AS pa
+          |  FROM tx)
+          |SELECT doc_id,
+          |  CAST(len(ln) AS BIGINT) AS rep_line_n,
+          |  CAST(floor(CASE WHEN len(ln) = 0 THEN 0.0
+          |    ELSE (len(ln) - len(list_distinct(ln))) / CAST(len(ln) AS DOUBLE) END * 1000000 + 0.5) AS BIGINT) AS rep_line_dup_frac_e6,
+          |  CAST(floor(CASE WHEN len(ln) = 0 THEN 0.0
+          |    ELSE (list_sum(list_transform(ln, x -> length(x))) - list_sum(list_transform(list_distinct(ln), x -> length(x)))) /
+          |         CAST(list_sum(list_transform(ln, x -> length(x))) AS DOUBLE) END * 1000000 + 0.5) AS BIGINT) AS rep_line_dup_char_frac_e6,
+          |  CAST(len(pa) AS BIGINT) AS rep_para_n,
+          |  CAST(floor(CASE WHEN len(pa) = 0 THEN 0.0
+          |    ELSE (len(pa) - len(list_distinct(pa))) / CAST(len(pa) AS DOUBLE) END * 1000000 + 0.5) AS BIGINT) AS rep_para_dup_frac_e6,
+          |  CAST(floor(CASE WHEN len(pa) = 0 THEN 0.0
+          |    ELSE (list_sum(list_transform(pa, x -> length(x))) - list_sum(list_transform(list_distinct(pa), x -> length(x)))) /
+          |         CAST(list_sum(list_transform(pa, x -> length(x))) AS DOUBLE) END * 1000000 + 0.5) AS BIGINT) AS rep_para_dup_char_frac_e6
+          |FROM arr""".stripMargin,
+
+      "q_top_bigram" ->
+        """WITH f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |b AS (SELECT doc_id,
+          |    unnest([t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+          |            for i in generate_series(1, len(t) - 1)]) AS g
+          |  FROM f WHERE len(t) >= 2),
+          |c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+          |top AS (SELECT doc_id, g, cnt FROM c
+          |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) = 1)
+          |SELECT f.doc_id, top.g AS top_bigram,
+          |  COALESCE(top.cnt, 0) AS top_bigram_count,
+          |  CAST(floor(CASE WHEN top.g IS NULL OR f.nc = 0 THEN 0.0
+          |    ELSE top.cnt * length(top.g) / CAST(f.nc AS DOUBLE) END * 1000000 + 0.5) AS BIGINT) AS top_bigram_char_frac_e6
+          |FROM f LEFT JOIN top ON f.doc_id = top.doc_id""".stripMargin,
+
+      "q_stratified" ->
+        """SELECT doc_id, source, sample_rank FROM (
+          |  SELECT doc_id, source, row_number() OVER (
+          |      PARTITION BY source
+          |      ORDER BY (doc_id * 104729 + 7919) % 999999937, doc_id) AS sample_rank
+          |  FROM documents) s
+          |WHERE sample_rank <= CASE source WHEN 'src18' THEN 7 WHEN 'src6' THEN 5 ELSE 3 END""".stripMargin,
 
       "q_lang_id" -> {
         def score(words: Seq[String], grams: Seq[String]): String = {

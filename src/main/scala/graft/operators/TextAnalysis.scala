@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -120,6 +121,79 @@ object TextAnalysis {
          |    c -> CAST(ascii(c) AS BIGINT)),
          |  CAST(7919 AS BIGINT),
          |  (acc, x) -> (acc * 31 + x) % 1000000000000037)""".stripMargin))
+
+  // ---- repetition signals (Gopher-style) -------------------------------
+
+  /** Per-document repetition signals from the published Gopher/MassiveText
+    * quality rules (Rae et al. 2021, "Scaling Language Models", table A1):
+    * duplicate-line fraction, duplicate-paragraph fraction, and the
+    * character-weighted variants of both. Lines split on '\n', paragraphs
+    * on blank-line boundaries ('\n\n'); both are trimmed and empties
+    * dropped. "Duplicate" counts every occurrence beyond the first of an
+    * identical line/paragraph, so
+    *   dup_frac      = (n - n_distinct) / n
+    *   dup_char_frac = (chars(all) - chars(distinct)) / chars(all)
+    * Fractions are emitted e6-scaled via floor(x*1e6+0.5) (the engine's
+    * usual float-parity form). Everything is higher-order-function Column
+    * arithmetic over the split arrays — one codegen'd projection, no
+    * shuffle, no UDF; the identical per-row algebra runs in DuckDB with
+    * list_* functions.
+    *
+    * Reference analog: none (GeoMesa has no corpus curation) — this is
+    * part of the LLM-pipeline extension the survey calls for. */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    def parts(sep: String): String =
+      s"filter(transform(split($textCol, '$sep'), x -> trim(x)), x -> x != '')"
+    def metrics(arr: String, prefix: String): Seq[(String, String)] = Seq(
+      s"${prefix}_n" -> s"CAST(size($arr) AS BIGINT)",
+      s"${prefix}_dup_frac_e6" ->
+        s"""CAST(floor(CASE WHEN size($arr) = 0 THEN 0.0
+           |  ELSE (size($arr) - size(array_distinct($arr))) / CAST(size($arr) AS DOUBLE)
+           |  END * 1000000 + 0.5) AS BIGINT)""".stripMargin,
+      s"${prefix}_dup_char_frac_e6" ->
+        s"""CAST(floor(CASE WHEN size($arr) = 0 THEN 0.0
+           |  ELSE (aggregate($arr, CAST(0 AS BIGINT), (a, x) -> a + length(x)) -
+           |        aggregate(array_distinct($arr), CAST(0 AS BIGINT), (a, x) -> a + length(x))) /
+           |       CAST(aggregate($arr, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS DOUBLE)
+           |  END * 1000000 + 0.5) AS BIGINT)""".stripMargin)
+    val cols = metrics(parts("\\\\n"), "rep_line") ++ metrics(parts("\\\\n\\\\n"), "rep_para")
+    cols.foldLeft(df) { case (d, (name, sql)) => d.withColumn(name, expr(sql)) }
+  }
+
+  /** Most-frequent word 2-gram coverage (the Gopher "top n-gram character
+    * fraction" rule): for each document, the fraction of its characters
+    * covered by all occurrences of its single most frequent word bigram
+    * (count × bigram length / total chars). Ties break to the
+    * lexicographically smallest bigram so the result is deterministic on
+    * any engine.
+    *
+    * 100-TB shape: bigrams are built per-row with slice/zip_with (no
+    * quadratic per-row HOF scan), then explode → hash-aggregate on
+    * (id, gram) → one tiny row per distinct gram; the per-document argmax
+    * is a window over those aggregated counts (group size = distinct
+    * bigrams of one doc, never raw tokens), and only (id, frac) joins
+    * back. The document payload never enters a shuffle. */
+  def withTopBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')"
+    val bigrams = df.select(
+      col(idCol),
+      expr(s"""zip_with(
+              |  slice($toks, 1, greatest(size($toks) - 1, 0)),
+              |  slice($toks, 2, greatest(size($toks) - 1, 0)),
+              |  (a, b) -> concat(a, ' ', b))""".stripMargin).as("__bg"))
+      .select(col(idCol), explode(col("__bg")).as("__g"))
+      .groupBy(idCol, "__g").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(idCol).orderBy(col("__c").desc, col("__g"))
+    val top = bigrams
+      .withColumn("__rn", row_number.over(w)).where(col("__rn") === 1)
+      .select(col(idCol), col("__g").as("top_bigram"), col("__c").as("top_bigram_count"))
+    df.join(top, Seq(idCol), "left")
+      .withColumn("top_bigram_char_frac_e6", expr(
+        s"""CAST(floor(CASE WHEN top_bigram IS NULL OR length($textCol) = 0 THEN 0.0
+           |  ELSE top_bigram_count * length(top_bigram) / CAST(length($textCol) AS DOUBLE)
+           |  END * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+      .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
+  }
 
   // ---- composite corpus cleaning --------------------------------------
 

@@ -526,4 +526,71 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(3L) == "near_dup" && out(4L) == "near_dup")
     assert(out(5L) == "gate" && out(6L) == "gate")
   }
+
+  test("repetition signals: duplicate line/paragraph fractions (Gopher rules)") {
+    ready
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b\nc d\na b\n\ne f\ne f"), // 5 lines (2 repeats), 2 distinct paras
+      (2L, "single line only"),          // 1 line = 1 para, no dups
+      (3L, "")                           // empty: all zeros
+    ).toDF("id", "text")
+    val out = TextAnalysis.withRepetition(df, "text")
+      .select("id", "rep_line_n", "rep_line_dup_frac_e6", "rep_line_dup_char_frac_e6",
+        "rep_para_n", "rep_para_dup_frac_e6", "rep_para_dup_char_frac_e6")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // lines of doc 1: [a b, c d, a b, e f, e f] n=5 distinct=3 -> 2/5;
+    // chars 15 vs 9 distinct -> 6/15; paras both distinct -> 0
+    assert(out(1L) == ((5L, 400000L, 400000L, 2L, 0L, 0L)))
+    assert(out(2L) == ((1L, 0L, 0L, 1L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("top bigram: most frequent 2-gram, char coverage, deterministic ties") {
+    ready
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y x y z"), // "x y" twice -> 2*3/9
+      (2L, "a b c"),     // tie between "a b" and "b c" -> lex smallest
+      (3L, "lonely")     // no bigram
+    ).toDF("id", "text")
+    val out = TextAnalysis.withTopBigram(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(2)), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((Some("x y"), 2L, math.floor(2.0 * 3 / 9 * 1000000 + 0.5).toLong)))
+    assert(out(2L) == ((Some("a b"), 1L, math.floor(1.0 * 3 / 5 * 1000000 + 0.5).toLong)))
+    assert(out(3L) == ((None, 0L, 0L)))
+  }
+
+  test("stratifiedTopK: exact quotas, equal to the single-window reference") {
+    ready
+    import spark.implicits._
+    // skewed strata: A holds 80 of 100 rows
+    val rows = (0L until 100L).map(i =>
+      (i, if (i < 80) "A" else if (i < 95) "B" else "C"))
+    val df = rows.toDF("k", "s")
+    val out = Sampling.stratifiedTopK(df, "s", "k",
+      quotas = Map("A" -> 10, "C" -> 9), defaultQuota = 7, salts = 4)
+    val got = out.select("s", "k", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val bySt = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySt == Map("A" -> 10, "B" -> 7, "C" -> 5)) // C has only 5 rows
+    // ranks are 1..k per stratum
+    got.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq)
+    }
+    // equals the plain one-window top-K (the two-phase salting must not
+    // change the selected set or the ranks)
+    import org.apache.spark.sql.expressions.Window
+    val h = expr(Sampling.orderHashSql("k", 7919L))
+    val w = Window.partitionBy(col("s")).orderBy(h.asc, col("k").asc)
+    val ref = df.withColumn("sample_rank", row_number.over(w))
+      .where(col("sample_rank") <=
+        when(col("s") === "A", 10).when(col("s") === "C", 9).otherwise(7))
+      .select("s", "k", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == ref)
+  }
 }
