@@ -1221,6 +1221,52 @@ object SparkEntry {
         .selectExpr("doc_id", "source", "CAST(sample_rank AS BIGINT) AS sample_rank")
     }),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 97th document's 8-word prefix
+      // stands in for an eval set; 5-gram overlap flags contamination.
+      // The gram construction is pure Column algebra replicated in SQL.
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(expr("doc_id % 97 = 0")).selectExpr(
+        "array_join(slice(filter(split(lower(text), '\\\\s+'), x -> x != ''), 1, 8), ' ') AS btext")
+      operators.Dedup.contamination(docs, "doc_id", "text", bench, "btext", n = 5)
+        .select("doc_id", "n_grams", "n_contaminated", "contaminated_frac_e6", "contaminated")
+    }),
+
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrubbing over deterministically planted emails / SSNs /
+      // IPs / phone numbers (the corpus text itself is clean words);
+      // the identical construction + regex chain runs in DuckDB (RE2),
+      // which is why PiiPatterns sticks to the shared regex subset
+      val planted = t(s, dir, "documents").selectExpr("doc_id",
+        """concat(
+          |  'u', doc_id, '@ex', CAST(doc_id % 7 AS STRING), '.org ',
+          |  CASE WHEN doc_id % 3 = 0 THEN concat(
+          |    lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+          |    lpad(CAST(doc_id % 100 AS STRING), 2, '0'), '-',
+          |    lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ') ELSE '' END,
+          |  CASE WHEN doc_id % 5 = 0 THEN concat(
+          |    '10.', CAST(doc_id % 256 AS STRING), '.0.',
+          |    CAST((doc_id * 7) % 256 AS STRING), ' ') ELSE '' END,
+          |  'tel ', lpad(CAST((doc_id * 3) % 1000 AS STRING), 3, '0'), '-',
+          |  lpad(CAST((doc_id * 11) % 1000 AS STRING), 3, '0'), '-',
+          |  lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ',
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 6), ' '))
+          |AS text2""".stripMargin)
+      operators.TextAnalysis.redactPii(planted, "text2")
+        .select("doc_id", "text_redacted", "pii_email", "pii_ssn", "pii_card",
+          "pii_ip", "pii_phone", "pii_total")
+    }),
+
+    "q_pack_shards" -> ((s, dir) => {
+      // token-budget sequence packing: the two-phase distributed prefix
+      // sum must equal the oracle's single global window
+      val docs = t(s, dir, "documents")
+        .withColumn("tok", expr("size(filter(split(text, ' '), x -> x != ''))"))
+      operators.Sampling.packShards(docs, "doc_id", "tok", budget = 1000L, buckets = 16)
+        .selectExpr("doc_id", "CAST(tok AS BIGINT) AS tok", "start_offset",
+          "shard_id", "shard_offset")
+    }),
+
     "q_knn_ring" -> ((s, dir) => {
       // the scalable kNN operator (cell-ring expansion, haversine).
       // Oracled since r3: the haversine is replicated term-for-term in
@@ -2047,6 +2093,85 @@ object SparkEntry {
           |      ORDER BY (doc_id * 104729 + 7919) % 999999937, doc_id) AS sample_rank
           |  FROM documents) s
           |WHERE sample_rank <= CASE source WHEN 'src18' THEN 7 WHEN 'src6' THEN 5 ELSE 3 END""".stripMargin,
+
+      "q_decontaminate" ->
+        // DuckDB generate_series(1, 0) is empty (unlike Spark's
+        // descending sequence), so short docs need no special case here
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |g AS (SELECT doc_id, list_distinct(
+          |    [array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 4], ' ')
+          |     for i in generate_series(1, len(t) - 4)]) AS gs
+          |  FROM toks),
+          |bg AS (SELECT DISTINCT unnest(gs) AS gm FROM (
+          |  SELECT list_distinct(
+          |      [array_to_string(bt[CAST(i AS INT):CAST(i AS INT) + 4], ' ')
+          |       for i in generate_series(1, len(bt) - 4)]) AS gs
+          |  FROM (SELECT COALESCE(t[1:8], []) AS bt FROM toks WHERE doc_id % 97 = 0))),
+          |hit AS (SELECT doc_id, count(*) AS n_c
+          |  FROM (SELECT doc_id, unnest(gs) AS gm FROM g) u JOIN bg USING (gm)
+          |  GROUP BY doc_id)
+          |SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+          |  COALESCE(hit.n_c, 0) AS n_contaminated,
+          |  CAST(floor(CASE WHEN len(g.gs) = 0 THEN 0.0
+          |    ELSE COALESCE(hit.n_c, 0) / CAST(len(g.gs) AS DOUBLE) END * 1000000 + 0.5) AS BIGINT)
+          |    AS contaminated_frac_e6,
+          |  COALESCE(hit.n_c, 0) > 0 AS contaminated
+          |FROM g LEFT JOIN hit USING (doc_id)""".stripMargin,
+
+      "q_pii_redact" ->
+        """WITH planted AS (SELECT doc_id, concat(
+          |    'u', doc_id, '@ex', CAST(doc_id % 7 AS VARCHAR), '.org ',
+          |    CASE WHEN doc_id % 3 = 0 THEN concat(
+          |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+          |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-',
+          |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ') ELSE '' END,
+          |    CASE WHEN doc_id % 5 = 0 THEN concat(
+          |      '10.', CAST(doc_id % 256 AS VARCHAR), '.0.',
+          |      CAST((doc_id * 7) % 256 AS VARCHAR), ' ') ELSE '' END,
+          |    'tel ', lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0'), '-',
+          |    lpad(CAST((doc_id * 11) % 1000 AS VARCHAR), 3, '0'), '-',
+          |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ',
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:6], ' ')) AS r0
+          |  FROM documents),
+          |s1 AS (SELECT doc_id,
+          |    CAST(len(regexp_extract_all(r0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS pii_email,
+          |    regexp_replace(r0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+          |  FROM planted),
+          |s2 AS (SELECT doc_id, pii_email,
+          |    CAST(len(regexp_extract_all(r1, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS pii_ssn,
+          |    regexp_replace(r1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS r2
+          |  FROM s1),
+          |s3 AS (SELECT doc_id, pii_email, pii_ssn,
+          |    CAST(len(regexp_extract_all(r2, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS pii_card,
+          |    regexp_replace(r2, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g') AS r3
+          |  FROM s2),
+          |s4 AS (SELECT doc_id, pii_email, pii_ssn, pii_card,
+          |    CAST(len(regexp_extract_all(r3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS pii_ip,
+          |    regexp_replace(r3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r4
+          |  FROM s3),
+          |s5 AS (SELECT doc_id, pii_email, pii_ssn, pii_card, pii_ip,
+          |    CAST(len(regexp_extract_all(r4, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS pii_phone,
+          |    regexp_replace(r4, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_redacted
+          |  FROM s4)
+          |SELECT doc_id, text_redacted, pii_email, pii_ssn, pii_card, pii_ip, pii_phone,
+          |  pii_email + pii_ssn + pii_card + pii_ip + pii_phone AS pii_total
+          |FROM s5""".stripMargin,
+
+      "q_pack_shards" ->
+        """WITH b AS (SELECT doc_id,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok
+          |  FROM documents),
+          |c AS (SELECT doc_id, tok,
+          |    CAST(COALESCE(SUM(tok) OVER (
+          |      ORDER BY (doc_id * 104729 + 7919) % 999999937, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+          |  FROM b)
+          |SELECT doc_id, tok, start_offset,
+          |  start_offset // 1000 AS shard_id,
+          |  start_offset % 1000 AS shard_offset
+          |FROM c""".stripMargin,
 
       "q_lang_id" -> {
         def score(words: Seq[String], grams: Seq[String]): String = {

@@ -336,6 +336,60 @@ object Dedup {
                   threshold: Double = 0.8, w: Int = 3): DataFrame =
     labelComponents(df, idCol, nearDuplicates(df, idCol, textCol, threshold, w), "id1", "id2")
 
+  // ---- benchmark decontamination --------------------------------------
+
+  /**
+   * Test-set decontamination: flag corpus documents that share word
+   * n-grams with a benchmark/eval set (the published GPT-3 appendix-C /
+   * PaLM decontamination rule — there 13-grams; `n` is a parameter so
+   * small fixtures can exercise the machinery).
+   *
+   * Grams are built with pure Column algebra (lowercase, whitespace
+   * tokens, `transform(sequence(...))` sliding windows, de-duplicated
+   * per row with array_distinct) so the identical construction runs in
+   * the DuckDB oracle — no UDF, no hash to replicate.
+   *
+   * 100-TB shape: the benchmark side is tiny by construction (an eval
+   * set), so its distinct grams BROADCAST and the corpus-side probe is
+   * a map-side semi join — corpus gram strings never enter a shuffle.
+   * The only shuffled rows are (doc_id) hits (one per contaminated gram,
+   * already distinct per row), partially aggregated map-side. Per-doc
+   * totals come from the same projection that built the grams, before
+   * the explode, so the document payload is read once.
+   *
+   * Output: one row per corpus document — distinct-gram count,
+   * contaminated-gram count, e6-scaled contamination fraction, and a
+   * `contaminated` flag (any overlap).
+   */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, "gram size must be >= 1")
+    def gramsExpr(c: String): String = {
+      val toks = s"filter(split(lower($c), '\\\\s+'), x -> x != '')"
+      // sequence(1, 0) is the DESCENDING [1, 0] in Spark, so short docs
+      // need an explicit empty-array guard, not a greatest() clamp
+      s"""CASE WHEN size($toks) < $n THEN array()
+         |ELSE array_distinct(transform(
+         |  sequence(1, size($toks) - ${n - 1}),
+         |  i -> array_join(slice($toks, i, $n), ' '))) END""".stripMargin
+    }
+    val benchGrams = bench
+      .select(explode(expr(gramsExpr(benchTextCol))).as("__g")).distinct()
+    val docGrams = corpus.select(col(idCol), expr(gramsExpr(textCol)).as("__gs"))
+      .withColumn("__n_grams", size(col("__gs")))
+    val hits = docGrams
+      .select(col(idCol), explode(col("__gs")).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    docGrams.select(col(idCol), col("__n_grams").cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contaminated_frac_e6", expr(
+        """CAST(floor(CASE WHEN n_grams = 0 THEN 0.0
+          |  ELSE n_contaminated / CAST(n_grams AS DOUBLE) END * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
   // ---- embedding near-dup ---------------------------------------------
 
   /** Cosine near-duplicate pairs over an embedding column, via

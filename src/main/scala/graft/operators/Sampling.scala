@@ -59,4 +59,54 @@ object Sampling {
       .where(col("sample_rank") <= col("__q"))
       .drop("__rn", "__q")
   }
+
+  /**
+   * Token-budget sequence packing — the sharding step that turns a
+   * curated corpus into fixed-size training shards: documents are laid
+   * out on one deterministic token stream (ordered by the seeded hash of
+   * `idCol`, ties by the id) and each document is assigned the shard its
+   * first token lands in (`shard_id = start_offset div budget`, plus
+   * `shard_offset = start_offset mod budget`). Documents may straddle a
+   * boundary — this is concatenate-then-split packing, the layout a
+   * pretraining data writer materializes.
+   *
+   * 100-TB shape: the global prefix sum is two-phase. The hash order is
+   * cut into `buckets` contiguous hash ranges (uniform by construction),
+   * each bucket cumulates locally under one window; cross-bucket offsets
+   * are a second window over the `buckets`-row totals (trivially small —
+   * the single-task window touches `buckets` rows, never data), joined
+   * back by broadcast. No global single-task window ever sees the
+   * corpus.
+   *
+   * Output: input columns + `start_offset`, `shard_id`, `shard_offset`.
+   */
+  def packShards(df: DataFrame, idCol: String, tokenCol: String, budget: Long,
+                 seed: Long = 7919L, buckets: Int = 64): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val mod = 999999937L
+    val bucketWidth = (mod + buckets - 1) / buckets
+    val h = expr(orderHashSql(idCol, seed))
+    val withKeys = df
+      .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn("__ord", h)
+      .withColumn("__bkt", expr(s"__ord div $bucketWidth"))
+    val local = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__ord").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withKeys.withColumn("__cum", sum(col("__tok")).over(local))
+    val offsets = withKeys.groupBy(col("__bkt"))
+      .agg(sum(col("__tok")).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum(col("__bt")).over(
+          Window.orderBy(col("__bkt").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    cum.join(broadcast(offsets), "__bkt")
+      .withColumn("start_offset", col("__off") + col("__cum") - col("__tok"))
+      .withColumn("shard_id", expr(s"start_offset div ${budget}L"))
+      .withColumn("shard_offset", pmod(col("start_offset"), lit(budget)))
+      .drop("__tok", "__ord", "__bkt", "__cum", "__off")
+  }
 }

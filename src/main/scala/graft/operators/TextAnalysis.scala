@@ -195,6 +195,41 @@ object TextAnalysis {
       .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
   }
 
+  // ---- PII redaction ----------------------------------------------------
+
+  /** The redaction categories, in application order (most specific
+    * first so e.g. an SSN is not half-eaten by the phone rule). Patterns
+    * deliberately use only the regex subset with identical semantics in
+    * Java regex (Spark codegen) and RE2 (the DuckDB oracle): character
+    * classes, bounded repetition, alternation-free groups, ASCII \b —
+    * no lookaround, no backreferences. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn",   "\\b\\d{3}-\\d{2}-\\d{4}\\b",                      "<SSN>"),
+    ("card",  "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b",      "<CARD>"),
+    ("ip",    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",              "<PHONE>"))
+
+  /** PII scrubbing — the redaction pass every published curation
+    * pipeline runs before training (emails, SSNs, card numbers, IPs,
+    * phone numbers → typed placeholder tokens). Redactions apply
+    * sequentially in [[PiiPatterns]] order; each category's count is
+    * taken on the text as it stands when that rule runs, so counts and
+    * redacted text are one deterministic story on any engine. Pure
+    * codegen projection (regexp_count/regexp_replace), no UDF, no
+    * shuffle.
+    *
+    * Output: input columns + `text_redacted`, `pii_<category>` count per
+    * category, and `pii_total`. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val start = df.withColumn("text_redacted", col(textCol))
+    val out = PiiPatterns.foldLeft(start) { case (d, (name, pat, repl)) =>
+      d.withColumn(s"pii_$name", regexp_count(col("text_redacted"), lit(pat)).cast("long"))
+        .withColumn("text_redacted", regexp_replace(col("text_redacted"), lit(pat), lit(repl)))
+    }
+    out.withColumn("pii_total", PiiPatterns.map(p => col(s"pii_${p._1}")).reduce(_ + _))
+  }
+
   // ---- composite corpus cleaning --------------------------------------
 
   /** The canonical pre-training corpus-cleaning pipeline as ONE plan:

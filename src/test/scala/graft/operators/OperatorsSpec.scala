@@ -564,6 +564,75 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(3L) == ((None, 0L, 0L)))
   }
 
+  test("contamination: n-gram overlap against a benchmark set") {
+    ready
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench gram
+      (2L, "completely unrelated words here today"),
+      (3L, "quick brown fox jumps again and again"),       // shares "quick brown fox"
+      (4L, "ab")                                           // shorter than n -> 0 grams
+    ).toDF("id", "text")
+    val bench = Seq("answer: the quick brown fox jumps", "unused eval question")
+      .toDF("btext")
+    val out = Dedup.contamination(corpus, "id", "text", bench, "btext", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // doc 1 grams (7): bench has "the quick brown","quick brown fox","brown fox jumps" -> 3 hits
+    assert(out(1L) == ((7L, 3L, math.floor(3.0 / 7 * 1e6 + 0.5).toLong, true)))
+    assert(out(2L) == ((3L, 0L, 0L, false)))
+    // doc 3: "quick brown fox","brown fox jumps" hit (not "the quick brown")
+    assert(out(3L)._2 == 2L && out(3L)._4)
+    assert(out(4L) == ((0L, 0L, 0L, false)))
+  }
+
+  test("redactPii: sequential category redaction with counts") {
+    ready
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@example.co.uk or 192.168.0.1 now"),
+      (2L, "ssn 123-45-6789 card 4111 1111 1111 1111 tel 555-867-5309"),
+      (3L, "nothing to hide"),
+      (4L, "call 555.867.5309 or +1 555-867-5309")
+    ).toDF("id", "text")
+    val out = TextAnalysis.redactPii(df, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = {
+      val r = out(id)
+      TextAnalysis.PiiPatterns.map { case (n, _, _) => n -> r.getLong(r.fieldIndex(s"pii_$n")) }.toMap
+    }
+    assert(out(1L).getString(out(1L).fieldIndex("text_redacted")) == "mail <EMAIL> or <IP> now")
+    assert(counts(1L) == Map("email" -> 1L, "ssn" -> 0L, "card" -> 0L, "ip" -> 1L, "phone" -> 0L))
+    assert(out(2L).getString(out(2L).fieldIndex("text_redacted")) == "ssn <SSN> card <CARD> tel <PHONE>")
+    assert(out(2L).getLong(out(2L).fieldIndex("pii_total")) == 3L)
+    assert(counts(3L).values.sum == 0L)
+    // ssn rule runs before phone: 555-867-5309 is 3-3-4 so phone catches both
+    assert(counts(4L) == Map("email" -> 0L, "ssn" -> 0L, "card" -> 0L, "ip" -> 0L, "phone" -> 2L))
+  }
+
+  test("packShards: two-phase prefix sum equals the single-window layout") {
+    ready
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, 10L + (i % 7))).toDF("k", "tok")
+    val out = Sampling.packShards(df, "k", "tok", budget = 100L, buckets = 8)
+      .select("k", "tok", "start_offset", "shard_id", "shard_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // reference: one global order, cumulative start offsets
+    val h = (k: Long) => (k * 104729 + 7919) % 999999937
+    val ordered = (0L until 200L).map(i => (i, 10L + (i % 7))).sortBy { case (k, _) => (h(k), k) }
+    var cum = 0L
+    val expect = ordered.map { case (k, t) =>
+      val start = cum; cum += t
+      (k, t, start, start / 100, start % 100)
+    }.toSet
+    assert(out.toSet == expect)
+    // stream is gapless: offsets tile [0, totalTokens)
+    assert(out.map(_._2).sum == cum)
+    assert(out.map(r => (r._3, r._2)).sortBy(_._1).foldLeft(0L) {
+      case (pos, (start, tok)) => assert(start == pos); start + tok
+    } == cum)
+  }
+
   test("stratifiedTopK: exact quotas, equal to the single-window reference") {
     ready
     import spark.implicits._
