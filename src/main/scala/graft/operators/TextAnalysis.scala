@@ -170,9 +170,10 @@ object TextAnalysis {
     * 100-TB shape: bigrams are built per-row with slice/zip_with (no
     * quadratic per-row HOF scan), then explode → hash-aggregate on
     * (id, gram) → one tiny row per distinct gram; the per-document argmax
-    * is a window over those aggregated counts (group size = distinct
-    * bigrams of one doc, never raw tokens), and only (id, frac) joins
-    * back. The document payload never enters a shuffle. */
+    * is a second hash aggregate (min_by over the (-count, gram) order —
+    * partial-merge map-side, no sort, ties go to the smallest gram), and
+    * only (id, frac) joins back. The document payload never enters a
+    * shuffle and no stage sorts. */
   def withTopBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')"
     val bigrams = df.select(
@@ -183,10 +184,10 @@ object TextAnalysis {
               |  (a, b) -> concat(a, ' ', b))""".stripMargin).as("__bg"))
       .select(col(idCol), explode(col("__bg")).as("__g"))
       .groupBy(idCol, "__g").agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(idCol).orderBy(col("__c").desc, col("__g"))
     val top = bigrams
-      .withColumn("__rn", row_number.over(w)).where(col("__rn") === 1)
-      .select(col(idCol), col("__g").as("top_bigram"), col("__c").as("top_bigram_count"))
+      .groupBy(idCol)
+      .agg(min_by(struct(col("__g"), col("__c")), struct(-col("__c"), col("__g"))).as("__t"))
+      .select(col(idCol), col("__t.__g").as("top_bigram"), col("__t.__c").as("top_bigram_count"))
     df.join(top, Seq(idCol), "left")
       .withColumn("top_bigram_char_frac_e6", expr(
         s"""CAST(floor(CASE WHEN top_bigram IS NULL OR length($textCol) = 0 THEN 0.0
