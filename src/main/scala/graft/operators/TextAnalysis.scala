@@ -170,10 +170,11 @@ object TextAnalysis {
     * 100-TB shape: bigrams are built per-row with slice/zip_with (no
     * quadratic per-row HOF scan), then explode → hash-aggregate on
     * (id, gram) → one tiny row per distinct gram; the per-document argmax
-    * is a second hash aggregate (min_by over the (-count, gram) order —
-    * partial-merge map-side, no sort, ties go to the smallest gram), and
-    * only (id, frac) joins back. The document payload never enters a
-    * shuffle and no stage sorts. */
+    * is a second AGGREGATE (min_by over the (-count, gram) order, ties to
+    * the smallest gram) — its string buffer makes it a SortAggregate, but
+    * unlike a Window it partial-merges map-side, so only one combined row
+    * per (doc, gram) crosses the wire. Only (id, frac) joins back; the
+    * document payload never enters a shuffle. */
   def withTopBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')"
     val bigrams = df.select(

@@ -586,6 +586,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(4L) == ((0L, 0L, 0L, false)))
   }
 
+  test("curation plan shapes: broadcast probe, sort-free argmax, no global data window") {
+    ready
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"w$i x${i % 5} y${i % 3} z common tail words here"))
+      .toDF("id", "text")
+    val bench = Seq("z common tail").toDF("btext")
+
+    // contamination: the bench-gram probe must be a broadcast hash join
+    // (corpus gram strings never shuffle)
+    val contPlan = Dedup.contamination(docs, "id", "text", bench, "btext", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(contPlan.contains("BroadcastHashJoin"))
+
+    // top bigram: the argmax is an AGGREGATE with a map-side partial
+    // (min_by combines before the shuffle; string buffers make it a
+    // SortAggregate, but the sort is per-partition by group key) — a
+    // Window would shuffle every gram row uncombined
+    val tbPlan = TextAnalysis.withTopBigram(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(tbPlan.contains("partial_min_by"), s"no partial aggregation in:\n$tbPlan")
+    assert(!tbPlan.contains("Window"), s"unexpected window in:\n$tbPlan")
+
+    // packShards: the only unpartitioned window runs over the bucket
+    // totals (buckets rows), never over the corpus — assert the
+    // single-partition exchange feeds an aggregate output, and the
+    // per-bucket window is partitioned
+    val ps = Sampling.packShards(docs.withColumn("tok", length(col("text"))),
+      "id", "tok", budget = 100L, buckets = 4)
+    val psPlan = ps.queryExecution.executedPlan.toString
+    assert(psPlan.contains("windowspecdefinition(__bkt"), psPlan)
+    val single = "SinglePartition".r.findAllIn(psPlan).size
+    assert(single <= 1, s"more than one single-partition exchange:\n$psPlan")
+  }
+
   test("redactPii: sequential category redaction with counts") {
     ready
     import spark.implicits._
