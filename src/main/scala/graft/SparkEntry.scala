@@ -2051,8 +2051,10 @@ object SparkEntry {
           |    ELSE l1 || chr(10) || l2 || chr(10) || l3 END AS text2
           |  FROM c),
           |arr AS (SELECT doc_id,
-          |    list_filter(list_transform(string_split(text2, chr(10)), x -> trim(x)), x -> x <> '') AS ln,
-          |    list_filter(list_transform(string_split(text2, chr(10) || chr(10)), x -> trim(x)), x -> x <> '') AS pa
+          |    list_filter(list_transform(string_split(text2, chr(10)),
+          |      x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), x -> x <> '') AS ln,
+          |    list_filter(list_transform(string_split(text2, chr(10) || chr(10)),
+          |      x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), x -> x <> '') AS pa
           |  FROM tx)
           |SELECT doc_id,
           |  CAST(len(ln) AS BIGINT) AS rep_line_n,
@@ -2082,15 +2084,15 @@ object SparkEntry {
           |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) = 1)
           |SELECT f.doc_id, top.g AS top_bigram,
           |  COALESCE(top.cnt, 0) AS top_bigram_count,
-          |  CAST(floor(CASE WHEN top.g IS NULL OR f.nc = 0 THEN 0.0
-          |    ELSE top.cnt * length(top.g) / CAST(f.nc AS DOUBLE) END * 1000000 + 0.5) AS BIGINT) AS top_bigram_char_frac_e6
+          |  CAST(floor(LEAST(1.0, CASE WHEN top.g IS NULL OR f.nc = 0 THEN 0.0
+          |    ELSE top.cnt * length(top.g) / CAST(f.nc AS DOUBLE) END) * 1000000 + 0.5) AS BIGINT) AS top_bigram_char_frac_e6
           |FROM f LEFT JOIN top ON f.doc_id = top.doc_id""".stripMargin,
 
       "q_stratified" ->
         """SELECT doc_id, source, sample_rank FROM (
           |  SELECT doc_id, source, row_number() OVER (
           |      PARTITION BY source
-          |      ORDER BY (doc_id * 104729 + 7919) % 999999937, doc_id) AS sample_rank
+          |      ORDER BY ((doc_id % 999999937) * 104729 + 7919) % 999999937, doc_id) AS sample_rank
           |  FROM documents) s
           |WHERE sample_rank <= CASE source WHEN 'src18' THEN 7 WHEN 'src6' THEN 5 ELSE 3 END""".stripMargin,
 
@@ -2165,7 +2167,7 @@ object SparkEntry {
           |  FROM documents),
           |c AS (SELECT doc_id, tok,
           |    CAST(COALESCE(SUM(tok) OVER (
-          |      ORDER BY (doc_id * 104729 + 7919) % 999999937, doc_id
+          |      ORDER BY ((doc_id % 999999937) * 104729 + 7919) % 999999937, doc_id
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
           |  FROM b)
           |SELECT doc_id, tok, start_offset,

@@ -351,11 +351,12 @@ object Dedup {
    *
    * 100-TB shape: the benchmark side is tiny by construction (an eval
    * set), so its distinct grams BROADCAST and the corpus-side probe is
-   * a map-side semi join — corpus gram strings never enter a shuffle.
-   * The only shuffled rows are (doc_id) hits (one per contaminated gram,
-   * already distinct per row), partially aggregated map-side. Per-doc
-   * totals come from the same projection that built the grams, before
-   * the explode, so the document payload is read once.
+   * a map-side LEFT join — corpus gram strings never enter a shuffle.
+   * The corpus is read and gram-built ONCE: the per-row gram count rides
+   * through explode_outer alongside each gram (zero-gram docs keep their
+   * null row), and one hash aggregate on doc id — partially combined
+   * map-side, so one row per doc per partition crosses the wire —
+   * produces both totals.
    *
    * Output: one row per corpus document — distinct-gram count,
    * contaminated-gram count, e6-scaled contamination fraction, and a
@@ -375,15 +376,14 @@ object Dedup {
     }
     val benchGrams = bench
       .select(explode(expr(gramsExpr(benchTextCol))).as("__g")).distinct()
-    val docGrams = corpus.select(col(idCol), expr(gramsExpr(textCol)).as("__gs"))
-      .withColumn("__n_grams", size(col("__gs")))
-    val hits = docGrams
-      .select(col(idCol), explode(col("__gs")).as("__g"))
-      .join(broadcast(benchGrams), "__g")
-      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
-    docGrams.select(col(idCol), col("__n_grams").cast("long").as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("__hit", lit(1L))
+    corpus.select(col(idCol), expr(gramsExpr(textCol)).as("__gs"))
+      .select(col(idCol), size(col("__gs")).cast("long").as("__n"),
+        explode_outer(col("__gs")).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(max(col("__n")).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
       .withColumn("contaminated_frac_e6", expr(
         """CAST(floor(CASE WHEN n_grams = 0 THEN 0.0
           |  ELSE n_contaminated / CAST(n_grams AS DOUBLE) END * 1000000 + 0.5) AS BIGINT)""".stripMargin))

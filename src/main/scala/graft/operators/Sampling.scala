@@ -21,9 +21,13 @@ object Sampling {
 
   /** Seeded multiplicative hash of a BIGINT key — SQL-replicable (the
     * same text is the DuckDB oracle) and collision-tied rows fall back
-    * to the key itself for a total order. */
+    * to the key itself for a total order. The key is reduced mod the
+    * prime BEFORE multiplying so a full-range 64-bit key (a fingerprint
+    * used as an id) cannot overflow BIGINT under ANSI mode — the
+    * remainder (sign-of-dividend) semantics match in Spark and DuckDB,
+    * so negative keys hash identically on both engines too. */
   def orderHashSql(keyCol: String, seed: Long): String =
-    s"(($keyCol * 104729 + $seed) % 999999937)"
+    s"((($keyCol % 999999937) * 104729 + $seed) % 999999937)"
 
   /**
    * Keep at most `quotas(stratum)` (else `defaultQuota`) rows per value
@@ -95,8 +99,11 @@ object Sampling {
       .orderBy(col("__ord").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = withKeys.withColumn("__cum", sum(col("__tok")).over(local))
-    val offsets = withKeys.groupBy(col("__bkt"))
-      .agg(sum(col("__tok")).as("__bt"))
+    // bucket totals come FROM the windowed branch (max running sum =
+    // bucket total), so the totals groupBy reuses the window's
+    // hashpartitioning(__bkt) exchange instead of re-scanning the input
+    val offsets = cum.groupBy(col("__bkt"))
+      .agg(max(col("__cum")).as("__bt"))
       .withColumn("__off", coalesce(
         sum(col("__bt")).over(
           Window.orderBy(col("__bkt").asc)

@@ -142,8 +142,13 @@ object TextAnalysis {
     * Reference analog: none (GeoMesa has no corpus curation) — this is
     * part of the LLM-pipeline extension the survey calls for. */
   def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    // trim() is space-only on both engines: a residual '\n' segment from
+    // an odd blank-line run would survive it as a phantom paragraph and
+    // block duplicate matches, so trim WHITESPACE with a regex (the
+    // Java/RE2-shared subset; the oracle applies the same pattern)
     def parts(sep: String): String =
-      s"filter(transform(split($textCol, '$sep'), x -> trim(x)), x -> x != '')"
+      s"""filter(transform(split($textCol, '$sep'),
+         |  x -> regexp_replace(x, '^\\\\s+|\\\\s+$$', '')), x -> x != '')""".stripMargin
     def metrics(arr: String, prefix: String): Seq[(String, String)] = Seq(
       s"${prefix}_n" -> s"CAST(size($arr) AS BIGINT)",
       s"${prefix}_dup_frac_e6" ->
@@ -163,7 +168,8 @@ object TextAnalysis {
   /** Most-frequent word 2-gram coverage (the Gopher "top n-gram character
     * fraction" rule): for each document, the fraction of its characters
     * covered by all occurrences of its single most frequent word bigram
-    * (count × bigram length / total chars). Ties break to the
+    * (count × bigram length / total chars, clamped to 1.0 — overlapping
+    * occurrences double-count characters). Ties break to the
     * lexicographically smallest bigram so the result is deterministic on
     * any engine.
     *
@@ -191,9 +197,11 @@ object TextAnalysis {
       .select(col(idCol), col("__t.__g").as("top_bigram"), col("__t.__c").as("top_bigram_count"))
     df.join(top, Seq(idCol), "left")
       .withColumn("top_bigram_char_frac_e6", expr(
-        s"""CAST(floor(CASE WHEN top_bigram IS NULL OR length($textCol) = 0 THEN 0.0
+        // count*length double-counts overlapping occurrences ('x x x'
+        // has 'x x' twice over 5 chars), so clamp: this is a fraction
+        s"""CAST(floor(LEAST(1.0, CASE WHEN top_bigram IS NULL OR length($textCol) = 0 THEN 0.0
            |  ELSE top_bigram_count * length(top_bigram) / CAST(length($textCol) AS DOUBLE)
-           |  END * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+           |  END) * 1000000 + 0.5) AS BIGINT)""".stripMargin))
       .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
   }
 

@@ -533,7 +533,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     val df = Seq(
       (1L, "a b\nc d\na b\n\ne f\ne f"), // 5 lines (2 repeats), 2 distinct paras
       (2L, "single line only"),          // 1 line = 1 para, no dups
-      (3L, "")                           // empty: all zeros
+      (3L, ""),                          // empty: all zeros
+      (4L, "p q\n\nr s\n\n\nr s")        // odd blank run: residual '\n'
+                                          // must not block the para dup
     ).toDF("id", "text")
     val out = TextAnalysis.withRepetition(df, "text")
       .select("id", "rep_line_n", "rep_line_dup_frac_e6", "rep_line_dup_char_frac_e6",
@@ -547,6 +549,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(1L) == ((5L, 400000L, 400000L, 2L, 0L, 0L)))
     assert(out(2L) == ((1L, 0L, 0L, 1L, 0L, 0L)))
     assert(out(3L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    // paragraphs of doc 4 split on \n\n: [p q, r s, \nr s] — the
+    // whitespace trim must reduce the third to 'r s' so n=3, dups=1/3
+    assert(out(4L)._4 == 3L && out(4L)._5 == math.floor(1.0 / 3 * 1e6 + 0.5).toLong)
   }
 
   test("top bigram: most frequent 2-gram, char coverage, deterministic ties") {
@@ -555,13 +560,15 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     val df = Seq(
       (1L, "x y x y z"), // "x y" twice -> 2*3/9
       (2L, "a b c"),     // tie between "a b" and "b c" -> lex smallest
-      (3L, "lonely")     // no bigram
+      (3L, "lonely"),    // no bigram
+      (4L, "x x x")      // overlap double-count would exceed 1 -> clamp
     ).toDF("id", "text")
     val out = TextAnalysis.withTopBigram(df, "id", "text").collect()
       .map(r => r.getLong(0) -> ((Option(r.getString(2)), r.getLong(3), r.getLong(4)))).toMap
     assert(out(1L) == ((Some("x y"), 2L, math.floor(2.0 * 3 / 9 * 1000000 + 0.5).toLong)))
     assert(out(2L) == ((Some("a b"), 1L, math.floor(1.0 * 3 / 5 * 1000000 + 0.5).toLong)))
     assert(out(3L) == ((None, 0L, 0L)))
+    assert(out(4L) == ((Some("x x"), 2L, 1000000L)))
   }
 
   test("contamination: n-gram overlap against a benchmark set") {
