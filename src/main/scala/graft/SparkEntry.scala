@@ -1257,6 +1257,13 @@ object SparkEntry {
           "pii_ip", "pii_phone", "pii_total")
     }),
 
+    "q_corpus_grams" -> ((s, dir) => {
+      // corpus-wide top-50 bigrams (boilerplate detection): occurrence
+      // count + document frequency, TakeOrdered top-K
+      operators.TextAnalysis.corpusTopGrams(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 50)
+    }),
+
     "q_pack_shards" -> ((s, dir) => {
       // token-budget sequence packing: the two-phase distributed prefix
       // sum must equal the oracle's single global window
@@ -2160,6 +2167,20 @@ object SparkEntry {
           |SELECT doc_id, text_redacted, pii_email, pii_ssn, pii_card, pii_ip, pii_phone,
           |  pii_email + pii_ssn + pii_card + pii_ip + pii_phone AS pii_total
           |FROM s5""".stripMargin,
+
+      "q_corpus_grams" ->
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest(
+          |    [array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 1], ' ')
+          |     for i in generate_series(1, len(t) - 1)]) AS gram
+          |  FROM toks),
+          |d AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+          |SELECT gram, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+          |  count(*) AS n_docs
+          |FROM d GROUP BY gram
+          |ORDER BY n_occurrences DESC, gram ASC LIMIT 50""".stripMargin,
 
       "q_pack_shards" ->
         """WITH b AS (SELECT doc_id,

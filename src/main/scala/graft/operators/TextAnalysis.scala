@@ -205,6 +205,40 @@ object TextAnalysis {
       .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
   }
 
+  // ---- corpus-level n-gram statistics ----------------------------------
+
+  /** Corpus-wide top-K word n-grams — the boilerplate/template detector:
+    * the most frequent n-grams across the WHOLE corpus (with document
+    * frequency alongside raw count) surface navigation chrome, cookie
+    * banners and licence headers that per-document signals cannot see.
+    *
+    * 100-TB shape: ONE corpus pass — grams are built per-row
+    * (slice/transform), explode feeds a first hash aggregate on
+    * (doc, gram) (map-side partial: in-doc repeats combine before any
+    * shuffle), a second hash aggregate on the gram alone folds that into
+    * occurrence count + document frequency, and the global top-K is
+    * TakeOrdered (per-partition top-K merged on the driver, never a full
+    * sort). Ties break to the lexicographically smaller gram.
+    *
+    * Output: `gram`, `n_occurrences` (every occurrence), `n_docs`
+    * (documents containing it at least once), ordered by
+    * (n_occurrences desc, gram asc), limited to `k`. */
+  def corpusTopGrams(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 100): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be >= 1")
+    val toks = s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')"
+    val grams =
+      s"""CASE WHEN size($toks) < $n THEN array()
+         |ELSE transform(sequence(1, size($toks) - ${n - 1}),
+         |  i -> array_join(slice($toks, i, $n), ' ')) END""".stripMargin
+    df.select(col(idCol), explode(expr(grams)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .groupBy("gram")
+      .agg(sum(col("__c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** The redaction categories, in application order (most specific

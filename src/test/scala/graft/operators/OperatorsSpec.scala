@@ -627,6 +627,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(single <= 1, s"more than one single-partition exchange:\n$psPlan")
   }
 
+  test("corpusTopGrams: corpus-wide n-gram counts with document frequency") {
+    ready
+    import spark.implicits._
+    val df = Seq(
+      (1L, "to be or not to be"), // "to be" twice here
+      (2L, "to be is to do"),
+      (3L, "do be do be do")      // "do be" x2, "be do" x2
+    ).toDF("id", "text")
+    val out = TextAnalysis.corpusTopGrams(df, "id", "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("to be", 3L, 2L), ("be do", 2L, 1L), ("do be", 2L, 1L)))
+    // top-K must be TakeOrdered, not a global sort
+    val plan = TextAnalysis.corpusTopGrams(df, "id", "text", n = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("redactPii: sequential category redaction with counts") {
     ready
     import spark.implicits._
