@@ -1257,6 +1257,13 @@ object SparkEntry {
           "pii_ip", "pii_phone", "pii_total")
     }),
 
+    "q_chunk_docs" -> ((s, dir) => {
+      // fixed-token-window chunking with overlap (40-token windows,
+      // 8-token overlap) — one generator, no shuffle
+      operators.TextAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 40, overlap = 8)
+    }),
+
     "q_corpus_grams" -> ((s, dir) => {
       // corpus-wide top-50 bigrams (boilerplate detection): occurrence
       // count + document frequency, TakeOrdered top-K
@@ -2167,6 +2174,18 @@ object SparkEntry {
           |SELECT doc_id, text_redacted, pii_email, pii_ssn, pii_card, pii_ip, pii_phone,
           |  pii_email + pii_ssn + pii_card + pii_ip + pii_phone AS pii_total
           |FROM s5""".stripMargin,
+
+      "q_chunk_docs" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |c AS (SELECT doc_id, tk,
+          |    unnest(generate_series(1, len(tk), 32)) AS s
+          |  FROM t WHERE len(tk) > 0)
+          |SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+          |  array_to_string(tk[CAST(s AS INT):CAST(s AS INT) + 39], ' ') AS chunk_text,
+          |  CAST(least(40, len(tk) - s + 1) AS BIGINT) AS chunk_tokens
+          |FROM c WHERE s = 1 OR s + 8 <= len(tk)""".stripMargin,
 
       "q_corpus_grams" ->
         """WITH toks AS (SELECT doc_id,

@@ -17,21 +17,44 @@ import graft.functions.StFunctions
  */
 object Stats {
 
+  /** Shared buffered-geometry aggregation core: the buffer is a LIST of
+    * WKBs that collapses through `combine` whenever it reaches
+    * `collapseAt`. The old form (one running WKB, re-deserialized and
+    * incrementally overlaid per row) was quadratic in accumulated
+    * vertices — a 67k-geometry group burned 10+ minutes of one core at
+    * sf0.1 and would never finish at real scale; JTS's UnaryUnionOp
+    * (cascaded union) over batches is O(n log n) and produces the same
+    * set-theoretic result. */
+  sealed abstract class BufferedGeomAgg(collapseAt: Int)
+      extends Aggregator[Array[Byte], Seq[Array[Byte]], Array[Byte]] {
+    /** Collapse a batch of geometries to one. */
+    protected def combine(wkbs: Seq[Array[Byte]]): Array[Byte]
+    private def maybe(s: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      if (s.lengthCompare(collapseAt) < 0) s else Seq(combine(s))
+    final override def zero: Seq[Array[Byte]] = Nil
+    final override def reduce(buf: Seq[Array[Byte]], wkb: Array[Byte]): Seq[Array[Byte]] =
+      if (wkb == null) buf else maybe(buf :+ wkb)
+    final override def merge(a: Seq[Array[Byte]], b: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      maybe(a ++ b)
+    final override def finish(buf: Seq[Array[Byte]]): Array[Byte] =
+      if (buf.isEmpty) null else combine(buf)
+    final override def bufferEncoder: Encoder[Seq[Array[Byte]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Array[Byte]]]()
+    final override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  private def unaryUnion(wkbs: Seq[Array[Byte]]): org.locationtech.jts.geom.Geometry = {
+    import scala.jdk.CollectionConverters._
+    org.locationtech.jts.operation.union.UnaryUnionOp.union(
+      wkbs.map(GeomOps.fromWkb).asJava)
+  }
+
   /** ConvexHull: geometry-valued aggregate (reference: geomesa-spark-jts
-    * ConvexHull.scala:16-51). Buffer = WKB of the running hull; merge =
-    * union + convexHull (associative, null-tolerant). */
-  object ConvexHullAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-    override def zero: Array[Byte] = null
-    override def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] = merge(buf, wkb)
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      if (a == null) b
-      else if (b == null) a
-      else GeomOps.toWkb(GeomOps.fromWkb(a).union(GeomOps.fromWkb(b)).convexHull())
-    }
-    override def finish(buf: Array[Byte]): Array[Byte] =
-      if (buf == null) null else GeomOps.toWkb(GeomOps.fromWkb(buf).convexHull())
-    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    * ConvexHull.scala:16-51). Batches collapse to the hull of their
+    * union, so each buffer carries at most `collapseAt` small hulls. */
+  object ConvexHullAgg extends BufferedGeomAgg(64) {
+    override protected def combine(wkbs: Seq[Array[Byte]]): Array[Byte] =
+      GeomOps.toWkb(unaryUnion(wkbs).convexHull())
   }
 
   /** Column form: st_convexHull aggregate over a WKB geometry column. */
@@ -40,18 +63,11 @@ object Stats {
   /** Geometric union aggregate (the reference's TubeBuilder
     * unionFeatures, tube/TubeBuilder.scala:149-160: buildGeometry +
     * union over a feature group). Associative/commutative, so partial
-    * map-side aggregation applies. */
-  object UnionAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-    override def zero: Array[Byte] = null
-    override def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] = merge(buf, wkb)
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      if (a == null) b
-      else if (b == null) a
-      else GeomOps.toWkb(GeomOps.fromWkb(a).union(GeomOps.fromWkb(b)))
-    }
-    override def finish(buf: Array[Byte]): Array[Byte] = buf
-    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    * map-side aggregation applies; batches collapse via cascaded
+    * UnaryUnionOp. */
+  object UnionAgg extends BufferedGeomAgg(64) {
+    override protected def combine(wkbs: Seq[Array[Byte]]): Array[Byte] =
+      GeomOps.toWkb(unaryUnion(wkbs))
   }
 
   /** Column form: geometric union aggregate over a WKB geometry column. */

@@ -205,6 +205,44 @@ object TextAnalysis {
       .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
   }
 
+  // ---- document chunking ------------------------------------------------
+
+  /** Split documents into fixed-size token windows with overlap — the
+    * chunking step a pretraining/RAG pipeline runs before embedding or
+    * packing. Chunk starts step by `maxTokens - overlap`; the last chunk
+    * keeps whatever remains, except that a trailing window whose tokens
+    * are ALL already covered by the previous chunk is not emitted (with
+    * overlap, a short tail can be a strict suffix of its predecessor).
+    * Empty documents produce no chunks.
+    *
+    * Pure plan: tokens array → `sequence` of starts → explode (codegen
+    * Generate) → slice/array_join. One projection + one generator, no
+    * shuffle, no UDF; the chunk id is (start-1)/step so it is dense and
+    * deterministic.
+    *
+    * Output: `idCol`, `chunk_id` (0-based), `chunk_text`,
+    * `chunk_tokens`. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
+    val step = maxTokens - overlap
+    val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
+    df.select(col(idCol), expr(toks).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col(idCol), col("__t"),
+        explode(expr(s"sequence(1, size(__t), $step)")).as("__s"))
+      // drop a tail window whose content the previous chunk fully covers:
+      // previous end = __s - step + maxTokens - 1 >= size(t) simplifies
+      // (step = maxTokens - overlap) to __s + overlap > size(t)
+      .where(col("__s") === 1 || col("__s") + lit(overlap) <= size(col("__t")))
+      .select(
+        col(idCol),
+        expr(s"CAST((__s - 1) div $step AS BIGINT)").as("chunk_id"),
+        expr(s"array_join(slice(__t, __s, $maxTokens), ' ')").as("chunk_text"),
+        expr(s"CAST(least($maxTokens, size(__t) - __s + 1) AS BIGINT)").as("chunk_tokens"))
+  }
+
   // ---- corpus-level n-gram statistics ----------------------------------
 
   /** Corpus-wide top-K word n-grams — the boilerplate/template detector:

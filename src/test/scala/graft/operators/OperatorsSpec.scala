@@ -627,6 +627,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(single <= 1, s"more than one single-partition exchange:\n$psPlan")
   }
 
+  test("chunkDocs: token windows with overlap; redundant tails dropped") {
+    ready
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "a b c d e"),           // 5 tokens, overlap makes tail redundant
+      (3L, ""),                    // no chunks
+      (4L, "only")                 // single token
+    ).toDF("id", "text")
+    val plain = TextAnalysis.chunkDocs(df, "id", "text", maxTokens = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(plain == Set(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "e f g h", 4L), (1L, 2L, "i j", 2L),
+      (2L, 0L, "a b c d", 4L), (2L, 1L, "e", 1L),
+      (4L, 0L, "only", 1L)))
+    val ovl = TextAnalysis.chunkDocs(df.where($"id" === 2L), "id", "text",
+      maxTokens = 4, overlap = 2).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // starts 1, 3; start 5 would be a strict suffix of chunk 1 -> dropped
+    assert(ovl == Set((0L, "a b c d", 4L), (1L, "c d e", 3L)))
+  }
+
   test("corpusTopGrams: corpus-wide n-gram counts with document frequency") {
     ready
     import spark.implicits._
