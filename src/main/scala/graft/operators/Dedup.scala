@@ -366,7 +366,7 @@ object Dedup {
                     bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
     require(n >= 1, "gram size must be >= 1")
     def gramsExpr(c: String): String = {
-      val toks = s"filter(split(lower($c), '\\\\s+'), x -> x != '')"
+      val toks = TextAnalysis.toksExpr(c)
       // sequence(1, 0) is the DESCENDING [1, 0] in Spark, so short docs
       // need an explicit empty-array guard, not a greatest() clamp
       s"""CASE WHEN size($toks) < $n THEN array()

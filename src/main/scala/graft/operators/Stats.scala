@@ -17,32 +17,6 @@ import graft.functions.StFunctions
  */
 object Stats {
 
-  /** Shared buffered-geometry aggregation core: the buffer is a LIST of
-    * WKBs that collapses through `combine` whenever it reaches
-    * `collapseAt`. The old form (one running WKB, re-deserialized and
-    * incrementally overlaid per row) was quadratic in accumulated
-    * vertices — a 67k-geometry group burned 10+ minutes of one core at
-    * sf0.1 and would never finish at real scale; JTS's UnaryUnionOp
-    * (cascaded union) over batches is O(n log n) and produces the same
-    * set-theoretic result. */
-  sealed abstract class BufferedGeomAgg(collapseAt: Int)
-      extends Aggregator[Array[Byte], Seq[Array[Byte]], Array[Byte]] {
-    /** Collapse a batch of geometries to one. */
-    protected def combine(wkbs: Seq[Array[Byte]]): Array[Byte]
-    private def maybe(s: Seq[Array[Byte]]): Seq[Array[Byte]] =
-      if (s.lengthCompare(collapseAt) < 0) s else Seq(combine(s))
-    final override def zero: Seq[Array[Byte]] = Nil
-    final override def reduce(buf: Seq[Array[Byte]], wkb: Array[Byte]): Seq[Array[Byte]] =
-      if (wkb == null) buf else maybe(buf :+ wkb)
-    final override def merge(a: Seq[Array[Byte]], b: Seq[Array[Byte]]): Seq[Array[Byte]] =
-      maybe(a ++ b)
-    final override def finish(buf: Seq[Array[Byte]]): Array[Byte] =
-      if (buf.isEmpty) null else combine(buf)
-    final override def bufferEncoder: Encoder[Seq[Array[Byte]]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Array[Byte]]]()
-    final override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  }
-
   private def unaryUnion(wkbs: Seq[Array[Byte]]): org.locationtech.jts.geom.Geometry = {
     import scala.jdk.CollectionConverters._
     org.locationtech.jts.operation.union.UnaryUnionOp.union(
@@ -50,24 +24,74 @@ object Stats {
   }
 
   /** ConvexHull: geometry-valued aggregate (reference: geomesa-spark-jts
-    * ConvexHull.scala:16-51). Batches collapse to the hull of their
-    * union, so each buffer carries at most `collapseAt` small hulls. */
-  object ConvexHullAgg extends BufferedGeomAgg(64) {
-    override protected def combine(wkbs: Seq[Array[Byte]]): Array[Byte] =
-      GeomOps.toWkb(unaryUnion(wkbs).convexHull())
+    * ConvexHull.scala:16-51). Buffer = a list of WKBs collapsing to ONE
+    * hull whenever it reaches 64 entries. The hull depends only on the
+    * coordinate set, so a collapse is convexHull over the collection
+    * (O(n log n) on coordinates) — NO overlay union — and every
+    * collapsed entry is a small hull, so repeated re-collapse stays
+    * cheap (unlike the union aggregate, whose combined entries grow). */
+  object ConvexHullAgg extends Aggregator[Array[Byte], Seq[Array[Byte]], Array[Byte]] {
+    private def hull(wkbs: Seq[Array[Byte]]): Array[Byte] = {
+      import scala.jdk.CollectionConverters._
+      GeomOps.toWkb(GeomOps.factory
+        .buildGeometry(wkbs.map(GeomOps.fromWkb).asJava).convexHull())
+    }
+    private def maybe(s: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      if (s.lengthCompare(64) < 0) s else Seq(hull(s))
+    override def zero: Seq[Array[Byte]] = Nil
+    override def reduce(buf: Seq[Array[Byte]], wkb: Array[Byte]): Seq[Array[Byte]] =
+      if (wkb == null) buf else maybe(buf :+ wkb)
+    override def merge(a: Seq[Array[Byte]], b: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      maybe(a ++ b)
+    override def finish(buf: Seq[Array[Byte]]): Array[Byte] =
+      if (buf.isEmpty) null else hull(buf)
+    override def bufferEncoder: Encoder[Seq[Array[Byte]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Array[Byte]]]()
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
   /** Column form: st_convexHull aggregate over a WKB geometry column. */
   def convexHull(geomWkb: Column): Column = udaf(ConvexHullAgg).apply(geomWkb)
 
   /** Geometric union aggregate (the reference's TubeBuilder
-    * unionFeatures, tube/TubeBuilder.scala:149-160: buildGeometry +
-    * union over a feature group). Associative/commutative, so partial
-    * map-side aggregation applies; batches collapse via cascaded
-    * UnaryUnionOp. */
-  object UnionAgg extends BufferedGeomAgg(64) {
-    override protected def combine(wkbs: Seq[Array[Byte]]): Array[Byte] =
-      GeomOps.toWkb(unaryUnion(wkbs))
+    * unionFeatures, tube/TubeBuilder.scala:149-160). The old form (one
+    * running WKB incrementally overlaid per row) was quadratic — a
+    * 67k-geometry group burned 10+ minutes of one core at sf0.1. The
+    * buffer is a BINARY-COUNTER cascade: each entry is [level][wkb];
+    * a new row pushes level 0, and while the top two entries share a
+    * level they pair-union into level+1 (mergesort shape — every
+    * geometry participates in O(log n) unions, total O(n log n), ≤ ~64
+    * entries ever buffered). A plain collapse-all-at-64 rule is NOT
+    * enough: its collapsed entry re-enters every later collapse, and
+    * re-unioning the ever-growing accumulation per 63 rows is still
+    * quadratic with a bigger constant. */
+  object UnionAgg extends Aggregator[Array[Byte], Seq[Array[Byte]], Array[Byte]] {
+    private def entry(level: Int, wkb: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](wkb.length + 1)
+      out(0) = level.toByte
+      System.arraycopy(wkb, 0, out, 1, wkb.length)
+      out
+    }
+    private def pairUnion(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      GeomOps.toWkb(GeomOps.fromWkb(a.drop(1)).union(GeomOps.fromWkb(b.drop(1))))
+    /** Push one entry, then merge while the top two levels match. */
+    private def push(buf: List[Array[Byte]], e: Array[Byte]): List[Array[Byte]] = buf match {
+      case top :: rest if top(0) == e(0) =>
+        push(rest, entry(math.min(e(0) + 1, 127), pairUnion(top, e)))
+      case _ => e :: buf
+    }
+    override def zero: Seq[Array[Byte]] = Nil
+    override def reduce(buf: Seq[Array[Byte]], wkb: Array[Byte]): Seq[Array[Byte]] =
+      if (wkb == null) buf else push(buf.toList, entry(0, wkb))
+    override def merge(a: Seq[Array[Byte]], b: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      // push b's entries shallowest-first so same-level runs cascade
+      b.sortBy(e => -e(0)).foldLeft(a.toList)((acc, e) => push(acc, e))
+    override def finish(buf: Seq[Array[Byte]]): Array[Byte] =
+      if (buf.isEmpty) null
+      else GeomOps.toWkb(unaryUnion(buf.map(_.drop(1))))
+    override def bufferEncoder: Encoder[Seq[Array[Byte]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Array[Byte]]]()
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
   /** Column form: geometric union aggregate over a WKB geometry column. */

@@ -43,6 +43,15 @@ object TextAnalysis {
     }
   }
 
+  /** The whitespace tokenizer every text operator shares — ONE copy,
+    * because the snippet is the oracle-parity contract of several
+    * DuckDB-verified queries (its DuckDB twin is
+    * `list_filter(string_split_regex(text, '\s+'), x -> x <> '')`). */
+  private[operators] def toksExpr(textCol: String, lower: Boolean = true): String = {
+    val c = if (lower) s"lower($textCol)" else textCol
+    s"filter(split($c, '\\\\s+'), x -> x != '')"
+  }
+
   def withLangId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame =
     df.withColumn(outCol, langIdUdf(col(textCol)))
 
@@ -117,7 +126,7 @@ object TextAnalysis {
     df.withColumn(outCol, expr(
       s"""aggregate(
          |  transform(
-         |    split(array_join(filter(split(lower($textCol), '\\\\s+'), x -> x != ''), ' '), ''),
+         |    split(array_join(${toksExpr(textCol)}, ' '), ''),
          |    c -> CAST(ascii(c) AS BIGINT)),
          |  CAST(7919 AS BIGINT),
          |  (acc, x) -> (acc * 31 + x) % 1000000000000037)""".stripMargin))
@@ -182,7 +191,7 @@ object TextAnalysis {
     * per (doc, gram) crosses the wire. Only (id, frac) joins back; the
     * document payload never enters a shuffle. */
   def withTopBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')"
+    val toks = toksExpr(textCol)
     val bigrams = df.select(
       col(idCol),
       expr(s"""zip_with(
@@ -227,7 +236,7 @@ object TextAnalysis {
     require(maxTokens >= 1, "maxTokens must be >= 1")
     require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
     val step = maxTokens - overlap
-    val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
+    val toks = toksExpr(textCol, lower = false)
     df.select(col(idCol), expr(toks).as("__t"))
       .where(size(col("__t")) > 0)
       .select(col(idCol), col("__t"),
@@ -264,7 +273,7 @@ object TextAnalysis {
   def corpusTopGrams(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, k: Int = 100): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be >= 1")
-    val toks = s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')"
+    val toks = toksExpr(textCol)
     val grams =
       s"""CASE WHEN size($toks) < $n THEN array()
          |ELSE transform(sequence(1, size($toks) - ${n - 1}),

@@ -30,6 +30,31 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(hull.getArea - math.Pi * 100) / (math.Pi * 100) < 0.05) // ~circle
   }
 
+  test("union aggregate: binary-counter buffer stays logarithmic, result exact") {
+    ready
+    import spark.implicits._
+    // 4000 disjoint unit boxes on an integer grid: union area must be
+    // exactly 4000 (no FP slack) and the reduce-side buffer must stay
+    // O(log n) — the direct regression test for the quadratic
+    // incremental-union hang found at sf0.1
+    var buf = Stats.UnionAgg.zero
+    (0 until 4000).foreach { i =>
+      val g = GeomOps.fromWkt(
+        s"POLYGON((${i * 2} 0, ${i * 2 + 1} 0, ${i * 2 + 1} 1, ${i * 2} 1, ${i * 2} 0))")
+      buf = Stats.UnionAgg.reduce(buf, GeomOps.toWkb(g))
+      assert(buf.size <= 13, s"buffer grew to ${buf.size} at $i")
+    }
+    val u = GeomOps.fromWkb(Stats.UnionAgg.finish(buf))
+    assert(u.getArea == 4000.0)
+    // distributed path agrees
+    val df = (0 until 500).map(i =>
+      s"POLYGON((${i * 2} 0, ${i * 2 + 1} 0, ${i * 2 + 1} 1, ${i * 2} 1, ${i * 2} 0))")
+      .toDF("wkt").repartition(9).selectExpr("st_geomFromWKT(wkt) AS g")
+    val area = GeomOps.fromWkb(
+      df.agg(Stats.geomUnion(col("g"))).head.getAs[Array[Byte]](0)).getArea
+    assert(area == 500.0)
+  }
+
   test("envelope aggregate") {
     ready
     import spark.implicits._
