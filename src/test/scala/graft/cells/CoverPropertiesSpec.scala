@@ -144,6 +144,59 @@ class CoverPropertiesSpec extends AnyFunSuite {
     assert(tested > 100)
   }
 
+  test("binned time: toBinned/fromBinned round-trips to offset precision; bins are monotone") {
+    val rnd = new Random(424242L)
+    val periods = Seq(BinnedTime.Day, BinnedTime.Week, BinnedTime.Month, BinnedTime.Year)
+    for (_ <- 0 until 2000; p <- periods) {
+      val millis = math.abs(rnd.nextLong() % (50L * 366 * 86400000L)) // 1970..~2020
+      val b = BinnedTime.toBinned(p, millis)
+      val unit = p match {
+        case BinnedTime.Day => 1L
+        case BinnedTime.Week | BinnedTime.Month => 1000L
+        case _ => 60000L
+      }
+      val back = BinnedTime.fromBinned(p, b)
+      assert(back == millis - millis % unit || back == millis / unit * unit,
+        s"$p: $millis -> $b -> $back")
+      assert(b.offset >= 0 && b.offset <= BinnedTime.maxOffset(p),
+        s"$p offset ${b.offset} out of range for $millis")
+      // monotone: a later instant never gets a smaller (bin, offset)
+      val millis2 = millis + 1 + math.abs(rnd.nextInt(86400000))
+      val b2 = BinnedTime.toBinned(p, millis2)
+      assert(b2.bin > b.bin || (b2.bin == b.bin && b2.offset >= b.offset))
+    }
+  }
+
+  test("packed cells: pack/ix/iy/res round-trip and envelope contains its point") {
+    val rnd = new Random(13L)
+    for (_ <- 0 until 3000) {
+      val r = rnd.nextInt(Cells.MaxRes + 1)
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 180 - 90
+      val c = Cells.cell(lon, lat, r)
+      assert(Cells.res(c) == r)
+      assert(Cells.pack(r, Cells.ix(c), Cells.iy(c)) == c)
+      val (x0, y0, x1, y1) = Cells.envelope(c)
+      assert(lon >= x0 - 1e-9 && lon <= x1 + 1e-9 && lat >= y0 - 1e-9 && lat <= y1 + 1e-9,
+        s"point ($lon,$lat) outside envelope of its own cell at res $r")
+    }
+  }
+
+  test("z-curve: index/invert round-trips at full precision") {
+    val rnd = new Random(99L)
+    for (_ <- 0 until 5000) {
+      val x = rnd.nextLong() & ((1L << 31) - 1)
+      val y = rnd.nextLong() & ((1L << 31) - 1)
+      val z = Z2.index(x, y)
+      assert(Z2.invertX(z) == x && Z2.invertY(z) == y)
+      val x3 = rnd.nextLong() & ((1L << 21) - 1)
+      val y3 = rnd.nextLong() & ((1L << 21) - 1)
+      val t3 = rnd.nextLong() & ((1L << 21) - 1)
+      val z3 = Z3.index(x3, y3, t3)
+      assert(Z3.invertX(z3) == x3 && Z3.invertY(z3) == y3 && Z3.invertT(z3) == t3)
+    }
+  }
+
   test("cell cover: every point in the bbox lands in an emitted cell") {
     val rnd = new Random(777L)
     for (_ <- 0 until 300) {
