@@ -31,22 +31,28 @@ object CurationStream {
   final case class IncomingDoc(ts: Timestamp, docId: Long, text: String, source: String)
 
   /**
-   * Continuous curation: watermark → fingerprint → exact dedup within
-   * the watermark window → language id + quality score → gate.
+   * Continuous curation: watermark → quality + language id → gate →
+   * fingerprint → exact dedup within the watermark window.
+   *
+   * The gate runs BEFORE the stateful dedup, matching the batch
+   * cleanCorpus ordering (canonical election happens among gate-passers
+   * only): a gate-failing first occurrence must not consume a
+   * fingerprint's dedup slot and suppress a later gate-passing variant,
+   * and junk rows never enter the state store.
    *
    * Emits the surviving documents with `fingerprint`, `lang_pred` and
    * `q_score` attached. `minScore` drops low-quality rows; docs with
    * duplicate fingerprints inside the watermark window are dropped after
-   * their first occurrence.
+   * their first gate-passing occurrence.
    */
   def curate(docs: Dataset[IncomingDoc],
              watermarkDelay: String = "10 minutes",
              minScore: Double = 0.2): DataFrame = {
-    val fingerprinted = TextAnalysis.withFingerprint(
-      docs.toDF().withWatermark("ts", watermarkDelay), "text")
-    val deduped = fingerprinted.dropDuplicatesWithinWatermark("fingerprint")
-    val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(deduped, "text"), "text")
-    scored.where(col("q_score") >= minScore)
+    val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(
+      docs.toDF().withWatermark("ts", watermarkDelay), "text"), "text")
+    val gated = scored.where(col("q_score") >= minScore)
+    TextAnalysis.withFingerprint(gated, "text")
+      .dropDuplicatesWithinWatermark("fingerprint")
       .select("ts", "docId", "source", "text", "fingerprint", "lang_pred", "q_score")
   }
 }
