@@ -170,6 +170,33 @@ private[graft] object OracleGen {
     * decoded pixels equal the closed-form render pattern
     * (SyntheticImages.render) recomputed per pixel. JPEG rows are
     * excluded on both sides (lossy; covered by the PSNR>=40dB specs). */
+  /** Oracle for q_clean_images: fates derive from the splitmix-closed-form
+    * image dims (decode_fail for the planted corrupt ids, extreme_aspect
+    * from the size formulas, phash_dup for the byte-identical suffixed
+    * duplicates, kept otherwise). Rests on the spec-asserted precondition
+    * that distinct renders in the id range have distinct decode-phashes
+    * (MultimodalSpec "precondition"), so phash groups == duplicate-id
+    * groups. */
+  def cleanImagesSql(nImages: Int, maxAspect: Double): String = {
+    def dims(m: String) =
+      s"CASE CAST(($m & 2147483647) AS BIGINT) % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END"
+    s"""WITH i0 AS (SELECT unnest(generate_series(0, ${nImages - 1})) AS id),
+       |${mixChain("mw", "i0", "id * 3 + 1", Seq("id"), "m")},
+       |${mixChain("mh", "i0", "id * 3 + 2", Seq("id"), "m")},
+       |geom AS (SELECT mw.id, ${dims("mw.m")} AS w, ${dims("mh.m")} AS h
+       |  FROM mw JOIN mh ON mw.id = mh.id),
+       |rows0 AS (
+       |  SELECT printf('img%09d', CAST(id AS INT)) AS image_id, w, h, FALSE AS is_dup FROM geom
+       |  UNION ALL
+       |  SELECT printf('img%09d', CAST(id AS INT)) || 'x', w, h, TRUE FROM geom WHERE id % 5 = 0)
+       |SELECT image_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  CASE WHEN CAST(greatest(w, h) AS DOUBLE) / least(w, h) > $maxAspect THEN 'extreme_aspect'
+       |       WHEN is_dup THEN 'phash_dup' ELSE 'kept' END AS fate
+       |FROM rows0
+       |UNION ALL SELECT 'imgBAD001', -1, -1, 'decode_fail'
+       |UNION ALL SELECT 'imgBAD002', -1, -1, 'decode_fail'""".stripMargin
+  }
+
   def imageFeaturesSql(nImages: Int): String = {
     def dims(m: String) =
       s"CASE CAST(($m & 2147483647) AS BIGINT) % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END"

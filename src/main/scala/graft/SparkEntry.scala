@@ -692,6 +692,26 @@ object SparkEntry {
           "CAST(floor(luma_mean * 10000 + 0.5) AS BIGINT) AS luma_e4", "decode_ok")
     }),
 
+    "q_clean_images" -> ((s, dir) => {
+      // image-corpus curation composite: decode gates + aspect gate +
+      // exact-phash dedup over planted renders (byte-identical 'x'
+      // suffixed duplicates every 5th id, two corrupt rows). With the
+      // standard 64/128/256 sizes nothing is too_small at minDim=64 and
+      // no sinusoid is low-variance; those two gates are spec-certified
+      // (MultimodalSpec cleanImages).
+      import s.implicits._
+      val base = graft.images.SyntheticImages.table(s, 60, partitions = 8).toDF()
+        .select("image_id", "bytes")
+      val dups = base
+        .where(expr("CAST(substr(image_id, 4) AS BIGINT) % 5 = 0"))
+        .withColumn("image_id", concat(col("image_id"), lit("x")))
+      val corrupt = Seq(("imgBAD001", Array[Byte](1, 2, 3)), ("imgBAD002", Array[Byte](0)))
+        .toDF("image_id", "bytes")
+      operators.Multimodal.cleanImages(s, base.union(dups).union(corrupt),
+          minDim = 64, maxAspect = 3.0, minLumaStd = 0.5)
+        .select("image_id", "width", "height", "fate")
+    }),
+
     "q_audio_features" -> ((s, dir) => {
       // audio modality: REAL RIFF/WAVE PCM16 decode (deterministic synth
       // clips keyed by doc_id); signal features are not SQL-expressible
@@ -2435,6 +2455,7 @@ object SparkEntry {
       "q_dedup_minhash" -> OracleGen.minhashPairsSql(threshold = 0.5),
       "q_audio_features" -> OracleGen.audioFeaturesSql(maxDocId = 200),
       "q_image_features" -> OracleGen.imageFeaturesSql(nImages = 300),
+      "q_clean_images" -> OracleGen.cleanImagesSql(nImages = 60, maxAspect = 3.0),
 
       "q_phash_pairs" ->
         """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS iid),

@@ -215,6 +215,46 @@ object Multimodal {
   /** Near-duplicate image pairs by perceptual hash: SimHash-style
     * pigeonhole blocking over the 64-bit phash (exact for hamming <=
     * maxDist) — dedup for the image modality. */
+  /**
+   * Image-corpus curation composite — the image analog of
+   * [[TextAnalysis.cleanCorpus]]: ONE decode pass derives every signal
+   * (imageFeatures), the validity/quality gates run on those features,
+   * and exact-phash canonical election dedups near-identical images.
+   * Fate per image, exactly one of:
+   * `decode_fail | too_small | extreme_aspect | low_variance |
+   * phash_dup | kept`.
+   *
+   * Scale shape mirrors cleanCorpus: the binary payload is dropped at
+   * the feature projection — only (id, features) ever enter a shuffle;
+   * canonical election is groupBy-min + equi-join (a hot phash — a
+   * billion identical thumbnails — collapses map-side), never a window.
+   * Near-dup pairs at hamming > 0 stay the separate phashPairs /
+   * components path (they need the banding join, not a gate).
+   */
+  def cleanImages(spark: SparkSession, df: DataFrame,
+                  idCol: String = "image_id", bytesCol: String = "bytes",
+                  minDim: Int = 64, maxAspect: Double = 4.0,
+                  minLumaStd: Double = 2.0): DataFrame = {
+    val feat = imageFeatures(spark, df, idCol, bytesCol).toDF()
+    val small = least(col("width"), col("height")) < minDim
+    val aspect = greatest(col("width"), col("height")).cast("double") /
+      least(col("width"), col("height"))
+    val pass = col("decode_ok") && !small && aspect <= maxAspect &&
+      col("luma_std") >= minLumaStd
+    val tagged = feat.withColumn("__pass", coalesce(pass, lit(false)))
+    val canon = tagged.where(col("__pass"))
+      .groupBy("phash").agg(min(col("image_id")).as("__c"))
+    tagged.join(canon, Seq("phash"), "left")
+      .withColumn("fate",
+        when(!col("decode_ok"), "decode_fail")
+          .when(small, "too_small")
+          .when(aspect > maxAspect, "extreme_aspect")
+          .when(col("luma_std") < minLumaStd, "low_variance")
+          .when(col("image_id") =!= col("__c"), "phash_dup")
+          .otherwise("kept"))
+      .select(col("image_id"), col("width"), col("height"), col("phash"), col("fate"))
+  }
+
   def phashPairs(df: DataFrame, idCol: String, phashCol: String, maxDist: Int = 6,
                  maxBucket: Int = 4096): DataFrame =
     Dedup.hammingPairs(df, idCol, phashCol, maxDist, maxBucket)

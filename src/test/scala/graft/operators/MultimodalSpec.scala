@@ -34,6 +34,51 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("cleanImages: one fate per image across all gates and phash dedup") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = ImageCodec.encodePng(img)
+    def solid(w: Int, h: Int, rgb: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    def gradient(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / math.max(1, h - 1)) << 8) | 128)))
+      img
+    }
+    val good = png(SyntheticImages.render(7L))          // 64-256 px pattern
+    val rows = Seq(
+      ("keepA", good),
+      ("keepB_dup", good),                              // identical -> same phash
+      ("corrupt", Array[Byte](9, 9, 9)),
+      ("tiny", png(solid(8, 8, 0x123456))),
+      ("banner", png(gradient(512, 32))),
+      ("blank", png(solid(128, 128, 0x808080)))         // zero variance
+    ).toDF("image_id", "bytes")
+    val out = Multimodal.cleanImages(spark, rows, minDim = 16, maxAspect = 4.0)
+      .select("image_id", "fate").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("keepA") == "kept")
+    assert(out("keepB_dup") == "phash_dup")
+    assert(out("corrupt") == "decode_fail")
+    assert(out("tiny") == "too_small")
+    assert(out("banner") == "extreme_aspect")
+    assert(out("blank") == "low_variance")
+  }
+
+  test("q_clean_images precondition: the 60 planted renders have pairwise-distinct decode-phashes") {
+    // the driver oracle equates phash groups with duplicate-id groups;
+    // that is only valid if no two DIFFERENT renders collide in aHash
+    val phashes = (0L until 60L).map { id =>
+      val row = SyntheticImages.row(id)
+      id -> ImageCodec.averageHash(ImageCodec.decode(row.bytes))
+    }
+    val collisions = phashes.groupBy(_._2).filter(_._2.size > 1).values.toSeq
+    assert(collisions.isEmpty, s"phash collisions among distinct renders: $collisions")
+  }
+
   test("resize bounds the max dimension, preserves aspect, stays decodable") {
     val out = Multimodal.resize(spark, imgs, maxDim = 32).collect()
     assert(out.length == 60)
