@@ -1301,6 +1301,72 @@ object SparkEntry {
           "shard_id", "shard_offset")
     }),
 
+    "q_dup_spans" -> ((s, dir) => {
+      // substring-level dedup (the Lee et al. suffix-dedup rule as
+      // k-gram span merging): one of 3 boilerplate sentences is planted
+      // mid-text in every doc, so cross-doc duplicated 6-gram runs exist
+      // by construction (natural word-stream repeats count too); the
+      // oracle recomputes the identical gram/count/island pipeline
+      val docs = t(s, dir, "documents").selectExpr("doc_id",
+        """concat(
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 25), ' '),
+          |  CASE CAST(doc_id % 3 AS INT)
+          |    WHEN 0 THEN ' pack the shard and ship the batch to the far node '
+          |    WHEN 1 THEN ' scan the table then merge the rows into one block '
+          |    ELSE ' hash the key and route the value to a live bucket ' END,
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 26, 15), ' '))
+          |AS text2""".stripMargin)
+      operators.Dedup.duplicateSpans(docs, "doc_id", "text2", k = 6, minCount = 2)
+    }),
+
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (cluster, then pairwise-prune INSIDE clusters) with a
+      // PLANTED quantizer: one-hot centroids make cluster = vec_id % 8
+      // closed-form, and the two-component vectors give
+      // cos(a,b) = (1 + ea*eb)/(sqrt(1+ea^2)*sqrt(1+eb^2)) — the oracle
+      // recomputes the exact keep set. Behavior on real embeddings is
+      // covered by CurationSpec's brute-force parity test.
+      val e = t(s, dir, "embeddings").selectExpr("vec_id",
+        """transform(sequence(0, 8), j -> CAST(CASE
+          |  WHEN j = vec_id % 8 THEN 1.0
+          |  WHEN j = 8 THEN CAST(vec_id % 89 + 1 AS DOUBLE) / 256.0
+          |  ELSE 0.0 END AS FLOAT)) AS emb""".stripMargin)
+      val cents = Array.tabulate(8)(g => Seq.tabulate(9)(j => if (j == g) 1f else 0f))
+      operators.Ann.semanticDedup(e, "vec_id", "emb", tau = 0.9995,
+          nLists = 8, centroids = Some(cents))
+        .selectExpr("vec_id", "CAST(cluster AS INT) AS cluster", "keep")
+    }),
+
+    "q_lm_score" -> ((s, dir) => {
+      // CCNet-style n-gram LM scoring: add-one bigram model trained on
+      // the corpus itself, per-doc mean negative log-likelihood. The
+      // per-bigram ln p rounds to 1e-6 integers BEFORE the per-doc sum,
+      // so the aggregate is partition-order-free and the oracle's libm
+      // ln (<= ~1 ulp apart) lands on the same integers.
+      operators.TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "q_kmeans" -> ((s, dir) => {
+      // distributed Lloyd k-means on PLANTED separable clusters:
+      // one-hot init converges in one sweep and every value is a dyadic
+      // rational (k/256), so the per-dimension double sums are EXACT and
+      // order-independent — the oracle recomputes the converged means
+      import s.implicits._
+      val e = t(s, dir, "embeddings").selectExpr("vec_id",
+        """transform(sequence(0, 8), j -> CAST(CASE
+          |  WHEN j = vec_id % 8 THEN 1.0
+          |  WHEN j = 8 THEN CAST(vec_id % 89 + 1 AS DOUBLE) / 256.0
+          |  ELSE 0.0 END AS FLOAT)) AS emb""".stripMargin)
+      val init = Array.tabulate(8)(g => Seq.tabulate(9)(j => if (j == g) 1f else 0f))
+      val (cents, _) = operators.Ann.kmeans(e, "vec_id", "emb", k = 8, iters = 3,
+        init = Some(init))
+      cents.zipWithIndex.flatMap { case (c, g) =>
+        c.zipWithIndex.map { case (m, d) =>
+          (g, d, math.floor(m * 1000000 + 0.5).toLong)
+        }
+      }.toSeq.toDF("cluster", "dim", "mean_e6")
+    }),
+
     "q_knn_ring" -> ((s, dir) => {
       // the scalable kNN operator (cell-ring expansion, haversine).
       // Oracled since r3: the haversine is replicated term-for-term in
@@ -2234,6 +2300,80 @@ object SparkEntry {
           |  start_offset // 1000 AS shard_id,
           |  start_offset % 1000 AS shard_offset
           |FROM c""".stripMargin,
+
+      "q_dup_spans" ->
+        """WITH base AS (SELECT doc_id, concat(
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:25], ' '),
+          |    CASE CAST(doc_id % 3 AS INT)
+          |      WHEN 0 THEN ' pack the shard and ship the batch to the far node '
+          |      WHEN 1 THEN ' scan the table then merge the rows into one block '
+          |      ELSE ' hash the key and route the value to a live bucket ' END,
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[26:40], ' ')) AS text2
+          |  FROM documents),
+          |toks AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text2), '\s+'), x -> x <> '') AS t
+          |  FROM base),
+          |g AS (SELECT doc_id, i - 1 AS pos,
+          |    array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 5], ' ') AS gram
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
+          |        FROM toks WHERE len(t) >= 6)),
+          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+          |isl AS (SELECT doc_id, pos,
+          |    CASE WHEN pos <= COALESCE(MAX(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 0 ELSE 1 END AS brk
+          |  FROM h),
+          |i2 AS (SELECT doc_id, pos,
+          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+          |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+          |  CAST(MAX(pos) + 6 - MIN(pos) AS BIGINT) AS span_tokens,
+          |  count(*) AS n_grams
+          |FROM i2 GROUP BY doc_id, island""".stripMargin,
+
+      "q_semantic_dedup" ->
+        """WITH e AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS g,
+          |    CAST(CAST(vec_id % 89 + 1 AS DOUBLE) / 256.0 AS FLOAT) AS eps FROM embeddings),
+          |p AS (SELECT b.vec_id,
+          |    (1.0 + CAST(a.eps AS DOUBLE) * CAST(b.eps AS DOUBLE)) /
+          |    (sqrt(1.0 + CAST(a.eps AS DOUBLE) * CAST(a.eps AS DOUBLE)) *
+          |     sqrt(1.0 + CAST(b.eps AS DOUBLE) * CAST(b.eps AS DOUBLE))) AS cosv
+          |  FROM e a JOIN e b ON a.g = b.g AND a.vec_id < b.vec_id),
+          |d AS (SELECT DISTINCT vec_id FROM p WHERE cosv >= 0.9995)
+          |SELECT e.vec_id, e.g AS cluster, d.vec_id IS NULL AS keep
+          |FROM e LEFT JOIN d ON e.vec_id = d.vec_id""".stripMargin,
+
+      "q_lm_score" ->
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |bi AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          |        FROM toks WHERE len(t) >= 2)),
+          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+          |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+          |v AS (SELECT count(DISTINCT w2) AS v FROM c12),
+          |m AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY 1, 2, 3),
+          |p AS (SELECT m.doc_id, m.m,
+          |    CAST(floor(ln((CAST(c12.c12 AS DOUBLE) + 1.0) /
+          |      (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS lnp
+          |  FROM m JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+          |d AS (SELECT doc_id, SUM(m) AS n_bigrams, SUM(m * lnp) AS s FROM p GROUP BY 1)
+          |SELECT t.doc_id, CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |  CAST(COALESCE(d.s, 0) AS BIGINT) AS lnp_e6_sum,
+          |  CASE WHEN d.n_bigrams IS NULL THEN NULL
+          |       ELSE CAST(floor(-CAST(d.s AS DOUBLE) / d.n_bigrams + 0.5) AS BIGINT)
+          |  END AS avg_nll_e6
+          |FROM toks t LEFT JOIN d USING (doc_id)""".stripMargin,
+
+      "q_kmeans" ->
+        """WITH e AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS g,
+          |    CAST(CAST(vec_id % 89 + 1 AS DOUBLE) / 256.0 AS FLOAT) AS eps FROM embeddings),
+          |m AS (SELECT g, count(*) AS n, SUM(CAST(eps AS DOUBLE)) AS s FROM e GROUP BY g),
+          |dims AS (SELECT CAST(unnest(generate_series(0, 8)) AS INT) AS dim)
+          |SELECT m.g AS cluster, dims.dim,
+          |  CAST(floor(CASE WHEN dims.dim = m.g THEN 1.0
+          |    WHEN dims.dim = 8 THEN s / n ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS mean_e6
+          |FROM m CROSS JOIN dims""".stripMargin,
 
       "q_lang_id" -> {
         def score(words: Seq[String], grams: Seq[String]): String = {

@@ -202,13 +202,12 @@ object Ann {
    * data side shuffles once on the list id and each query touches
    * nProbe/nLists of the data.
    */
-  def ivfTopK(data: DataFrame, idCol: String, embCol: String,
-              queries: DataFrame, qidCol: String, qEmbCol: String,
-              k: Int, nLists: Int = 16, nProbe: Int = 4,
-              centroids: Option[Array[Seq[Float]]] = None): DataFrame = {
-    // centroids: explicit (a pre-trained quantizer, as FAISS-style IVF
-    // APIs accept) or every (n/nLists)-th row by id hash — deterministic
-    // and cheap; a k-means refinement would slot in here identically
+  /** Coarse-quantizer centroids: explicit (a pre-trained quantizer, as
+    * FAISS-style IVF APIs accept — see [[kmeans]]) or every
+    * (n/nLists)-th row by id hash — deterministic and cheap. */
+  private def quantizer(data: DataFrame, idCol: String, embCol: String,
+                        nLists: Int,
+                        centroids: Option[Array[Seq[Float]]]): Array[(Int, Seq[Float])] = {
     val cents: Array[(Int, Seq[Float])] = centroids match {
       case Some(cs) => cs.zipWithIndex.map { case (c, i) => (i, c) }
       case None => data
@@ -221,6 +220,14 @@ object Ann {
         .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
     }
     require(cents.nonEmpty, "no centroids sampled")
+    cents
+  }
+
+  def ivfTopK(data: DataFrame, idCol: String, embCol: String,
+              queries: DataFrame, qidCol: String, qEmbCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4,
+              centroids: Option[Array[Seq[Float]]] = None): DataFrame = {
+    val cents = quantizer(data, idCol, embCol, nLists, centroids)
     val bc = cents
     def nearestLists(v: Seq[Float], n: Int): Seq[Int] =
       bc.map { case (i, c) => (i, cosineVal(v, c)) }.sortBy(-_._2).take(n).map(_._1).toSeq
@@ -234,6 +241,118 @@ object Ann {
         Window.partitionBy(qidCol).orderBy(desc("cosine"), col(idCol))))
       .where(col("__rn") <= k)
       .select(col(qidCol), col(idCol), col("cosine"))
+  }
+
+  /**
+   * Distributed Lloyd k-means over the embedding column — the quantizer
+   * trainer the IVF/SemDeDup paths accept through their `centroids`
+   * parameter. Each iteration: centroids broadcast in the assignment
+   * closure, per-row nearest-centroid assignment (squared Euclidean),
+   * per-(cluster, dimension) sums via ONE hash aggregate
+   * (posexplode → groupBy, map-side combined — k×dim rows cross the
+   * wire, never vectors), means rebuilt on the driver (k×dim doubles,
+   * bounded). Init = explicit centroids or the deterministic id-hash
+   * sample [[ivfTopK]] uses. Empty clusters keep their previous
+   * centroid. Null/mis-sized vectors are ignored for training and
+   * assign to cluster -1.
+   *
+   * Returns (final centroids, assignment DataFrame (idCol, cluster)).
+   */
+  def kmeans(df: DataFrame, idCol: String, embCol: String,
+             k: Int, iters: Int = 5,
+             init: Option[Array[Seq[Float]]] = None): (Array[Array[Double]], DataFrame) = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    var cents: Array[Array[Double]] =
+      quantizer(df, idCol, embCol, k, init).map(_._2.toArray.map(_.toDouble))
+    def assignUdf(cs: Array[Array[Double]]) = udf { (vs: Seq[Float]) =>
+      if (vs == null || vs.isEmpty) -1
+      else {
+        val v = vs.toArray
+        var best = -1
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val ct = cs(c)
+          if (ct.length == v.length) {
+            var d = 0.0
+            var i = 0
+            while (i < v.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          c += 1
+        }
+        best
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = df
+        .select(assignUdf(cents)(col(embCol)).as("__c"),
+          posexplode(col(embCol)).as(Seq("__d", "__x")))
+        .where(col("__c") >= 0)
+        .groupBy("__c", "__d")
+        .agg(sum(col("__x").cast("double")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        if (d < next(c).length) next(c)(d) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+      it += 1
+    }
+    val assigned = df.withColumn("cluster", assignUdf(cents)(col(embCol)))
+      .select(col(idCol), col("cluster"))
+    (cents, assigned)
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+   * embeddings with a coarse quantizer (explicit centroids, e.g. from
+   * [[kmeans]], or the deterministic sample), compare pairs INSIDE each
+   * cluster only, and drop every item that has a lower-id neighbor with
+   * cosine >= tau — the deterministic min-id survivor rule: one
+   * representative per near-duplicate CHAIN survives (a dropped item's
+   * own neighbors still count as covered, exactly like SemDeDup's
+   * per-cluster pruning; its keep-farthest-from-centroid tie-break is a
+   * policy swap on the same plan).
+   *
+   * 100-TB shape: one shuffle on the cluster id; candidate pairs form
+   * within clusters only (~n/nLists each) and carry ids alone — the
+   * embeddings re-join once per pair for the exact cosine; clusters
+   * over `maxCluster` rows are dropped like oversized LSH buckets
+   * (quadratic guard) instead of silently going O(n²).
+   *
+   * Precondition: `idCol` uniquely identifies rows.
+   * Output: (idCol, cluster, keep).
+   */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    tau: Double, nLists: Int = 16,
+                    centroids: Option[Array[Seq[Float]]] = None,
+                    maxCluster: Int = 1 << 16): DataFrame = {
+    val cents = quantizer(df, idCol, embCol, nLists, centroids)
+    val bc = cents
+    val assign = udf { (v: Seq[Float]) =>
+      if (v == null || v.isEmpty) -1
+      else bc.map { case (i, c) => (i, cosineVal(v, c)) }
+        .maxBy { case (i, cos) => (cos, -i) }._1
+    }
+    val a = df.select(col(idCol).as("__id"), col(embCol).as("__emb"))
+      .withColumn("cluster", assign(col("__emb")))
+    val ids = Dedup.capBuckets(a.select("cluster", "__id"), Seq("cluster"), maxCluster)
+    val l = ids.select(col("cluster"), col("__id").as("__id1"))
+    val r = ids.select(col("cluster"), col("__id").as("__id2"))
+    val dropped = l.join(r, Seq("cluster")).where(col("__id1") < col("__id2"))
+      .select("__id1", "__id2")
+      .join(a.select(col("__id").as("__id1"), col("__emb").as("__e1")), "__id1")
+      .join(a.select(col("__id").as("__id2"), col("__emb").as("__e2")), "__id2")
+      .where(cosineUdf(col("__e1"), col("__e2")) >= tau)
+      .select(col("__id2").as("__id")).distinct()
+      .withColumn("__dropped", lit(true))
+    a.select(col("__id"), col("cluster"))
+      .join(dropped, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        col("__dropped").isNull.as("keep"))
   }
 
   private def cosineVal(as: Seq[Float], bs: Seq[Float]): Double = {

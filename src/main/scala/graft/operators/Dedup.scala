@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.images.SyntheticImages.mix
 
 /**
@@ -388,6 +389,82 @@ object Dedup {
         """CAST(floor(CASE WHEN n_grams = 0 THEN 0.0
           |  ELSE n_contaminated / CAST(n_grams AS DOUBLE) END * 1000000 + 0.5) AS BIGINT)""".stripMargin))
       .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  // ---- substring-level exact dedup ------------------------------------
+
+  /**
+   * Duplicated-substring spans (Lee et al. 2021, "Deduplicating Training
+   * Data Makes Language Models Better"): the published algorithm builds
+   * a corpus-wide suffix array and removes every substring of >= N
+   * tokens occurring more than once. A suffix array is a single-node
+   * construction; the Spark-first re-expression keys on fixed-width
+   * k-token grams instead — a token span is duplicated iff every k-gram
+   * inside it is globally repeated, so:
+   *
+   *   1. count every k-gram once across the corpus (one hash aggregate,
+   *      map-side combined — the only corpus-sized shuffle, and it
+   *      carries (gram, count) partials, not documents);
+   *   2. keep grams seen >= minCount times (a small table when
+   *      duplication is rare);
+   *   3. join each document's gram positions against it and merge
+   *      overlapping/adjacent hits into maximal spans with one window
+   *      partitioned by document (no global sort).
+   *
+   * Overlap-or-adjacent hits merge into one span (the removal policy of
+   * the reference implementation); a merged span is therefore a union of
+   * duplicated k-gram runs, not necessarily one substring that repeats
+   * as a unit.
+   *
+   * Output: one row per maximal duplicated span —
+   * (id, span_start [0-based token index], span_tokens, n_grams).
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 1, "gram width must be >= 1")
+    require(minCount >= 2, "a span is duplicated only from 2 occurrences up")
+    val toks = TextAnalysis.toksExpr(textCol)
+    // sequence(1, 0) is descending in Spark — short docs need the guard
+    val grams = df.select(col(idCol), posexplode(expr(
+      s"""CASE WHEN size($toks) < $k THEN array()
+         |ELSE transform(sequence(1, size($toks) - ${k - 1}),
+         |  i -> array_join(slice($toks, i, $k), ' ')) END""".stripMargin))
+      .as(Seq("__pos", "__gram")))
+    val dup = grams.groupBy("__gram").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount).select("__gram")
+    val hits = grams.join(dup, "__gram").select(col(idCol), col("__pos"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val prevEnd = max(col("__pos") + lit(k))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__brk",
+        when(col("__pos") <= coalesce(prevEnd, lit(-1)), lit(0L)).otherwise(lit(1L)))
+      .withColumn("__island", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + lit(k) - min(col("__pos"))).cast("long").as("span_tokens"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_tokens"), col("n_grams"))
+  }
+
+  /** Remove every span [[duplicateSpans]] flags from the text (ALL
+    * occurrences drop — the conservative policy; keeping one canonical
+    * occurrence per duplicate needs a global total order over
+    * occurrences, a policy swap on the same plan). Token positions are
+    * computed on the lowercased stream the spans were found in, but the
+    * surviving tokens keep their original case. */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, minCount: Int = 2,
+                 outCol: String = "text_deduped"): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minCount)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_tokens"))).as("__spans"))
+    val rawToks = TextAnalysis.toksExpr(textCol, lower = false)
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(outCol, expr(
+        s"""array_join(filter($rawToks, (x, i) -> __spans IS NULL OR NOT exists(__spans,
+           |  s -> i >= s.span_start AND i < s.span_start + s.span_tokens)), ' ')""".stripMargin))
+      .drop("__spans")
   }
 
   // ---- embedding near-dup ---------------------------------------------

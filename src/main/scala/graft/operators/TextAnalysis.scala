@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -284,6 +284,79 @@ object TextAnalysis {
       .agg(sum(col("__c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
+  }
+
+  // ---- n-gram language-model scoring ----------------------------------
+
+  /**
+   * N-gram language-model scoring — the CCNet / Wenzek et al. 2019
+   * perplexity filter, with the KenLM model re-expressed as distributed
+   * bigram counts: train add-one-smoothed bigram probabilities
+   * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) over a reference corpus
+   * (`lm`, defaulting to the input itself) in one aggregate pass, then
+   * score each document by its mean negative log-likelihood per bigram.
+   * Low score = fluent/common text, high = gibberish; CCNet buckets the
+   * corpus into head/middle/tail by exactly this number. Bigrams the
+   * model never saw get the unseen mass (c12 = 0, and c1 = 0 for an
+   * unknown first word).
+   *
+   * Parity contract: each bigram type's ln p is rounded to 1e-6 and the
+   * per-document aggregate sums those INTEGERS, so it is independent of
+   * partition order and the DuckDB oracle reproduces it bit-exactly
+   * (raw double sums are order-dependent; libm ln differs by ~1 ulp
+   * between engines — six orders of magnitude inside the rounding
+   * margin).
+   *
+   * 100-TB shape: counts are hash aggregates with map-side combine; the
+   * score join shuffles on the gram key with per-document
+   * multiplicities pre-combined (one row per distinct (doc, bigram));
+   * no window, no sort. V (distinct continuation count) is one bounded
+   * driver scalar.
+   *
+   * Output: one row per document — `n_bigrams` (token bigrams scored),
+   * `lnp_e6_sum` (sum of 1e6-scaled ln p, an exact integer) and
+   * `avg_nll_e6` (mean negative log-likelihood, 1e6-scaled; null for
+   * docs with < 2 tokens).
+   */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              lm: Option[(DataFrame, String)] = None): DataFrame = {
+    def bigrams(src: DataFrame, cols: Seq[Column], textC: String): DataFrame = {
+      val toks = toksExpr(textC)
+      src.select(cols :+ explode(expr(
+        s"""CASE WHEN size($toks) < 2 THEN array()
+           |ELSE zip_with(slice($toks, 1, size($toks) - 1),
+           |  slice($toks, 2, size($toks) - 1),
+           |  (a, b) -> struct(a AS w1, b AS w2)) END""".stripMargin)).as("__b"): _*)
+        .select(cols ++ Seq(col("__b.w1").as("__w1"), col("__b.w2").as("__w2")): _*)
+    }
+    val (lmDf, lmText) = lm.getOrElse((df, textCol))
+    val lmBi = bigrams(lmDf, Seq.empty, lmText)
+    val c12 = lmBi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val c1 = c12.groupBy("__w1").agg(sum("__c12").as("__c1"))
+    val v = c12.select("__w2").distinct().count()
+    require(v > 0, "LM corpus has no bigrams")
+    val docBi = bigrams(df, Seq(col(idCol)), textCol)
+      .groupBy(col(idCol), col("__w1"), col("__w2")).agg(count(lit(1)).as("__m"))
+    val lnp =
+      s"""CAST(floor(ln((CAST(coalesce(__c12, 0) AS DOUBLE) + 1.0) /
+         |  (CAST(coalesce(__c1, 0) AS DOUBLE) + CAST($v AS DOUBLE))) * 1000000 + 0.5)
+         |AS BIGINT)""".stripMargin
+    val perDoc = docBi
+      .join(c12, Seq("__w1", "__w2"), "left")
+      .join(c1, Seq("__w1"), "left")
+      .withColumn("__lnp", expr(lnp))
+      .groupBy(idCol)
+      .agg(sum("__m").as("n_bigrams"), sum(col("__m") * col("__lnp")).as("lnp_e6_sum"))
+    // precondition (like the dedup family): idCol uniquely identifies rows
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lnp_e6_sum"), lit(0L)).as("lnp_e6_sum"),
+        expr(
+          """CASE WHEN n_bigrams IS NULL THEN NULL
+            |ELSE CAST(floor(-CAST(lnp_e6_sum AS DOUBLE) / n_bigrams + 0.5) AS BIGINT)
+            |END""".stripMargin).as("avg_nll_e6"))
   }
 
   // ---- PII redaction ----------------------------------------------------

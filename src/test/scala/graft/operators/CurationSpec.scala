@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTest
+
+/** Substring-span dedup (Lee et al.), SemDeDup-style semantic dedup,
+  * CCNet-style n-gram LM scoring, and distributed k-means — semantics
+  * vs hand-computed / brute-force oracles. */
+class CurationSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // ---- duplicateSpans / stripSpans ------------------------------------
+
+  test("duplicateSpans finds planted cross-doc spans at the right positions") {
+    val boiler = "q w e r t"
+    val docs = Seq(
+      (1L, "u1 u2 u3 u4 u5 u6 u7 u8"),            // all unique
+      (2L, s"p1 p2 $boiler p3"),                   // boiler at tokens 2..6
+      (3L, s"z1 $boiler z2 z3")                    // boiler at tokens 1..5
+    ).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(docs, "id", "text", k = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // 3-grams "q w e","w e r","e r t" each occur twice; islands merge them
+    assert(spans == Set((2L, 2L, 5L, 3L), (3L, 1L, 5L, 3L)))
+  }
+
+  test("duplicateSpans merges within-doc repeats into one island") {
+    val docs = Seq(
+      (1L, "m n o m n o m n o"),   // every 3-gram repeats inside the doc
+      (2L, "a1 a2 a3 a4 a5")
+    ).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(docs, "id", "text", k = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((1L, 0L, 9L, 7L)))
+  }
+
+  test("duplicateSpans matches a brute-force oracle on a small random corpus") {
+    val vocab = Array("k1", "k2", "k3", "k4", "k5", "k6")
+    val rnd = new scala.util.Random(7)
+    val k = 4
+    val data = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val df = data.toDF("id", "text")
+    val got = Dedup.duplicateSpans(df, "id", "text", k = k, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force: global gram counts, per-doc hit positions, island merge
+    val grams = data.flatMap { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      (0 to t.length - k).map(p => (id, p, t.slice(p, p + k).mkString(" ")))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val expected = grams.filter(g => dup.contains(g._3))
+      .groupBy(_._1).flatMap { case (id, hs) =>
+        val ps = hs.map(_._2).toSeq.sorted
+        val islands = ps.tail.foldLeft(List(List(ps.head))) { (acc, p) =>
+          if (p <= acc.head.head + k) (p :: acc.head) :: acc.tail else List(p) :: acc
+        }
+        islands.map { isl =>
+          val s = isl.min; val e = isl.max + k
+          (id, s.toLong, (e - s).toLong, isl.size.toLong)
+        }
+      }.toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture produced no duplicated spans")
+  }
+
+  test("stripSpans removes flagged tokens, keeps original case") {
+    val docs = Seq(
+      (1L, "P1 P2 Q W E R T P3"),
+      (2L, "z1 q w e r t z2 z3")
+    ).toDF("id", "text")
+    val out = Dedup.stripSpans(docs, "id", "text", k = 3, minCount = 2)
+      .select("id", "text_deduped").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "P1 P2 P3")
+    assert(out(2L) == "z1 z2 z3")
+  }
+
+  // ---- semanticDedup ---------------------------------------------------
+
+  test("semanticDedup keep set matches brute force within clusters") {
+    val rnd = new scala.util.Random(11)
+    val dim = 6
+    // 4 well-separated cluster directions + small per-item noise
+    val dirs = Array.tabulate(4, dim)((c, j) => if (j == c) 1.0 else 0.0)
+    val data = (0 until 80).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(dim)(j => (dirs(c)(j) + rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = data.toDF("id", "emb")
+    val cents = dirs.map(_.map(_.toFloat).toSeq)
+    val tau = 0.98
+    val got = Ann.semanticDedup(df, "id", "emb", tau, nLists = 4,
+        centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = a.map(x => x.toDouble * x.toDouble).sum
+      val nb = b.map(x => x.toDouble * x.toDouble).sum
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cluster(v: Seq[Float]): Int =
+      cents.zipWithIndex.maxBy { case (c, i) => (cos(v, c), -i) }._2
+    val byId = data.toMap
+    got.foreach { case (id, cl, keep) =>
+      assert(cl == cluster(byId(id)), s"cluster mismatch for $id")
+      val expectKeep = !data.exists { case (o, v) =>
+        o < id && cluster(v) == cl && cos(v, byId(id)) >= tau
+      }
+      assert(keep == expectKeep, s"keep mismatch for $id")
+    }
+    assert(got.count(!_._3) > 0, "fixture dropped nothing")
+    assert(got.count(_._3) >= 4, "fewer survivors than clusters")
+  }
+
+  // ---- lmScore ---------------------------------------------------------
+
+  test("lmScore matches the hand-computed add-one bigram model") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z")).toDF("id", "text")
+    val out = TextAnalysis.lmScore(docs, "id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    // corpus bigrams: (a,b) x3, (b,a) x1; c1(a)=3, c1(b)=1; V=|{a,b}|=2
+    // p(a,b)=(3+1)/(3+2)=0.8 -> lnp_e6 = floor(ln(.8)*1e6+.5) = -223144
+    // p(b,a)=(1+1)/(1+2)     -> lnp_e6 = floor(ln(2/3)*1e6+.5) = -405465
+    val lnAB = math.floor(math.log(0.8) * 1e6 + 0.5).toLong
+    val lnBA = math.floor(math.log(2.0 / 3.0) * 1e6 + 0.5).toLong
+    assert(out(1L) == ((3L, 2 * lnAB + lnBA,
+      math.floor(-(2 * lnAB + lnBA).toDouble / 3 + 0.5).toLong)))
+    assert(out(2L) == ((1L, lnAB, -lnAB)))
+    assert(out(3L) == ((0L, 0L, null)))
+  }
+
+  test("lmScore against an external LM corpus handles unseen mass") {
+    val lm = Seq((10L, "a b a b")).toDF("id", "text") // c12(a,b)=2,(b,a)=1; c1(a)=2,c1(b)=1; V=2
+    val docs = Seq((1L, "a q"), (2L, "q z")).toDF("id", "text")
+    val out = TextAnalysis.lmScore(docs, "id", "text", lm = Some((lm, "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // (a,q): unseen bigram, known first word -> (0+1)/(2+2)
+    assert(out(1L) == math.floor(math.log(1.0 / 4.0) * 1e6 + 0.5).toLong)
+    // (q,z): unknown first word -> (0+1)/(0+2)
+    assert(out(2L) == math.floor(math.log(1.0 / 2.0) * 1e6 + 0.5).toLong)
+  }
+
+  // ---- kmeans ----------------------------------------------------------
+
+  test("kmeans converges to the planted cluster means") {
+    val data = (0 until 60).map { i =>
+      val c = i % 3
+      // dyadic offsets -> exact arithmetic; clusters at x=0, 10, 20
+      (i.toLong, Seq((c * 10 + (i % 5) / 4.0).toFloat, (c % 2).toFloat))
+    }
+    val df = data.toDF("id", "emb")
+    val init = Array(Seq(0f, 0f), Seq(10f, 1f), Seq(20f, 0f))
+    val (cents, assigned) = Ann.kmeans(df, "id", "emb", k = 3, iters = 4,
+      init = Some(init))
+    // per-cluster mean of (i % 5)/4 over i ≡ c (mod 3), i < 60
+    (0 until 3).foreach { c =>
+      val members = data.filter(_._1 % 3 == c)
+      val mx = members.map(_._2.head.toDouble).sum / members.size
+      val my = members.map(_._2(1).toDouble).sum / members.size
+      assert(cents(c)(0) == mx, s"x mean, cluster $c")
+      assert(cents(c)(1) == my, s"y mean, cluster $c")
+    }
+    val a = assigned.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    data.foreach { case (id, _) => assert(a(id) == (id % 3).toInt) }
+  }
+
+  test("kmeans-trained centroids plug into semanticDedup") {
+    val data = (0 until 40).map { i =>
+      val c = i % 2
+      (i.toLong, Seq(if (c == 0) 1f else 0f, if (c == 0) 0f else 1f, (i % 4) / 8f))
+    }
+    val df = data.toDF("id", "emb")
+    val (cents, _) = Ann.kmeans(df, "id", "emb", k = 2, iters = 3,
+      init = Some(Array(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))))
+    val out = Ann.semanticDedup(df, "id", "emb", tau = 0.999, nLists = 2,
+        centroids = Some(cents.map(_.map(_.toFloat).toSeq)))
+      .collect()
+    assert(out.length == 40)
+    // identical (c, i%4) pairs exist -> something must drop, something keep
+    assert(out.count(_.getBoolean(2)) >= 2)
+    assert(out.count(!_.getBoolean(2)) > 0)
+  }
+}
