@@ -1319,6 +1319,43 @@ object SparkEntry {
       operators.Dedup.duplicateSpans(docs, "doc_id", "text2", k = 6, minCount = 2)
     }),
 
+    "q_c4_lines" -> ((s, dir) => {
+      // C4 line-wise corrections over constructed multi-line pages:
+      // kept lines, a too-short line, a no-terminal-punctuation line, a
+      // javascript line, and lorem-ipsum / curly-brace page flags on
+      // some docs; the oracle replicates the full classify pipeline
+      val docs = t(s, dir, "documents").selectExpr("doc_id",
+        """concat(
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 6), ' '), '.', chr(10),
+          |  'too short', chr(10),
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 7, 5), ' '), chr(10),
+          |  'please enable javascript to continue.', chr(10),
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 12, 4), ' '), '?', chr(10),
+          |  CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' ELSE '' END, chr(10),
+          |  CASE WHEN doc_id % 11 = 0 THEN 'config { x }' ELSE '' END)
+          |AS text2""".stripMargin)
+      operators.TextAnalysis.c4LineFilter(docs, "text2")
+        .select("doc_id", "n_lines", "n_kept", "dropped_short", "dropped_no_punct",
+          "dropped_js", "has_lorem", "has_brace", "page_keep", "text_filtered")
+    }),
+
+    "q_dedup_lines" -> ((s, dir) => {
+      // corpus-wide exact line dedup (RefinedWeb line-level pass): each
+      // doc carries one of 3 boilerplate lines between two token-derived
+      // lines (which may also collide naturally — the oracle recomputes
+      // the identical count/join/rebuild pipeline either way)
+      val docs = t(s, dir, "documents").selectExpr("doc_id",
+        """concat(
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 5), ' '), chr(10),
+          |  CASE CAST(doc_id % 3 AS INT)
+          |    WHEN 0 THEN 'accept all cookies to continue'
+          |    WHEN 1 THEN 'subscribe to our newsletter today'
+          |    ELSE 'all rights reserved worldwide' END, chr(10),
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 6, 5), ' '))
+          |AS text2""".stripMargin)
+      operators.TextAnalysis.dedupLines(docs, "doc_id", "text2")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       // SemDeDup (cluster, then pairwise-prune INSIDE clusters) with a
       // PLANTED quantizer: one-hot centroids make cluster = vec_id % 8
@@ -2329,6 +2366,69 @@ object SparkEntry {
           |  CAST(MAX(pos) + 6 - MIN(pos) AS BIGINT) AS span_tokens,
           |  count(*) AS n_grams
           |FROM i2 GROUP BY doc_id, island""".stripMargin,
+
+      "q_c4_lines" ->
+        """WITH base AS (SELECT doc_id, concat(
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:6], ' '), '.', chr(10),
+          |    'too short', chr(10),
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[7:11], ' '), chr(10),
+          |    'please enable javascript to continue.', chr(10),
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[12:15], ' '), '?', chr(10),
+          |    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' ELSE '' END, chr(10),
+          |    CASE WHEN doc_id % 11 = 0 THEN 'config { x }' ELSE '' END) AS text2
+          |  FROM documents),
+          |l AS (SELECT doc_id, text2,
+          |    list_filter(list_transform(string_split(text2, chr(10)),
+          |      x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), x -> x <> '') AS ls
+          |  FROM base),
+          |c AS (SELECT doc_id, text2, ls,
+          |    list_transform(ls, x -> CASE
+          |      WHEN len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) < 3 THEN 1
+          |      WHEN NOT regexp_matches(x, '[.!?"]$') THEN 2
+          |      WHEN lower(x) LIKE '%javascript%' THEN 3
+          |      ELSE 0 END) AS cls
+          |  FROM l)
+          |SELECT doc_id,
+          |  CAST(len(ls) AS BIGINT) AS n_lines,
+          |  CAST(len(list_filter(cls, c -> c = 0)) AS BIGINT) AS n_kept,
+          |  CAST(len(list_filter(cls, c -> c = 1)) AS BIGINT) AS dropped_short,
+          |  CAST(len(list_filter(cls, c -> c = 2)) AS BIGINT) AS dropped_no_punct,
+          |  CAST(len(list_filter(cls, c -> c = 3)) AS BIGINT) AS dropped_js,
+          |  lower(text2) LIKE '%lorem ipsum%' AS has_lorem,
+          |  contains(text2, '{') AS has_brace,
+          |  len(list_filter(cls, c -> c = 0)) >= 3
+          |    AND NOT lower(text2) LIKE '%lorem ipsum%'
+          |    AND NOT contains(text2, '{') AS page_keep,
+          |  array_to_string(list_filter(ls, x -> (CASE
+          |    WHEN len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) < 3 THEN 1
+          |    WHEN NOT regexp_matches(x, '[.!?"]$') THEN 2
+          |    WHEN lower(x) LIKE '%javascript%' THEN 3
+          |    ELSE 0 END) = 0), chr(10)) AS text_filtered
+          |FROM c""".stripMargin,
+
+      "q_dedup_lines" ->
+        """WITH base AS (SELECT doc_id, concat(
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:5], ' '), chr(10),
+          |    CASE CAST(doc_id % 3 AS INT)
+          |      WHEN 0 THEN 'accept all cookies to continue'
+          |      WHEN 1 THEN 'subscribe to our newsletter today'
+          |      ELSE 'all rights reserved worldwide' END, chr(10),
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[6:10], ' ')) AS text2
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |    list_filter(list_transform(string_split(text2, chr(10)),
+          |      x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), x -> x <> '') AS ls
+          |  FROM base),
+          |e AS (SELECT doc_id, i AS pos, ls[CAST(i AS INT)] AS line
+          |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM l)),
+          |d AS (SELECT line FROM e GROUP BY line HAVING count(*) >= 2),
+          |j AS (SELECT e.doc_id, e.pos, e.line, d.line IS NOT NULL AS dup
+          |  FROM e LEFT JOIN d ON e.line = d.line)
+          |SELECT doc_id, count(*) AS n_lines,
+          |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+          |  COALESCE(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), '')
+          |    AS text_deduped
+          |FROM j GROUP BY doc_id""".stripMargin,
 
       "q_semantic_dedup" ->
         """WITH e AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS g,

@@ -404,7 +404,7 @@ object Dedup {
    *
    *   1. count every k-gram once across the corpus (one hash aggregate,
    *      map-side combined — the only corpus-sized shuffle, and it
-   *      carries (gram, count) partials, not documents);
+   *      carries (gram-fingerprint, count) partials, not documents);
    *   2. keep grams seen >= minCount times (a small table when
    *      duplication is rare);
    *   3. join each document's gram positions against it and merge
@@ -419,20 +419,41 @@ object Dedup {
    * Output: one row per maximal duplicated span —
    * (id, span_start [0-based token index], span_tokens, n_grams).
    */
+  /** Sliding k-token windows re-joined with single spaces — identical
+    * strings to `array_join(slice(toks, i, k), ' ')`. */
+  private def gramWindowUdf(k: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.length < k) Array.empty[String]
+    else {
+      val t = toks.toArray
+      Array.tabulate(t.length - k + 1)(i => t.slice(i, i + k).mkString(" "))
+    }
+  }
+
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 1, "gram width must be >= 1")
     require(minCount >= 2, "a span is duplicated only from 2 occurrences up")
-    val toks = TextAnalysis.toksExpr(textCol)
-    // sequence(1, 0) is descending in Spark — short docs need the guard
-    val grams = df.select(col(idCol), posexplode(expr(
-      s"""CASE WHEN size($toks) < $k THEN array()
-         |ELSE transform(sequence(1, size($toks) - ${k - 1}),
-         |  i -> array_join(slice($toks, i, $k), ' ')) END""".stripMargin))
-      .as(Seq("__pos", "__gram")))
-    val dup = grams.groupBy("__gram").agg(count(lit(1)).as("__c"))
-      .where(col("__c") >= minCount).select("__gram")
-    val hits = grams.join(dup, "__gram").select(col(idCol), col("__pos"))
+    // Tokens come from the shared parity snippet (toksExpr, evaluated
+    // ONCE per row as the UDF argument); the sliding window itself is a
+    // small UDF — the pure-Column transform/slice/array_join form costs
+    // seconds of whole-stage-codegen compilation for a per-row loop this
+    // trivial, and a lambda re-reference of the tokenizer would be
+    // O(tokens²) per document (see TextAnalysis.fencedTokens).
+    // Gram strings collapse to 64-bit fingerprints immediately: the
+    // count shuffle and the dup probe carry (id, pos, hash) — ~24 B/row
+    // instead of the gram text — and the narrow stream persists
+    // (memory-and-disk, evictable) so the string construction runs ONE
+    // pass instead of once for the counts plus once for the probe. A
+    // fingerprint collision (~n²/2⁶⁴) could flag a non-duplicated span —
+    // the same trade every published hash-based dedup pass makes.
+    val grams = df.select(col(idCol),
+        posexplode(gramWindowUdf(k)(expr(TextAnalysis.toksExpr(textCol))))
+          .as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos"), xxhash64(col("__gram")).as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount).select("__g")
+    val hits = grams.join(dup, "__g").select(col(idCol), col("__pos"))
     val w = Window.partitionBy(idCol).orderBy("__pos")
     val prevEnd = max(col("__pos") + lit(k))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))

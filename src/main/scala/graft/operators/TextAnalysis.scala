@@ -52,6 +52,17 @@ object TextAnalysis {
     s"filter(split($c, '\\\\s+'), x -> x != '')"
   }
 
+  /** Optimizer fence for shared per-row token arrays (the
+    * Converters.xpathsUdf idiom): an identity UDF marked
+    * nondeterministic, so CollapseProject cannot inline the tokenizer —
+    * and whatever constructed the text column under it — into every
+    * lambda reference downstream. Without it, a k-gram builder
+    * re-tokenizes the document once PER GRAM POSITION (O(tokens²)
+    * per row; measured 13.5 s → sub-second on q_dup_spans at sf0.1).
+    * Semantics untouched: identity on the array. */
+  private[operators] val fencedTokens =
+    udf((a: Seq[String]) => a).asNondeterministic()
+
   def withLangId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame =
     df.withColumn(outCol, langIdUdf(col(textCol)))
 
@@ -284,6 +295,100 @@ object TextAnalysis {
       .agg(sum(col("__c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
+  }
+
+  // ---- line-wise corrections ------------------------------------------
+
+  /**
+   * C4-style line filtering (Raffel et al. 2020 §2.2, kept by
+   * RefinedWeb's "line-wise corrections"): lines are whitespace-trimmed,
+   * empty lines drop, and each surviving line must (1) have at least
+   * `minWords` words, (2) end in a terminal punctuation mark
+   * (`.` `!` `?` `"`), (3) not mention "javascript". A line failing
+   * several rules is counted ONCE under the first failing rule (that
+   * order) so counts and filtered text are one deterministic story.
+   * Document-level C4 flags ride along: "lorem ipsum" and curly-brace
+   * page markers, and `page_keep` (enough kept lines AND neither flag).
+   *
+   * Pure codegen projection (split / transform / filter HOFs) — no UDF,
+   * no shuffle; the identical construction runs in the DuckDB oracle.
+   *
+   * Output: input columns + `n_lines`, `n_kept`, `dropped_short`,
+   * `dropped_no_punct`, `dropped_js`, `has_lorem`, `has_brace`,
+   * `page_keep`, `text_filtered` (kept lines re-joined with \n).
+   */
+  def c4LineFilter(df: DataFrame, textCol: String,
+                   minWords: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    val nl = "chr(10)"
+    val lines =
+      s"""filter(transform(split($textCol, $nl),
+         |  x -> regexp_replace(x, '^\\\\s+|\\\\s+$$', '')), x -> x != '')""".stripMargin
+    // rule class per line: 0 keep, 1 short, 2 no terminal punct, 3 js
+    val cls =
+      s"""transform(__lines, x -> CASE
+         |  WHEN size(filter(split(x, '\\\\s+'), w -> w != '')) < $minWords THEN 1
+         |  WHEN NOT x RLIKE '[.!?"]$$' THEN 2
+         |  WHEN lower(x) LIKE '%javascript%' THEN 3
+         |  ELSE 0 END)""".stripMargin
+    df.withColumn("__lines", expr(lines))
+      .withColumn("__cls", expr(cls))
+      .withColumn("n_lines", expr("CAST(size(__lines) AS BIGINT)"))
+      .withColumn("n_kept", expr("CAST(size(filter(__cls, c -> c = 0)) AS BIGINT)"))
+      .withColumn("dropped_short", expr("CAST(size(filter(__cls, c -> c = 1)) AS BIGINT)"))
+      .withColumn("dropped_no_punct", expr("CAST(size(filter(__cls, c -> c = 2)) AS BIGINT)"))
+      .withColumn("dropped_js", expr("CAST(size(filter(__cls, c -> c = 3)) AS BIGINT)"))
+      .withColumn("has_lorem", expr(s"lower($textCol) LIKE '%lorem ipsum%'"))
+      .withColumn("has_brace", expr(s"contains($textCol, '{')"))
+      .withColumn("page_keep",
+        expr(s"n_kept >= $minKeptLines AND NOT has_lorem AND NOT has_brace"))
+      .withColumn("text_filtered", expr(
+        s"""array_join(filter(zip_with(__lines, __cls,
+           |  (x, c) -> CASE WHEN c = 0 THEN x END), x -> x IS NOT NULL), $nl)""".stripMargin))
+      .drop("__lines", "__cls")
+  }
+
+  /**
+   * Corpus-wide exact line dedup (the RefinedWeb / MassiveText
+   * line-level pass): count every whitespace-trimmed non-empty line
+   * across the corpus, and remove ALL occurrences of lines appearing
+   * >= `minCount` times (navigation menus, cookie banners, license
+   * headers). Line keys are case-sensitive exact content — the
+   * fuzzy/lowercased analog is [[graft.operators.Dedup.duplicateSpans]].
+   *
+   * 100-TB shape: the only corpus-sized shuffle is the (line, count)
+   * hash aggregate (map-side combined); the duplicated-line table joins
+   * back against exploded positions (output proportional to duplicated
+   * text), and each document rebuilds from its surviving lines with one
+   * per-document aggregate — no window, no global sort.
+   *
+   * Output: one row per document — `n_lines`, `n_dropped`, and
+   * `text_deduped` (surviving lines re-joined with \n; whitespace-only
+   * normalization is NOT undone: trimmed lines are what survives).
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, "a line is duplicated only from 2 occurrences up")
+    val lines =
+      s"""filter(transform(split($textCol, chr(10)),
+         |  x -> regexp_replace(x, '^\\\\s+|\\\\s+$$', '')), x -> x != '')""".stripMargin
+    val exploded = df.select(col(idCol), posexplode(expr(lines)).as(Seq("__pos", "__line")))
+    val dup = exploded.groupBy("__line").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount).select(col("__line"), lit(true).as("__dup"))
+    val perDoc = exploded.join(dup, Seq("__line"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+            when(!coalesce(col("__dup"), lit(false)),
+              struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line")), "\n").as("text_deduped"))
+    // precondition (like the dedup family): idCol uniquely identifies
+    // rows; line-less documents survive with an empty result
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
   // ---- n-gram language-model scoring ----------------------------------

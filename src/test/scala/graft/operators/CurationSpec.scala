@@ -77,6 +77,57 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(out(2L) == "z1 z2 z3")
   }
 
+  // ---- c4LineFilter / dedupLines --------------------------------------
+
+  test("c4LineFilter classifies lines once under the first failing rule") {
+    val text = "Good first line with punctuation.\n  hi  \nno terminal punctuation here\n" +
+      "Please enable JavaScript now.\nAnother good line here.\n\n{ bad brace"
+    val df = Seq((1L, text)).toDF("id", "text")
+    val r = TextAnalysis.c4LineFilter(df, "text").collect().head
+    assert(r.getAs[Long]("n_lines") == 6)
+    assert(r.getAs[Long]("n_kept") == 2)
+    assert(r.getAs[Long]("dropped_short") == 1)     // "hi"
+    assert(r.getAs[Long]("dropped_no_punct") == 2)  // bare line + "{ bad brace"
+    assert(r.getAs[Long]("dropped_js") == 1)
+    assert(!r.getAs[Boolean]("has_lorem"))
+    assert(r.getAs[Boolean]("has_brace"))
+    assert(!r.getAs[Boolean]("page_keep"))
+    assert(r.getAs[String]("text_filtered") ==
+      "Good first line with punctuation.\nAnother good line here.")
+  }
+
+  test("c4LineFilter keeps a clean page") {
+    val text = "One fine line right here.\nA second decent line too.\nAnd a third one, yes."
+    val r = TextAnalysis.c4LineFilter(Seq((1L, text)).toDF("id", "text"), "text")
+      .collect().head
+    assert(r.getAs[Long]("n_kept") == 3)
+    assert(r.getAs[Boolean]("page_keep"))
+    assert(r.getAs[String]("text_filtered") == text)
+  }
+
+  test("dedupLines removes all occurrences of corpus-duplicated lines, case-sensitive") {
+    val docs = Seq(
+      (1L, "unique one here.\nSHARED LINE\nanother unique."),
+      (2L, "SHARED LINE\nsecond doc text."),
+      (3L, "shared line\nthird doc."),
+      (4L, "rep\nrep\nok.")
+    ).toDF("id", "text")
+    val out = TextAnalysis.dedupLines(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "unique one here.\nanother unique.")))
+    assert(out(2L) == ((2L, 1L, "second doc text.")))
+    assert(out(3L) == ((2L, 0L, "shared line\nthird doc.")))  // case differs: not a dup
+    assert(out(4L) == ((3L, 2L, "ok.")))                      // within-doc dup drops both
+  }
+
+  test("dedupLines keeps line-less documents with empty results") {
+    val docs = Seq((1L, "a real line\na real line"), (2L, "   \n  ")).toDF("id", "text")
+    val out = TextAnalysis.dedupLines(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "")))
+    assert(out(2L) == ((0L, 0L, "")))
+  }
+
   // ---- semanticDedup ---------------------------------------------------
 
   test("semanticDedup keep set matches brute force within clusters") {
