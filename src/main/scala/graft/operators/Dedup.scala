@@ -366,19 +366,14 @@ object Dedup {
   def contamination(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
     require(n >= 1, "gram size must be >= 1")
-    def gramsExpr(c: String): String = {
-      val toks = TextAnalysis.toksExpr(c)
-      // sequence(1, 0) is the DESCENDING [1, 0] in Spark, so short docs
-      // need an explicit empty-array guard, not a greatest() clamp
-      s"""CASE WHEN size($toks) < $n THEN array()
-         |ELSE array_distinct(transform(
-         |  sequence(1, size($toks) - ${n - 1}),
-         |  i -> array_join(slice($toks, i, $n), ' '))) END""".stripMargin
-    }
+    // distinct sliding grams in one pass per row (TextAnalysis
+    // .slidingGrams — the lambda form was O(tokens²)/row)
+    def grams(c: String): Column =
+      TextAnalysis.slidingGrams(n, distinct = true)(expr(TextAnalysis.toksExpr(c)))
     val benchGrams = bench
-      .select(explode(expr(gramsExpr(benchTextCol))).as("__g")).distinct()
+      .select(explode(grams(benchTextCol)).as("__g")).distinct()
       .withColumn("__hit", lit(1L))
-    corpus.select(col(idCol), expr(gramsExpr(textCol)).as("__gs"))
+    corpus.select(col(idCol), grams(textCol).as("__gs"))
       .select(col(idCol), size(col("__gs")).cast("long").as("__n"),
         explode_outer(col("__gs")).as("__g"))
       .join(broadcast(benchGrams), Seq("__g"), "left")
@@ -419,16 +414,6 @@ object Dedup {
    * Output: one row per maximal duplicated span —
    * (id, span_start [0-based token index], span_tokens, n_grams).
    */
-  /** Sliding k-token windows re-joined with single spaces — identical
-    * strings to `array_join(slice(toks, i, k), ' ')`. */
-  private def gramWindowUdf(k: Int) = udf { (toks: Seq[String]) =>
-    if (toks == null || toks.length < k) Array.empty[String]
-    else {
-      val t = toks.toArray
-      Array.tabulate(t.length - k + 1)(i => t.slice(i, i + k).mkString(" "))
-    }
-  }
-
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 1, "gram width must be >= 1")
@@ -447,7 +432,7 @@ object Dedup {
     // fingerprint collision (~n²/2⁶⁴) could flag a non-duplicated span —
     // the same trade every published hash-based dedup pass makes.
     val grams = df.select(col(idCol),
-        posexplode(gramWindowUdf(k)(expr(TextAnalysis.toksExpr(textCol))))
+        posexplode(TextAnalysis.slidingGrams(k)(expr(TextAnalysis.toksExpr(textCol))))
           .as(Seq("__pos", "__gram")))
       .select(col(idCol), col("__pos"), xxhash64(col("__gram")).as("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -63,6 +63,24 @@ object TextAnalysis {
   private[operators] val fencedTokens =
     udf((a: Seq[String]) => a).asNondeterministic()
 
+  /** Sliding k-token windows re-joined with single spaces — exactly the
+    * strings `transform(sequence(1, size(t)-k+1), i -> array_join(
+    * slice(t, i, k), ' '))` yields, built in one pass. The pure-Column
+    * lambda form re-evaluates its token-array reference once PER
+    * POSITION (O(tokens²)/row once CollapseProject inlines the
+    * tokenizer under it — see [[fencedTokens]]) and costs seconds of
+    * whole-stage-codegen compilation; the UDF's argument evaluates once
+    * per row. `distinct` keeps first occurrences, like array_distinct. */
+  private[operators] def slidingGrams(k: Int, distinct: Boolean = false) =
+    udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < k) Array.empty[String]
+      else {
+        val t = toks.toArray
+        val g = Array.tabulate(t.length - k + 1)(i => t.slice(i, i + k).mkString(" "))
+        if (distinct) g.distinct else g
+      }
+    }
+
   def withLangId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame =
     df.withColumn(outCol, langIdUdf(col(textCol)))
 
@@ -284,12 +302,7 @@ object TextAnalysis {
   def corpusTopGrams(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, k: Int = 100): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be >= 1")
-    val toks = toksExpr(textCol)
-    val grams =
-      s"""CASE WHEN size($toks) < $n THEN array()
-         |ELSE transform(sequence(1, size($toks) - ${n - 1}),
-         |  i -> array_join(slice($toks, i, $n), ' ')) END""".stripMargin
-    df.select(col(idCol), explode(expr(grams)).as("gram"))
+    df.select(col(idCol), explode(slidingGrams(n)(expr(toksExpr(textCol)))).as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
       .groupBy("gram")
       .agg(sum(col("__c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
