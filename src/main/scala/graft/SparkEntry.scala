@@ -2423,12 +2423,16 @@ object SparkEntry {
           |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM l)),
           |d AS (SELECT line FROM e GROUP BY line HAVING count(*) >= 2),
           |j AS (SELECT e.doc_id, e.pos, e.line, d.line IS NOT NULL AS dup
-          |  FROM e LEFT JOIN d ON e.line = d.line)
-          |SELECT doc_id, count(*) AS n_lines,
+          |  FROM e LEFT JOIN d ON e.line = d.line),
+          |g AS (SELECT doc_id, count(*) AS n_lines,
           |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
           |  COALESCE(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), '')
           |    AS text_deduped
-          |FROM j GROUP BY doc_id""".stripMargin,
+          |FROM j GROUP BY doc_id)
+          |SELECT b.doc_id, COALESCE(g.n_lines, 0) AS n_lines,
+          |  COALESCE(g.n_dropped, 0) AS n_dropped,
+          |  COALESCE(g.text_deduped, '') AS text_deduped
+          |FROM base b LEFT JOIN g USING (doc_id)""".stripMargin,
 
       "q_semantic_dedup" ->
         """WITH e AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS g,

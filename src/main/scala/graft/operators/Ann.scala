@@ -140,16 +140,22 @@ object Ann {
     }
   }
 
+  // null or length-mismatched operands score 0.0 (rank last / below any
+  // similarity threshold) instead of failing the whole job on one
+  // malformed row
   private val cosineUdf = udf { (as: Seq[Float], bs: Seq[Float]) =>
-    val a = as.toArray; val b = bs.toArray
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < a.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    if (as == null || bs == null || as.length != bs.length) 0.0
+    else {
+      val a = as.toArray; val b = bs.toArray
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Exact top-k by cosine for each query vector (queries broadcast). */
@@ -211,6 +217,9 @@ object Ann {
     val cents: Array[(Int, Seq[Float])] = centroids match {
       case Some(cs) => cs.zipWithIndex.map { case (c, i) => (i, c) }
       case None => data
+        // a null/empty embedding in the sample window would become a
+        // null centroid and crash every assignment
+        .where(col(embCol).isNotNull && size(col(embCol)) > 0)
         .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000)))
         .where(col("__h") < lit(math.max(1, 1000 / nLists)))
         .select(col(idCol), col(embCol))
@@ -262,8 +271,15 @@ object Ann {
              k: Int, iters: Int = 5,
              init: Option[Array[Seq[Float]]] = None): (Array[Array[Double]], DataFrame) = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    init.foreach(cs => require(cs.length == k,
+      s"init supplies ${cs.length} centroids but k = $k"))
+    // the Lloyd loop re-reads the input iters+1 times — materialize the
+    // narrow (id, emb) projection once instead of re-running whatever
+    // pipeline produced it (memory-and-disk, evictable)
+    val data = df.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] =
-      quantizer(df, idCol, embCol, k, init).map(_._2.toArray.map(_.toDouble))
+      quantizer(data, idCol, embCol, k, init).map(_._2.toArray.map(_.toDouble))
     def assignUdf(cs: Array[Array[Double]]) = udf { (vs: Seq[Float]) =>
       if (vs == null || vs.isEmpty) -1
       else {
@@ -286,7 +302,7 @@ object Ann {
     }
     var it = 0
     while (it < iters) {
-      val sums = df
+      val sums = data
         .select(assignUdf(cents)(col(embCol)).as("__c"),
           posexplode(col(embCol)).as(Seq("__d", "__x")))
         .where(col("__c") >= 0)
@@ -301,7 +317,7 @@ object Ann {
       cents = next
       it += 1
     }
-    val assigned = df.withColumn("cluster", assignUdf(cents)(col(embCol)))
+    val assigned = data.withColumn("cluster", assignUdf(cents)(col(embCol)))
       .select(col(idCol), col("cluster"))
     (cents, assigned)
   }
@@ -332,14 +348,25 @@ object Ann {
                     maxCluster: Int = 1 << 16): DataFrame = {
     val cents = quantizer(df, idCol, embCol, nLists, centroids)
     val bc = cents
+    // null/empty/mis-sized vectors assign to cluster -1 (excluded from
+    // pairing below — they can't be judged, so they keep)
     val assign = udf { (v: Seq[Float]) =>
       if (v == null || v.isEmpty) -1
-      else bc.map { case (i, c) => (i, cosineVal(v, c)) }
-        .maxBy { case (i, cos) => (cos, -i) }._1
+      else {
+        val fit = bc.filter(_._2.length == v.length)
+        if (fit.isEmpty) -1
+        else fit.map { case (i, c) => (i, cosineVal(v, c)) }
+          .maxBy { case (i, cos) => (cos, -i) }._1
+      }
     }
+    // the assignment (all-centroid cosines per row) feeds the bucket
+    // count, the pair scans, and both embedding re-joins — materialize
+    // it once (memory-and-disk, evictable; the minhashPairs idiom)
     val a = df.select(col(idCol).as("__id"), col(embCol).as("__emb"))
       .withColumn("cluster", assign(col("__emb")))
-    val ids = Dedup.capBuckets(a.select("cluster", "__id"), Seq("cluster"), maxCluster)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = Dedup.capBuckets(
+      a.where(col("cluster") >= 0).select("cluster", "__id"), Seq("cluster"), maxCluster)
     val l = ids.select(col("cluster"), col("__id").as("__id1"))
     val r = ids.select(col("cluster"), col("__id").as("__id2"))
     val dropped = l.join(r, Seq("cluster")).where(col("__id1") < col("__id2"))
@@ -356,6 +383,7 @@ object Ann {
   }
 
   private def cosineVal(as: Seq[Float], bs: Seq[Float]): Double = {
+    if (as == null || bs == null || as.length != bs.length) return 0.0
     val a = as.toArray; val b = bs.toArray
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

@@ -323,8 +323,9 @@ object TextAnalysis {
    * Document-level C4 flags ride along: "lorem ipsum" and curly-brace
    * page markers, and `page_keep` (enough kept lines AND neither flag).
    *
-   * Pure codegen projection (split / transform / filter HOFs) — no UDF,
-   * no shuffle; the identical construction runs in the DuckDB oracle.
+   * One projection, no shuffle (the line split sits behind the
+   * [[fencedTokens]] optimizer fence so it runs once per row); the
+   * identical construction runs in the DuckDB oracle.
    *
    * Output: input columns + `n_lines`, `n_kept`, `dropped_short`,
    * `dropped_no_punct`, `dropped_js`, `has_lorem`, `has_brace`,
@@ -343,7 +344,10 @@ object TextAnalysis {
          |  WHEN NOT x RLIKE '[.!?"]$$' THEN 2
          |  WHEN lower(x) LIKE '%javascript%' THEN 3
          |  ELSE 0 END)""".stripMargin
-    df.withColumn("__lines", expr(lines))
+    // fencedTokens: the line array feeds n_lines, the classifier and the
+    // rebuild — without the fence CollapseProject re-splits the document
+    // once per consumer
+    df.withColumn("__lines", fencedTokens(expr(lines)))
       .withColumn("__cls", expr(cls))
       .withColumn("n_lines", expr("CAST(size(__lines) AS BIGINT)"))
       .withColumn("n_kept", expr("CAST(size(filter(__cls, c -> c = 0)) AS BIGINT)"))

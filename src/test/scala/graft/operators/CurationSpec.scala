@@ -166,6 +166,37 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(got.count(_._3) >= 4, "fewer survivors than clusters")
   }
 
+  test("semanticDedup survives null and mis-sized embeddings (cluster -1, kept)") {
+    val data: Seq[(Long, Option[Seq[Float]])] = Seq(
+      (0L, Some(Seq(1f, 0f))), (1L, Some(Seq(1f, 0f))),   // dup pair
+      (2L, None), (3L, None),                              // nulls must not pair/NPE
+      (4L, Some(Seq(1f, 0f, 9f))),                         // mis-sized vs centroids
+      (5L, Some(Seq(0f, 1f))))
+    val df = data.toDF("id", "emb")
+    val cents = Array(Seq(1f, 0f), Seq(0f, 1f))
+    val out = Ann.semanticDedup(df, "id", "emb", tau = 0.99, nLists = 2,
+        centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out.size == 6)
+    assert(out(1L) == ((0, false)))          // dominated by id 0
+    assert(out(0L) == ((0, true)))
+    assert(out(2L) == ((-1, true)) && out(3L) == ((-1, true)))
+    assert(out(4L) == ((-1, true)))
+    assert(out(5L) == ((1, true)))
+  }
+
+  test("kmeans sampling skips null embeddings; init size must match k") {
+    val df = (Seq((0L, Option(Seq(0f, 0f))), (1L, None)) ++
+      (2 until 20).map(i => (i.toLong, Option(Seq(i.toFloat, 0f))))).toDF("id", "emb")
+    val (cents, assigned) = Ann.kmeans(df, "id", "emb", k = 2, iters = 2)
+    assert(cents.length == 2 && cents.forall(_ != null))
+    assert(assigned.where(col("cluster") === -1).count() == 1) // the null row
+    val e = intercept[IllegalArgumentException] {
+      Ann.kmeans(df, "id", "emb", k = 3, init = Some(Array(Seq(0f, 0f))))
+    }
+    assert(e.getMessage.contains("centroids"))
+  }
+
   // ---- lmScore ---------------------------------------------------------
 
   test("lmScore matches the hand-computed add-one bigram model") {
