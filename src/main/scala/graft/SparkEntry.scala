@@ -1383,6 +1383,13 @@ object SparkEntry {
       operators.TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    "q_tfidf" -> ((s, dir) => {
+      // TF-IDF top terms per document (smoothed idf); the idf rounds to
+      // a 1e-6 integer per term before the tf multiply, so weights and
+      // rank order are engine-independent integers
+      operators.TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
     "q_kmeans" -> ((s, dir) => {
       // distributed Lloyd k-means on PLANTED separable clusters:
       // one-hot init converges in one sweep and every value is a dyadic
@@ -2468,6 +2475,27 @@ object SparkEntry {
           |       ELSE CAST(floor(-CAST(d.s AS DOUBLE) / d.n_bigrams + 0.5) AS BIGINT)
           |  END AS avg_nll_e6
           |FROM toks t LEFT JOIN d USING (doc_id)""".stripMargin,
+
+      "q_tfidf" ->
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |tm AS (SELECT doc_id, unnest(t) AS term FROM toks),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
+          |dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+          |nn AS (SELECT count(*) AS n FROM documents),
+          |idf AS (SELECT term, df_t,
+          |    CAST(floor((ln((CAST(n AS DOUBLE) + 1.0) / (CAST(df_t AS DOUBLE) + 1.0)) + 1.0)
+          |      * 1000000 + 0.5) AS BIGINT) AS idf_e6
+          |  FROM dfq CROSS JOIN nn),
+          |w AS (SELECT tf.doc_id, tf.term, tf.tf, idf.df_t,
+          |    tf.tf * idf.idf_e6 AS weight_e6
+          |  FROM tf JOIN idf USING (term))
+          |SELECT doc_id, term, tf, df_t, weight_e6, CAST(rnk AS BIGINT) AS rank FROM (
+          |  SELECT w.*, row_number() OVER (
+          |      PARTITION BY doc_id ORDER BY weight_e6 DESC, term) AS rnk
+          |  FROM w) q
+          |WHERE rnk <= 3""".stripMargin,
 
       "q_kmeans" ->
         """WITH e AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS g,

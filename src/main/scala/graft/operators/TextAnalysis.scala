@@ -481,6 +481,49 @@ object TextAnalysis {
             |END""".stripMargin).as("avg_nll_e6"))
   }
 
+  // ---- TF-IDF ----------------------------------------------------------
+
+  /**
+   * TF-IDF top terms per document — the classic corpus vectorizer
+   * (here with sklearn's smoothed idf: ln((N+1)/(df_t+1)) + 1): term
+   * frequency per document, document frequency per term, and each
+   * document's `k` highest-weighted terms. The top-term set is what
+   * keyword extraction / near-dup blocking / topic labeling consume;
+   * the full weighted vector is the same plan minus the rank filter.
+   *
+   * Parity contract (as in [[lmScore]]): idf rounds to a 1e-6 integer
+   * per TERM before the tf multiply, so weights are exact integers and
+   * rank order is engine-independent; ties break to the
+   * lexicographically smaller term.
+   *
+   * 100-TB shape: two hash aggregates (doc-term counts with map-side
+   * combine; term document-frequency folded from it), the idf table
+   * joins back on the term key, and the per-document top-k is a window
+   * partitioned by document — no global sort. N (total docs) is one
+   * bounded driver scalar.
+   *
+   * Output: (idCol, term, tf, df_t, weight_e6, rank), rank 1..k per doc.
+   */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val n = df.count()
+    require(n > 0, "empty corpus")
+    val terms = df.select(col(idCol), explode(expr(toksExpr(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy("term").agg(count(lit(1)).as("df_t"))
+      .withColumn("idf_e6", expr(
+        s"""CAST(floor((ln((CAST($n AS DOUBLE) + 1.0) / (CAST(df_t AS DOUBLE) + 1.0)) + 1.0)
+           |  * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+    terms.join(docFreq, "term")
+      .withColumn("weight_e6", col("tf") * col("idf_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("weight_e6").desc, col("term").asc)))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df_t"),
+        col("weight_e6"), col("rank").cast("long").as("rank"))
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** The redaction categories, in application order (most specific

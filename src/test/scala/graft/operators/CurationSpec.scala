@@ -226,6 +226,21 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(out(2L) == math.floor(math.log(1.0 / 2.0) * 1e6 + 0.5).toLong)
   }
 
+  // ---- tfIdfTopTerms ---------------------------------------------------
+
+  test("tfIdfTopTerms matches the hand-computed smoothed-idf weights") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // N=2; idf_e6: apple/cherry = floor((ln(3/2)+1)*1e6+.5) = 1405465, banana = 1000000
+    assert(out((1L, "apple")) == ((2L, 1L, 2L * 1405465L, 1L)))
+    assert(out((1L, "banana")) == ((1L, 2L, 1000000L, 2L)))
+    assert(out((2L, "cherry")) == ((1L, 1L, 1405465L, 1L)))
+    assert(out((2L, "banana")) == ((1L, 2L, 1000000L, 2L)))
+    assert(out.size == 4)
+  }
+
   // ---- kmeans ----------------------------------------------------------
 
   test("kmeans converges to the planted cluster means") {
