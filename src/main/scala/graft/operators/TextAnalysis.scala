@@ -388,7 +388,10 @@ object TextAnalysis {
     val lines =
       s"""filter(transform(split($textCol, chr(10)),
          |  x -> regexp_replace(x, '^\\\\s+|\\\\s+$$', '')), x -> x != '')""".stripMargin
+    // the exploded line stream feeds the count aggregate and the dup
+    // probe — persist (the duplicateSpans idiom) for one split pass
     val exploded = df.select(col(idCol), posexplode(expr(lines)).as(Seq("__pos", "__line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = exploded.groupBy("__line").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount).select(col("__line"), lit(true).as("__dup"))
     val perDoc = exploded.join(dup, Seq("__line"), "left")
@@ -453,7 +456,11 @@ object TextAnalysis {
     }
     val (lmDf, lmText) = lm.getOrElse((df, textCol))
     val lmBi = bigrams(lmDf, Seq.empty, lmText)
+    // the bigram-type table feeds c1, the V scalar and the score join —
+    // persist it (bounded by vocab², far smaller than the corpus) so the
+    // LM-corpus gram build runs one pass instead of four
     val c12 = lmBi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c12.groupBy("__w1").agg(sum("__c12").as("__c1"))
     val v = c12.select("__w2").distinct().count()
     require(v > 0, "LM corpus has no bigrams")
@@ -509,8 +516,11 @@ object TextAnalysis {
     require(k >= 1, "k must be >= 1")
     val n = df.count()
     require(n > 0, "empty corpus")
+    // doc-term counts feed both the document-frequency fold and the
+    // weight join — persist so the tokenize+explode runs one pass
     val terms = df.select(col(idCol), explode(expr(toksExpr(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = terms.groupBy("term").agg(count(lit(1)).as("df_t"))
       .withColumn("idf_e6", expr(
         s"""CAST(floor((ln((CAST($n AS DOUBLE) + 1.0) / (CAST(df_t AS DOUBLE) + 1.0)) + 1.0)
