@@ -1319,6 +1319,24 @@ object SparkEntry {
       operators.Dedup.duplicateSpans(docs, "doc_id", "text2", k = 6, minCount = 2)
     }),
 
+    "q_strip_spans" -> ((s, dir) => {
+      // the removal half of substring dedup: same planted construction
+      // as q_dup_spans, docs rebuilt without their duplicated spans; the
+      // oracle recomputes islands and anti-joins tokens against them
+      // (islands are disjoint, so a token matches at most one span)
+      val docs = t(s, dir, "documents").selectExpr("doc_id",
+        """concat(
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 25), ' '),
+          |  CASE CAST(doc_id % 3 AS INT)
+          |    WHEN 0 THEN ' pack the shard and ship the batch to the far node '
+          |    WHEN 1 THEN ' scan the table then merge the rows into one block '
+          |    ELSE ' hash the key and route the value to a live bucket ' END,
+          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 26, 15), ' '))
+          |AS text2""".stripMargin)
+      operators.Dedup.stripSpans(docs, "doc_id", "text2", k = 6, minCount = 2)
+        .select("doc_id", "text_deduped")
+    }),
+
     "q_c4_lines" -> ((s, dir) => {
       // C4 line-wise corrections over constructed multi-line pages:
       // kept lines, a too-short line, a no-terminal-punctuation line, a
@@ -2373,6 +2391,44 @@ object SparkEntry {
           |  CAST(MAX(pos) + 6 - MIN(pos) AS BIGINT) AS span_tokens,
           |  count(*) AS n_grams
           |FROM i2 GROUP BY doc_id, island""".stripMargin,
+
+      "q_strip_spans" ->
+        """WITH base AS (SELECT doc_id, concat(
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:25], ' '),
+          |    CASE CAST(doc_id % 3 AS INT)
+          |      WHEN 0 THEN ' pack the shard and ship the batch to the far node '
+          |      WHEN 1 THEN ' scan the table then merge the rows into one block '
+          |      ELSE ' hash the key and route the value to a live bucket ' END,
+          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[26:40], ' ')) AS text2
+          |  FROM documents),
+          |toks AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text2), '\s+'), x -> x <> '') AS t,
+          |    list_filter(string_split_regex(text2, '\s+'), x -> x <> '') AS raw
+          |  FROM base),
+          |g AS (SELECT doc_id, i - 1 AS pos,
+          |    array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 5], ' ') AS gram
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
+          |        FROM toks WHERE len(t) >= 6)),
+          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+          |isl AS (SELECT doc_id, pos,
+          |    CASE WHEN pos <= COALESCE(MAX(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 0 ELSE 1 END AS brk
+          |  FROM h),
+          |i2 AS (SELECT doc_id, pos,
+          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+          |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 6 AS e
+          |  FROM i2 GROUP BY doc_id, island),
+          |tok AS (SELECT doc_id, i - 1 AS idx, raw[CAST(i AS INT)] AS w
+          |  FROM (SELECT doc_id, raw, unnest(generate_series(1, len(raw))) AS i FROM toks)),
+          |kept AS (SELECT tok.doc_id, tok.idx, tok.w
+          |  FROM tok LEFT JOIN spans
+          |    ON tok.doc_id = spans.doc_id AND tok.idx >= spans.s AND tok.idx < spans.e
+          |  WHERE spans.doc_id IS NULL)
+          |SELECT b.doc_id,
+          |  COALESCE((SELECT string_agg(w, ' ' ORDER BY idx) FROM kept
+          |            WHERE kept.doc_id = b.doc_id), '') AS text_deduped
+          |FROM base b""".stripMargin,
 
       "q_c4_lines" ->
         """WITH base AS (SELECT doc_id, concat(

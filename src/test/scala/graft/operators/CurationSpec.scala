@@ -226,6 +226,49 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(out(2L) == math.floor(math.log(1.0 / 2.0) * 1e6 + 0.5).toLong)
   }
 
+  // ---- plan shapes (the scale contracts) -------------------------------
+
+  test("plan shapes: spans/semantic/lm/tfidf/c4 keep their scale contracts") {
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"w$i common tail words here again w${i % 7} end"))
+      .toDF("id", "text")
+
+    // c4LineFilter is one projection: no shuffle anywhere
+    val c4Plan = TextAnalysis.c4LineFilter(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!c4Plan.contains("Exchange"), s"unexpected shuffle in:\n$c4Plan")
+
+    // duplicateSpans: the gram stream is cached once (InMemoryRelation)
+    // and the island merge is the ONLY window, partitioned by document
+    val spansPlan = Dedup.duplicateSpans(docs, "id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(spansPlan.contains("InMemoryTableScan"), s"gram stream not cached:\n$spansPlan")
+    assert("windowspecdefinition\\(id".r.findAllIn(spansPlan).nonEmpty, spansPlan)
+    assert(!spansPlan.contains("windowspecdefinition()"),
+      s"unpartitioned window in:\n$spansPlan")
+
+    // lmScore: aggregates only — no window, no sort-based global op
+    val lmPlan = TextAnalysis.lmScore(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("Window"), s"unexpected window in:\n$lmPlan")
+
+    // tfIdf: the top-k window partitions by document (never a global
+    // single-partition window over the corpus)
+    val tfPlan = TextAnalysis.tfIdfTopTerms(docs, "id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(tfPlan.contains("windowspecdefinition(id"), tfPlan)
+
+    // semanticDedup: pairs form via the cluster equi-join — no
+    // cartesian product anywhere
+    val cents = Array(Seq(1f, 0f), Seq(0f, 1f))
+    val e = docs.selectExpr("id",
+      "array(CAST(id % 2 AS FLOAT), CAST((id + 1) % 2 AS FLOAT)) AS emb")
+    val sdPlan = Ann.semanticDedup(e, "id", "emb", tau = 0.9, nLists = 2,
+        centroids = Some(cents))
+      .queryExecution.executedPlan.toString
+    assert(!sdPlan.contains("CartesianProduct"), s"cartesian in:\n$sdPlan")
+  }
+
   // ---- tfIdfTopTerms ---------------------------------------------------
 
   test("tfIdfTopTerms matches the hand-computed smoothed-idf weights") {
