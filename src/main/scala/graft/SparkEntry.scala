@@ -33,6 +33,56 @@ object SparkEntry {
     "SELECT n_nationkey AS zone_key, (n_nationkey % 5) * 72.0 - 180.0 AS lon0, " +
       "floor(n_nationkey / 5) * 36.0 - 90.0 AS lat0 FROM nation"
 
+  /** Planted-boilerplate construction shared by the substring-dedup
+    * family (q_dup_spans / q_strip_spans / q_dup_stats): 25 corpus
+    * tokens + one of 3 fixed sentences + 15 more tokens, so cross-doc
+    * duplicated 6-gram runs exist by construction. The Spark projection
+    * and the oracle CTEs below must stay in lockstep — ONE definition
+    * each. */
+  private val PlantedSpanExpr =
+    """concat(
+      |  array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 25), ' '),
+      |  CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN ' pack the shard and ship the batch to the far node '
+      |    WHEN 1 THEN ' scan the table then merge the rows into one block '
+      |    ELSE ' hash the key and route the value to a live bucket ' END,
+      |  array_join(slice(filter(split(text, ' '), x -> x != ''), 26, 15), ' '))
+      |AS text2""".stripMargin
+
+  private def plantedSpanDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").selectExpr("doc_id", PlantedSpanExpr)
+
+  private val PlantedSpanBaseCte =
+    """base AS (SELECT doc_id, concat(
+      |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:25], ' '),
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN ' pack the shard and ship the batch to the far node '
+      |      WHEN 1 THEN ' scan the table then merge the rows into one block '
+      |      ELSE ' hash the key and route the value to a live bucket ' END,
+      |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[26:40], ' ')) AS text2
+      |  FROM documents)""".stripMargin
+
+  /** The k=6 duplicated-gram island pipeline over `base` (the DuckDB
+    * twin of Dedup.duplicateSpans): yields `toks` (lowered `t` + raw
+    * tokens), `i2` (island-tagged duplicated-gram positions). */
+  private val SpanIslandsCte =
+    """toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text2), '\s+'), x -> x <> '') AS t,
+      |    list_filter(string_split_regex(text2, '\s+'), x -> x <> '') AS raw
+      |  FROM base),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 5], ' ') AS gram
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
+      |        FROM toks WHERE len(t) >= 6)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      |isl AS (SELECT doc_id, pos,
+      |    CASE WHEN pos <= COALESCE(MAX(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 0 ELSE 1 END AS brk
+      |  FROM h),
+      |i2 AS (SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)""".stripMargin
+
   /** Deterministic raster chunks derived from the event points — one
     * chunk per occupied grid cell at two resolutions (even event ids
     * seed 8-degree chunks at res 0.5 deg/px, odd ids 2-degree chunks at
@@ -1307,16 +1357,8 @@ object SparkEntry {
       // mid-text in every doc, so cross-doc duplicated 6-gram runs exist
       // by construction (natural word-stream repeats count too); the
       // oracle recomputes the identical gram/count/island pipeline
-      val docs = t(s, dir, "documents").selectExpr("doc_id",
-        """concat(
-          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 25), ' '),
-          |  CASE CAST(doc_id % 3 AS INT)
-          |    WHEN 0 THEN ' pack the shard and ship the batch to the far node '
-          |    WHEN 1 THEN ' scan the table then merge the rows into one block '
-          |    ELSE ' hash the key and route the value to a live bucket ' END,
-          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 26, 15), ' '))
-          |AS text2""".stripMargin)
-      operators.Dedup.duplicateSpans(docs, "doc_id", "text2", k = 6, minCount = 2)
+      operators.Dedup.duplicateSpans(plantedSpanDocs(s, dir), "doc_id", "text2",
+        k = 6, minCount = 2)
     }),
 
     "q_strip_spans" -> ((s, dir) => {
@@ -1324,17 +1366,16 @@ object SparkEntry {
       // as q_dup_spans, docs rebuilt without their duplicated spans; the
       // oracle recomputes islands and anti-joins tokens against them
       // (islands are disjoint, so a token matches at most one span)
-      val docs = t(s, dir, "documents").selectExpr("doc_id",
-        """concat(
-          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 25), ' '),
-          |  CASE CAST(doc_id % 3 AS INT)
-          |    WHEN 0 THEN ' pack the shard and ship the batch to the far node '
-          |    WHEN 1 THEN ' scan the table then merge the rows into one block '
-          |    ELSE ' hash the key and route the value to a live bucket ' END,
-          |  array_join(slice(filter(split(text, ' '), x -> x != ''), 26, 15), ' '))
-          |AS text2""".stripMargin)
-      operators.Dedup.stripSpans(docs, "doc_id", "text2", k = 6, minCount = 2)
+      operators.Dedup.stripSpans(plantedSpanDocs(s, dir), "doc_id", "text2",
+          k = 6, minCount = 2)
         .select("doc_id", "text_deduped")
+    }),
+
+    "q_dup_stats" -> ((s, dir) => {
+      // document-level duplication fraction (the MassiveText drop rule),
+      // derived from the same planted-span construction as q_dup_spans
+      operators.Dedup.duplicationStats(plantedSpanDocs(s, dir), "doc_id", "text2",
+        k = 6, minCount = 2)
     }),
 
     "q_c4_lines" -> ((s, dir) => {
@@ -2364,71 +2405,41 @@ object SparkEntry {
           |FROM c""".stripMargin,
 
       "q_dup_spans" ->
-        """WITH base AS (SELECT doc_id, concat(
-          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:25], ' '),
-          |    CASE CAST(doc_id % 3 AS INT)
-          |      WHEN 0 THEN ' pack the shard and ship the batch to the far node '
-          |      WHEN 1 THEN ' scan the table then merge the rows into one block '
-          |      ELSE ' hash the key and route the value to a live bucket ' END,
-          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[26:40], ' ')) AS text2
-          |  FROM documents),
-          |toks AS (SELECT doc_id,
-          |    list_filter(string_split_regex(lower(text2), '\s+'), x -> x <> '') AS t
-          |  FROM base),
-          |g AS (SELECT doc_id, i - 1 AS pos,
-          |    array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 5], ' ') AS gram
-          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
-          |        FROM toks WHERE len(t) >= 6)),
-          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-          |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
-          |isl AS (SELECT doc_id, pos,
-          |    CASE WHEN pos <= COALESCE(MAX(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 0 ELSE 1 END AS brk
-          |  FROM h),
-          |i2 AS (SELECT doc_id, pos,
-          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
-          |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-          |  CAST(MAX(pos) + 6 - MIN(pos) AS BIGINT) AS span_tokens,
-          |  count(*) AS n_grams
-          |FROM i2 GROUP BY doc_id, island""".stripMargin,
+        s"""WITH $PlantedSpanBaseCte,
+           |$SpanIslandsCte
+           |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           |  CAST(MAX(pos) + 6 - MIN(pos) AS BIGINT) AS span_tokens,
+           |  count(*) AS n_grams
+           |FROM i2 GROUP BY doc_id, island""".stripMargin,
 
       "q_strip_spans" ->
-        """WITH base AS (SELECT doc_id, concat(
-          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:25], ' '),
-          |    CASE CAST(doc_id % 3 AS INT)
-          |      WHEN 0 THEN ' pack the shard and ship the batch to the far node '
-          |      WHEN 1 THEN ' scan the table then merge the rows into one block '
-          |      ELSE ' hash the key and route the value to a live bucket ' END,
-          |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[26:40], ' ')) AS text2
-          |  FROM documents),
-          |toks AS (SELECT doc_id,
-          |    list_filter(string_split_regex(lower(text2), '\s+'), x -> x <> '') AS t,
-          |    list_filter(string_split_regex(text2, '\s+'), x -> x <> '') AS raw
-          |  FROM base),
-          |g AS (SELECT doc_id, i - 1 AS pos,
-          |    array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 5], ' ') AS gram
-          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
-          |        FROM toks WHERE len(t) >= 6)),
-          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-          |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
-          |isl AS (SELECT doc_id, pos,
-          |    CASE WHEN pos <= COALESCE(MAX(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 0 ELSE 1 END AS brk
-          |  FROM h),
-          |i2 AS (SELECT doc_id, pos,
-          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
-          |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 6 AS e
-          |  FROM i2 GROUP BY doc_id, island),
-          |tok AS (SELECT doc_id, i - 1 AS idx, raw[CAST(i AS INT)] AS w
-          |  FROM (SELECT doc_id, raw, unnest(generate_series(1, len(raw))) AS i FROM toks)),
-          |kept AS (SELECT tok.doc_id, tok.idx, tok.w
-          |  FROM tok LEFT JOIN spans
-          |    ON tok.doc_id = spans.doc_id AND tok.idx >= spans.s AND tok.idx < spans.e
-          |  WHERE spans.doc_id IS NULL)
-          |SELECT b.doc_id,
-          |  COALESCE((SELECT string_agg(w, ' ' ORDER BY idx) FROM kept
-          |            WHERE kept.doc_id = b.doc_id), '') AS text_deduped
-          |FROM base b""".stripMargin,
+        s"""WITH $PlantedSpanBaseCte,
+           |$SpanIslandsCte,
+           |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 6 AS e
+           |  FROM i2 GROUP BY doc_id, island),
+           |tok AS (SELECT doc_id, i - 1 AS idx, raw[CAST(i AS INT)] AS w
+           |  FROM (SELECT doc_id, raw, unnest(generate_series(1, len(raw))) AS i FROM toks)),
+           |kept AS (SELECT tok.doc_id, tok.idx, tok.w
+           |  FROM tok LEFT JOIN spans
+           |    ON tok.doc_id = spans.doc_id AND tok.idx >= spans.s AND tok.idx < spans.e
+           |  WHERE spans.doc_id IS NULL)
+           |SELECT b.doc_id,
+           |  COALESCE((SELECT string_agg(w, ' ' ORDER BY idx) FROM kept
+           |            WHERE kept.doc_id = b.doc_id), '') AS text_deduped
+           |FROM base b""".stripMargin,
+
+      "q_dup_stats" ->
+        s"""WITH $PlantedSpanBaseCte,
+           |$SpanIslandsCte,
+           |d AS (SELECT doc_id, SUM(e - s) AS dup_tokens FROM (
+           |    SELECT doc_id, MIN(pos) AS s, MAX(pos) + 6 AS e
+           |    FROM i2 GROUP BY doc_id, island) GROUP BY doc_id)
+           |SELECT t2.doc_id, CAST(COALESCE(len(t2.t), 0) AS BIGINT) AS n_tokens,
+           |  CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           |  CAST(floor(CASE WHEN COALESCE(len(t2.t), 0) = 0 THEN 0.0
+           |    ELSE COALESCE(d.dup_tokens, 0) / CAST(len(t2.t) AS DOUBLE) END
+           |    * 1000000 + 0.5) AS BIGINT) AS dup_frac_e6
+           |FROM toks t2 LEFT JOIN d USING (doc_id)""".stripMargin,
 
       "q_c4_lines" ->
         """WITH base AS (SELECT doc_id, concat(

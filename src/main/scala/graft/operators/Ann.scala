@@ -216,17 +216,25 @@ object Ann {
                         centroids: Option[Array[Seq[Float]]]): Array[(Int, Seq[Float])] = {
     val cents: Array[(Int, Seq[Float])] = centroids match {
       case Some(cs) => cs.zipWithIndex.map { case (c, i) => (i, c) }
-      case None => data
+      case None =>
         // a null/empty embedding in the sample window would become a
         // null centroid and crash every assignment
-        .where(col(embCol).isNotNull && size(col(embCol)) > 0)
-        .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000)))
-        .where(col("__h") < lit(math.max(1, 1000 / nLists)))
-        .select(col(idCol), col(embCol))
-        .orderBy(col(idCol)) // limit without order is nondeterministic
-        .limit(nLists)
-        .select(col(embCol))
-        .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+        val valid = data.where(col(embCol).isNotNull && size(col(embCol)) > 0)
+        val sampled = valid
+          .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000)))
+          .where(col("__h") < lit(math.max(1, 1000 / nLists)))
+          .select(col(idCol), col(embCol))
+          .orderBy(col(idCol)) // limit without order is nondeterministic
+          .limit(nLists)
+          .select(col(embCol))
+          .collect()
+        // hash-window shortfall (tiny or unluckily-hashed corpora):
+        // top up from the full table so callers get the k they asked
+        // for whenever k valid rows exist
+        val rows =
+          if (sampled.length >= nLists) sampled
+          else valid.select(col(embCol)).orderBy(col(idCol)).limit(nLists).collect()
+        rows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
     }
     require(cents.nonEmpty, "no centroids sampled")
     cents

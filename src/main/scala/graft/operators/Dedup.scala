@@ -453,6 +453,32 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_tokens"), col("n_grams"))
   }
 
+  /** Per-document duplication statistics derived from
+    * [[duplicateSpans]] — the MassiveText/Gopher document-level rule
+    * ("drop documents whose duplicated-content fraction exceeds a
+    * threshold") needs exactly this number: tokens covered by
+    * duplicated spans over total tokens. One extra aggregate over the
+    * span rows; zero-span documents report zero.
+    *
+    * Output: (id, n_tokens, dup_tokens, dup_frac_e6). */
+  def duplicationStats(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minCount)
+      .groupBy(idCol).agg(sum("span_tokens").as("dup_tokens"))
+    // greatest(..., 0): size(NULL) is -1 under Spark's default conf —
+    // null text reports zero tokens like every sibling operator
+    df.select(col(idCol),
+        expr(s"CAST(greatest(size(${TextAnalysis.toksExpr(textCol)}), 0) AS BIGINT)")
+          .as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr(
+          """CAST(floor(CASE WHEN n_tokens = 0 THEN 0.0
+            |  ELSE coalesce(dup_tokens, 0) / CAST(n_tokens AS DOUBLE) END
+            |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("dup_frac_e6"))
+  }
+
   /** Remove every span [[duplicateSpans]] flags from the text (ALL
     * occurrences drop — the conservative policy; keeping one canonical
     * occurrence per duplicate needs a global total order over

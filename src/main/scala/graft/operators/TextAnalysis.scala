@@ -514,11 +514,15 @@ object TextAnalysis {
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val n = df.count()
+    // materialize the narrow projection once: the eager N count and the
+    // term build would otherwise each evaluate the full upstream plan
+    val base = df.select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
     require(n > 0, "empty corpus")
     // doc-term counts feed both the document-frequency fold and the
     // weight join — persist so the tokenize+explode runs one pass
-    val terms = df.select(col(idCol), explode(expr(toksExpr(textCol))).as("term"))
+    val terms = base.select(col(idCol), explode(expr(toksExpr(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = terms.groupBy("term").agg(count(lit(1)).as("df_t"))

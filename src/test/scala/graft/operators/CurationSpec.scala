@@ -66,6 +66,20 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(expected.nonEmpty, "fixture produced no duplicated spans")
   }
 
+  test("duplicationStats reports span-covered token fractions") {
+    val boiler = "q w e r t"
+    val docs = Seq(
+      (1L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (2L, s"p1 p2 $boiler p3"),      // 5 of 8 tokens duplicated
+      (3L, s"z1 $boiler z2 z3")       // 5 of 8
+    ).toDF("id", "text")
+    val out = Dedup.duplicationStats(docs, "id", "text", k = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((8L, 0L, 0L)))
+    assert(out(2L) == ((8L, 5L, 625000L)))
+    assert(out(3L) == ((8L, 5L, 625000L)))
+  }
+
   test("stripSpans removes flagged tokens, keeps original case") {
     val docs = Seq(
       (1L, "P1 P2 Q W E R T P3"),
@@ -243,9 +257,10 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     val spansPlan = Dedup.duplicateSpans(docs, "id", "text", k = 3)
       .queryExecution.executedPlan.toString
     assert(spansPlan.contains("InMemoryTableScan"), s"gram stream not cached:\n$spansPlan")
-    assert("windowspecdefinition\\(id".r.findAllIn(spansPlan).nonEmpty, spansPlan)
-    assert(!spansPlan.contains("windowspecdefinition()"),
-      s"unpartitioned window in:\n$spansPlan")
+    val allWindows = "windowspecdefinition\\(".r.findAllIn(spansPlan).size
+    val idWindows = "windowspecdefinition\\(id".r.findAllIn(spansPlan).size
+    assert(allWindows > 0 && allWindows == idWindows,
+      s"non-doc-partitioned window in:\n$spansPlan")
 
     // lmScore: aggregates only — no window, no sort-based global op
     val lmPlan = TextAnalysis.lmScore(docs, "id", "text")
