@@ -101,4 +101,37 @@ class CurationStreamSpec extends AnyFunSuite with SparkTest {
       assert(ids == Set(1L, 2L, 3L) || ids == Set(1L, 2L), s"got $ids")
     } finally q.stop()
   }
+
+  test("stateless curation ops compose into streams: c4 lines + PII, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val page = "A perfectly good first line.\nhi\nmail me at a@b.org for more details."
+    // one chain of stateless projections over the stream — no state, no
+    // watermark needed; the same operators run identically in batch
+    val streamed = graft.operators.TextAnalysis.redactPii(
+      graft.operators.TextAnalysis.c4LineFilter(
+        input.toDS().toDF("id", "text"), "text"), "text_filtered")
+      .select("id", "n_kept", "text_filtered", "pii_email", "text_redacted")
+    val q = streamed.writeStream.format("memory").queryName("cur3")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, page), (2L, "no lines kept here"))
+      q.processAllAvailable()
+      val got = spark.sql("select * from cur3").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3), r.getString(4))))
+        .toMap
+      val batch = graft.operators.TextAnalysis.redactPii(
+        graft.operators.TextAnalysis.c4LineFilter(
+          Seq((1L, page), (2L, "no lines kept here")).toDF("id", "text"), "text"),
+        "text_filtered")
+        .select("id", "n_kept", "text_filtered", "pii_email", "text_redacted")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3), r.getString(4))))
+        .toMap
+      assert(got == batch, s"stream/batch divergence: $got vs $batch")
+      assert(got(1L)._3 == 1L, "expected one redacted email")
+      assert(got(1L)._4.contains("<EMAIL>"))
+    } finally q.stop()
+  }
 }
