@@ -1430,7 +1430,8 @@ object SparkEntry {
       val cents = Array.tabulate(8)(g => Seq.tabulate(9)(j => if (j == g) 1f else 0f))
       operators.Ann.semanticDedup(e, "vec_id", "emb", tau = 0.9995,
           nLists = 8, centroids = Some(cents))
-        .selectExpr("vec_id", "CAST(cluster AS INT) AS cluster", "keep")
+        .selectExpr("vec_id", "CAST(cluster AS INT) AS cluster", "keep",
+          "cluster_capped")
     }),
 
     "q_lm_score" -> ((s, dir) => {
@@ -2516,9 +2517,12 @@ object SparkEntry {
           |    (sqrt(1.0 + CAST(a.eps AS DOUBLE) * CAST(a.eps AS DOUBLE)) *
           |     sqrt(1.0 + CAST(b.eps AS DOUBLE) * CAST(b.eps AS DOUBLE))) AS cosv
           |  FROM e a JOIN e b ON a.g = b.g AND a.vec_id < b.vec_id),
-          |d AS (SELECT DISTINCT vec_id FROM p WHERE cosv >= 0.9995)
-          |SELECT e.vec_id, e.g AS cluster, d.vec_id IS NULL AS keep
-          |FROM e LEFT JOIN d ON e.vec_id = d.vec_id""".stripMargin,
+          |d AS (SELECT DISTINCT vec_id FROM p WHERE cosv >= 0.9995),
+          |cs AS (SELECT g, count(*) AS n FROM e GROUP BY 1)
+          |SELECT e.vec_id, e.g AS cluster, d.vec_id IS NULL AS keep,
+          |  cs.n > 65536 AS cluster_capped
+          |FROM e LEFT JOIN d ON e.vec_id = d.vec_id
+          |JOIN cs ON cs.g = e.g""".stripMargin,
 
       "q_lm_score" ->
         """WITH toks AS (SELECT doc_id,

@@ -277,15 +277,16 @@ object Ann {
    */
   def kmeans(df: DataFrame, idCol: String, embCol: String,
              k: Int, iters: Int = 5,
-             init: Option[Array[Seq[Float]]] = None): (Array[Array[Double]], DataFrame) = {
+             init: Option[Array[Seq[Float]]] = None,
+             scope: CacheScope = CacheScope.untracked): (Array[Array[Double]], DataFrame) = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     init.foreach(cs => require(cs.length == k,
       s"init supplies ${cs.length} centroids but k = $k"))
     // the Lloyd loop re-reads the input iters+1 times — materialize the
     // narrow (id, emb) projection once instead of re-running whatever
-    // pipeline produced it (memory-and-disk, evictable)
-    val data = df.select(col(idCol), col(embCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pipeline produced it (memory-and-disk, evictable; the caller's
+    // scope owns release — the returned assignment plan reads it too)
+    val data = scope.cache(df.select(col(idCol), col(embCol)))
     var cents: Array[Array[Double]] =
       quantizer(data, idCol, embCol, k, init).map(_._2.toArray.map(_.toDouble))
     def assignUdf(cs: Array[Array[Double]]) = udf { (vs: Seq[Float]) =>
@@ -348,12 +349,18 @@ object Ann {
    * (quadratic guard) instead of silently going O(n²).
    *
    * Precondition: `idCol` uniquely identifies rows.
-   * Output: (idCol, cluster, keep).
+   * Output: (idCol, cluster, keep, cluster_capped) — `cluster_capped`
+   * is true when the row's cluster exceeded `maxCluster` and was
+   * therefore EXCLUDED from pairwise pruning (every such row keeps):
+   * the quadratic guard is visible per row instead of silently eating
+   * near-duplicates, so a caller (or an oracle) can audit exactly which
+   * rows went un-judged.
    */
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,
                     tau: Double, nLists: Int = 16,
                     centroids: Option[Array[Seq[Float]]] = None,
-                    maxCluster: Int = 1 << 16): DataFrame = {
+                    maxCluster: Int = 1 << 16,
+                    scope: CacheScope = CacheScope.untracked): DataFrame = {
     val cents = quantizer(df, idCol, embCol, nLists, centroids)
     val bc = cents
     // null/empty/mis-sized vectors assign to cluster -1 (excluded from
@@ -370,11 +377,17 @@ object Ann {
     // the assignment (all-centroid cosines per row) feeds the bucket
     // count, the pair scans, and both embedding re-joins — materialize
     // it once (memory-and-disk, evictable; the minhashPairs idiom)
-    val a = df.select(col(idCol).as("__id"), col(embCol).as("__emb"))
-      .withColumn("cluster", assign(col("__emb")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ids = Dedup.capBuckets(
-      a.where(col("cluster") >= 0).select("cluster", "__id"), Seq("cluster"), maxCluster)
+    val a = scope.cache(df.select(col(idCol).as("__id"), col(embCol).as("__emb"))
+      .withColumn("cluster", assign(col("__emb"))))
+    // ONE cluster-size aggregate serves both the quadratic-guard filter
+    // and the per-row cluster_capped audit flag (the capBuckets count,
+    // inlined so it isn't computed twice)
+    val members = a.where(col("cluster") >= 0).select("cluster", "__id")
+    val sizes = members.groupBy("cluster").agg(count(lit(1)).as("__csize"))
+    val ids =
+      if (maxCluster <= 0) members
+      else members.join(
+        sizes.where(col("__csize") <= maxCluster).drop("__csize"), "cluster")
     val l = ids.select(col("cluster"), col("__id").as("__id1"))
     val r = ids.select(col("cluster"), col("__id").as("__id2"))
     val dropped = l.join(r, Seq("cluster")).where(col("__id1") < col("__id2"))
@@ -384,10 +397,15 @@ object Ann {
       .where(cosineUdf(col("__e1"), col("__e2")) >= tau)
       .select(col("__id2").as("__id")).distinct()
       .withColumn("__dropped", lit(true))
+    val capped =
+      if (maxCluster <= 0) sizes.where(lit(false)).select(col("cluster"))
+      else sizes.where(col("__csize") > maxCluster).select(col("cluster"))
     a.select(col("__id"), col("cluster"))
       .join(dropped, Seq("__id"), "left")
+      .join(capped.withColumn("__capped", lit(true)), Seq("cluster"), "left")
       .select(col("__id").as(idCol), col("cluster"),
-        col("__dropped").isNull.as("keep"))
+        col("__dropped").isNull.as("keep"),
+        coalesce(col("__capped"), lit(false)).as("cluster_capped"))
   }
 
   private def cosineVal(as: Seq[Float], bs: Seq[Float]): Double = {

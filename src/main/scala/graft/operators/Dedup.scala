@@ -109,11 +109,12 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, w: Int = 3,
                    numHashes: Int = 64, bands: Int = 16,
-                   maxBucket: Int = 4096): DataFrame = {
+                   maxBucket: Int = 4096,
+                   scope: CacheScope = CacheScope.untracked): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), sigUdf(w, numHashes)(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = scope.cache(
+      df.select(col(idCol).as("id"), sigUdf(w, numHashes)(col(textCol)).as("sig")))
     val banded0 = sig.select(col("id"), col("sig"),
       posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p", "band")))
       .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
@@ -415,7 +416,8 @@ object Dedup {
    * (id, span_start [0-based token index], span_tokens, n_grams).
    */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8, minCount: Int = 2): DataFrame = {
+                     k: Int = 8, minCount: Int = 2,
+                     scope: CacheScope = CacheScope.untracked): DataFrame = {
     require(k >= 1, "gram width must be >= 1")
     require(minCount >= 2, "a span is duplicated only from 2 occurrences up")
     // Tokens come from the shared parity snippet (toksExpr, evaluated
@@ -431,11 +433,10 @@ object Dedup {
     // pass instead of once for the counts plus once for the probe. A
     // fingerprint collision (~n²/2⁶⁴) could flag a non-duplicated span —
     // the same trade every published hash-based dedup pass makes.
-    val grams = df.select(col(idCol),
+    val grams = scope.cache(df.select(col(idCol),
         posexplode(TextAnalysis.slidingGrams(k)(expr(TextAnalysis.toksExpr(textCol))))
           .as(Seq("__pos", "__gram")))
-      .select(col(idCol), col("__pos"), xxhash64(col("__gram")).as("__g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("__pos"), xxhash64(col("__gram")).as("__g")))
     val dup = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount).select("__g")
     val hits = grams.join(dup, "__g").select(col(idCol), col("__pos"))
@@ -493,9 +494,13 @@ object Dedup {
       .agg(collect_list(struct(col("span_start"), col("span_tokens"))).as("__spans"))
     val rawToks = TextAnalysis.toksExpr(textCol, lower = false)
     df.join(spans, Seq(idCol), "left")
-      .withColumn(outCol, expr(
+      // coalesce to '': null-text rows rebuild as an empty document,
+      // the same null-document convention dedupLines uses (the raw
+      // array_join over a null token array would return NULL)
+      .withColumn(outCol, coalesce(expr(
         s"""array_join(filter($rawToks, (x, i) -> __spans IS NULL OR NOT exists(__spans,
-           |  s -> i >= s.span_start AND i < s.span_start + s.span_tokens)), ' ')""".stripMargin))
+           |  s -> i >= s.span_start AND i < s.span_start + s.span_tokens)), ' ')""".stripMargin),
+        lit("")))
       .drop("__spans")
   }
 

@@ -334,8 +334,13 @@ object TextAnalysis {
   def c4LineFilter(df: DataFrame, textCol: String,
                    minWords: Int = 3, minKeptLines: Int = 3): DataFrame = {
     val nl = "chr(10)"
+    // null text reports zero lines/counts and an empty text_filtered —
+    // the family-wide null-document convention (duplicationStats): an
+    // un-coalesced split(NULL) would make size() report -1 under the
+    // default legacy conf and null out every downstream counter
+    val t = s"coalesce($textCol, '')"
     val lines =
-      s"""filter(transform(split($textCol, $nl),
+      s"""filter(transform(split($t, $nl),
          |  x -> regexp_replace(x, '^\\\\s+|\\\\s+$$', '')), x -> x != '')""".stripMargin
     // rule class per line: 0 keep, 1 short, 2 no terminal punct, 3 js
     val cls =
@@ -354,8 +359,8 @@ object TextAnalysis {
       .withColumn("dropped_short", expr("CAST(size(filter(__cls, c -> c = 1)) AS BIGINT)"))
       .withColumn("dropped_no_punct", expr("CAST(size(filter(__cls, c -> c = 2)) AS BIGINT)"))
       .withColumn("dropped_js", expr("CAST(size(filter(__cls, c -> c = 3)) AS BIGINT)"))
-      .withColumn("has_lorem", expr(s"lower($textCol) LIKE '%lorem ipsum%'"))
-      .withColumn("has_brace", expr(s"contains($textCol, '{')"))
+      .withColumn("has_lorem", expr(s"lower($t) LIKE '%lorem ipsum%'"))
+      .withColumn("has_brace", expr(s"contains($t, '{')"))
       .withColumn("page_keep",
         expr(s"n_kept >= $minKeptLines AND NOT has_lorem AND NOT has_brace"))
       .withColumn("text_filtered", expr(
@@ -383,15 +388,17 @@ object TextAnalysis {
    * normalization is NOT undone: trimmed lines are what survives).
    */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-                 minCount: Int = 2): DataFrame = {
+                 minCount: Int = 2,
+                 scope: CacheScope = CacheScope.untracked): DataFrame = {
     require(minCount >= 2, "a line is duplicated only from 2 occurrences up")
     val lines =
       s"""filter(transform(split($textCol, chr(10)),
          |  x -> regexp_replace(x, '^\\\\s+|\\\\s+$$', '')), x -> x != '')""".stripMargin
     // the exploded line stream feeds the count aggregate and the dup
-    // probe — persist (the duplicateSpans idiom) for one split pass
-    val exploded = df.select(col(idCol), posexplode(expr(lines)).as(Seq("__pos", "__line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe — cached (the duplicateSpans idiom) for one split pass;
+    // lifetime is the caller's via `scope` (see CacheScope)
+    val exploded = scope.cache(
+      df.select(col(idCol), posexplode(expr(lines)).as(Seq("__pos", "__line"))))
     val dup = exploded.groupBy("__line").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount).select(col("__line"), lit(true).as("__dup"))
     val perDoc = exploded.join(dup, Seq("__line"), "left")
@@ -442,9 +449,16 @@ object TextAnalysis {
    * `lnp_e6_sum` (sum of 1e6-scaled ln p, an exact integer) and
    * `avg_nll_e6` (mean negative log-likelihood, 1e6-scaled; null for
    * docs with < 2 tokens).
+   *
+   * Evaluation note: CONSTRUCTION IS EAGER — the V scalar (distinct
+   * continuation count) runs one Spark job over the LM corpus before
+   * this returns, and the bigram-type table is cached for the result
+   * plan to consume. Pass a [[CacheScope]] and `unpersistAll` after
+   * materializing to bound cache lifetime in long-running apps.
    */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
-              lm: Option[(DataFrame, String)] = None): DataFrame = {
+              lm: Option[(DataFrame, String)] = None,
+              scope: CacheScope = CacheScope.untracked): DataFrame = {
     def bigrams(src: DataFrame, cols: Seq[Column], textC: String): DataFrame = {
       val toks = toksExpr(textC)
       src.select(cols :+ explode(expr(
@@ -457,10 +471,9 @@ object TextAnalysis {
     val (lmDf, lmText) = lm.getOrElse((df, textCol))
     val lmBi = bigrams(lmDf, Seq.empty, lmText)
     // the bigram-type table feeds c1, the V scalar and the score join —
-    // persist it (bounded by vocab², far smaller than the corpus) so the
+    // cache it (bounded by vocab², far smaller than the corpus) so the
     // LM-corpus gram build runs one pass instead of four
-    val c12 = lmBi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = scope.cache(lmBi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12")))
     val c1 = c12.groupBy("__w1").agg(sum("__c12").as("__c1"))
     val v = c12.select("__w2").distinct().count()
     require(v > 0, "LM corpus has no bigrams")
@@ -510,21 +523,26 @@ object TextAnalysis {
    * bounded driver scalar.
    *
    * Output: (idCol, term, tf, df_t, weight_e6, rank), rank 1..k per doc.
+   *
+   * Evaluation note: CONSTRUCTION IS EAGER — the N scalar (total docs)
+   * runs one Spark job before this returns, and two narrow
+   * intermediates are cached for the result plan. Pass a [[CacheScope]]
+   * and `unpersistAll` after materializing to bound cache lifetime.
    */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
-                    k: Int = 5): DataFrame = {
+                    k: Int = 5,
+                    scope: CacheScope = CacheScope.untracked): DataFrame = {
     require(k >= 1, "k must be >= 1")
     // materialize the narrow projection once: the eager N count and the
     // term build would otherwise each evaluate the full upstream plan
-    val base = df.select(col(idCol), col(textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = scope.cache(df.select(col(idCol), col(textCol)))
     val n = base.count()
     require(n > 0, "empty corpus")
     // doc-term counts feed both the document-frequency fold and the
-    // weight join — persist so the tokenize+explode runs one pass
-    val terms = base.select(col(idCol), explode(expr(toksExpr(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // weight join — cache so the tokenize+explode runs one pass
+    val terms = scope.cache(
+      base.select(col(idCol), explode(expr(toksExpr(textCol))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val docFreq = terms.groupBy("term").agg(count(lit(1)).as("df_t"))
       .withColumn("idf_e6", expr(
         s"""CAST(floor((ln((CAST($n AS DOUBLE) + 1.0) / (CAST(df_t AS DOUBLE) + 1.0)) + 1.0)
