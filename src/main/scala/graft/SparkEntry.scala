@@ -504,6 +504,41 @@ object SparkEntry {
       SpatialTable.read(s, root, "s4").select("event_id", "event_type", "value")
     }),
 
+    "q_mutation_scoped" -> ((s, dir) => {
+      // File-granular mutation chain (VERDICT r3 #1): the spatially
+      // scoped update and delete rewrite ONLY the covered cell_prefix
+      // directories — every untouched prefix is inherited by reference
+      // through the manifest sources map (proven file-identical in
+      // MutationScopedSpec) — the upsert finds its old rows through the
+      // id index (bucket-pruned, no table scan), and the final read
+      // goes through the DELTA-REBUILT attribute index, certifying
+      // data, inheritance resolution, and index consistency end-to-end.
+      import org.apache.spark.sql.functions.lit
+      import graft.table.SpatialTable
+      StFunctions.register(s)
+      val root = tableRoot("mutscope", dir)
+      val base = pts(s, dir).drop("ts")
+        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+      SpatialTable.write(s, base, root, "s1", "event_id", "lon", "lat",
+        res = 9, prefixRes = 3, salts = 2, partitions = 8)
+      SpatialTable.writeAttributeIndex(s, root, "s1", "event_type", buckets = 8)
+      SpatialTable.writeIdIndex(s, root, "s1", "event_id", buckets = 8)
+      SpatialTable.updateWhere(s, root, "s1", "s2",
+        "BBOX(geom, -60.005, -30.005, 0.005, 30.005) AND event_type = 'click'",
+        Map("value" -> lit(-2.0)), idCol = "event_id")
+      SpatialTable.deleteWhere(s, root, "s2", "s3",
+        "BBOX(geom, 60.005, -60.005, 150.005, 30.005) AND event_type = 'view'",
+        idCol = "event_id")
+      import s.implicits._
+      val ups = Seq(11L, 22L, 900000077L).toDF("event_id")
+        .withColumn("lon", lit(12.5)).withColumn("lat", lit(-33.25))
+        .withColumn("value", lit(3.5)).withColumn("event_type", lit("planted"))
+      SpatialTable.upsert(s, root, "s3", "s4", ups, idCol = "event_id")
+      SpatialTable.readByAttribute(s, root, "s4", "event_type", "click")
+        .unionByName(SpatialTable.readByAttribute(s, root, "s4", "event_type", "planted"))
+        .select("event_id", "event_type", "value")
+    }),
+
     "q_stats_cached" -> ((s, dir) => {
       // GeoMesaStats analog: stats collected ONCE at write time
       // (count + envelope + per-attribute min/max in one distributed
@@ -2750,6 +2785,30 @@ object SparkEntry {
           |  WHERE d.event_id NOT IN (SELECT event_id FROM ups)
           |  UNION ALL SELECT * FROM ups)
           |SELECT event_id, event_type, value FROM fin""".stripMargin,
+
+      // the scoped chain replayed in SQL over the derived lon/lat: the
+      // bbox bounds sit at .005 offsets no lattice point can hit, so the
+      // CQL BBOX and the BETWEENs agree exactly
+      "q_mutation_scoped" ->
+        s"""WITH v AS (SELECT event_id, $LonExpr AS lon, $LatExpr AS lat,
+           |    value, event_type FROM events),
+           |u AS (SELECT event_id, lon, lat, event_type,
+           |    CASE WHEN lon BETWEEN -60.005 AND 0.005
+           |          AND lat BETWEEN -30.005 AND 30.005
+           |          AND event_type = 'click' THEN -2.0 ELSE value END AS value
+           |  FROM v),
+           |d AS (SELECT * FROM u
+           |  WHERE NOT (lon BETWEEN 60.005 AND 150.005
+           |    AND lat BETWEEN -60.005 AND 30.005 AND event_type = 'view')),
+           |ups AS (SELECT CAST(e AS BIGINT) AS event_id, 'planted' AS event_type,
+           |    CAST(3.5 AS DOUBLE) AS value
+           |  FROM (VALUES (11), (22), (900000077)) AS t(e)),
+           |fin AS (
+           |  SELECT d.event_id, d.event_type, d.value FROM d
+           |  WHERE d.event_id NOT IN (SELECT event_id FROM ups)
+           |  UNION ALL SELECT * FROM ups)
+           |SELECT event_id, event_type, value FROM fin
+           |WHERE event_type IN ('click', 'planted')""".stripMargin,
 
       "q_stat_dsl" ->
         """SELECT event_type, min(value) AS value_min, max(value) AS value_max,

@@ -138,6 +138,135 @@ object TableStats {
     try out.write(mapper.writeValueAsString(node).getBytes("UTF-8")) finally out.close()
   }
 
+  /** Render-domain compare: timestamps render as micros and numerics as
+    * their canonical form, so anything non-string compares numerically;
+    * strings (and dates, which render ISO-sortable) lexicographically. */
+  private def lessRendered(dataType: String, a: String, b: String): Boolean = {
+    val numeric = Set("tinyint", "smallint", "int", "bigint", "float", "double", "timestamp")
+    if (numeric.contains(dataType) || dataType.startsWith("decimal"))
+      BigDecimal(a) < BigDecimal(b)
+    else a < b
+  }
+
+  /**
+   * Writer-maintained incremental stats for a scoped mutation — the
+   * reference's MetadataBackedStats path (the Accumulo writer merges a
+   * per-write delta into the stored stat rows instead of rescanning):
+   * counts move EXACTLY (old - removed + added, per attribute too);
+   * bounds and per-attribute min/max EXPAND only (a delete never shrinks
+   * them — exactly the reference's semantics, where an exact refresh
+   * requires a stats re-collect / StatsScan); topK merges the added
+   * rows' value counts into the stored sketch (approximate, as the
+   * reference's TopK combine is); cardinality keeps the larger of the
+   * stored estimate and the added rows' own (a lower bound — HLL
+   * sketches are not stored, so union is not available; re-collect for
+   * exact). One tiny aggregate over each of `removed`/`added` — never a
+   * table scan. No-op when the source snapshot has no stats.
+   */
+  def applyMutationDelta(spark: SparkSession, root: String, fromSnapshot: String,
+                         toSnapshot: String, removed: DataFrame, added: DataFrame,
+                         lonCol: String = "lon", latCol: String = "lat",
+                         topK: Int = 10): Unit = {
+    val st = cached(spark, root, fromSnapshot).getOrElse(return)
+    val tracked = st.attributes.keys.toSeq.sorted
+
+    def deltaOf(df: DataFrame): (Long, Option[(Double, Double, Double, Double)],
+        Map[String, (Option[String], Option[String], Long, Long)]) = {
+      val spatial = df.columns.contains(lonCol) && df.columns.contains(latCol)
+      val present = tracked.filter(df.columns.contains)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (if (spatial) Seq(min(col(lonCol).cast("double")).as("minx"),
+          min(col(latCol).cast("double")).as("miny"),
+          max(col(lonCol).cast("double")).as("maxx"),
+          max(col(latCol).cast("double")).as("maxy")) else Nil) ++
+        present.flatMap { a =>
+          val dt = df.schema(a).dataType
+          Seq(render(dt, min(col(a))).as(s"min_$a"), render(dt, max(col(a))).as(s"max_$a"),
+            count(col(a)).as(s"n_$a"), approx_count_distinct(col(a)).as(s"card_$a"))
+        }
+      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val n = r.getLong(r.fieldIndex("n"))
+      val env = if (spatial && n > 0)
+        Some((r.getDouble(r.fieldIndex("minx")), r.getDouble(r.fieldIndex("miny")),
+          r.getDouble(r.fieldIndex("maxx")), r.getDouble(r.fieldIndex("maxy"))))
+      else None
+      val attrs = present.map { a =>
+        val cnt = r.getLong(r.fieldIndex(s"n_$a"))
+        a -> (Option(r.getString(r.fieldIndex(s"min_$a"))).filter(_ => cnt > 0),
+          Option(r.getString(r.fieldIndex(s"max_$a"))).filter(_ => cnt > 0),
+          cnt, r.getLong(r.fieldIndex(s"card_$a")))
+      }.toMap
+      (n, env, attrs)
+    }
+    val (remN, _, remAttrs) = deltaOf(removed)
+    val (addN, addEnv, addAttrs) = deltaOf(added)
+
+    // added rows' value counts for the topK merge: the added side's own
+    // top candidates plus refreshed counts for every stored topK value
+    def addedCounts(a: String): Map[String, Long] =
+      if (!added.columns.contains(a)) Map.empty
+      else {
+        val dt = added.schema(a).dataType
+        val grouped = added.where(col(a).isNotNull)
+          .groupBy(render(dt, col(a)).as("v")).agg(count(lit(1)).as("n"))
+        val top = grouped.orderBy(desc("n"), asc("v")).limit(topK).collect()
+        val stored = st.attributes(a).topK.map(_._1)
+        val refreshed = if (stored.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else grouped.where(col("v").isin(stored: _*)).collect()
+        (top ++ refreshed).map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("snapshot", toSnapshot)
+    val total = math.max(0L, st.count - remN + addN)
+    node.put("count", total)
+    val bounds = (st.bounds, addEnv) match {
+      case (Some(b), Some(e)) => Some((math.min(b._1, e._1), math.min(b._2, e._2),
+        math.max(b._3, e._3), math.max(b._4, e._4)))
+      case (b, e) => b.orElse(e)
+    }
+    if (total > 0) bounds.foreach { b =>
+      val arr = node.putArray("bounds")
+      arr.add(b._1); arr.add(b._2); arr.add(b._3); arr.add(b._4)
+    }
+    val attrsNode = node.putObject("attributes")
+    tracked.foreach { a =>
+      val old = st.attributes(a)
+      val (addMin, addMax, addCnt, addCard) =
+        addAttrs.getOrElse(a, (None, None, 0L, 0L))
+      val remCnt = remAttrs.get(a).map(_._3).getOrElse(0L)
+      val n = attrsNode.putObject(a)
+      val cnt = math.max(0L, old.count - remCnt + addCnt)
+      n.put("count", cnt)
+      n.put("cardinality", math.max(old.cardinality, addCard))
+      n.put("type", old.dataType)
+      val oldMin = Option(old.min).filter(_ => old.count > 0)
+      val oldMax = Option(old.max).filter(_ => old.count > 0)
+      val mn = (oldMin, addMin) match {
+        case (Some(x), Some(y)) => Some(if (lessRendered(old.dataType, y, x)) y else x)
+        case (x, y) => x.orElse(y)
+      }
+      val mx = (oldMax, addMax) match {
+        case (Some(x), Some(y)) => Some(if (lessRendered(old.dataType, x, y)) y else x)
+        case (x, y) => x.orElse(y)
+      }
+      if (cnt > 0) { mn.foreach(n.put("min", _)); mx.foreach(n.put("max", _)) }
+      val ac = addedCounts(a)
+      val oldTk = old.topK.toMap
+      val merged = (oldTk.keySet ++ ac.keySet).toSeq
+        .map(v => v -> (oldTk.getOrElse(v, 0L) + ac.getOrElse(v, 0L)))
+      val tk = n.putArray("topk")
+      merged.sortBy { case (v, c) => (-c, v) }.take(topK).foreach { case (v, c) =>
+        val e = tk.addArray(); e.add(v); e.add(c)
+      }
+    }
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/_stats"))
+    val out = f.create(new Path(statsPath(root, toSnapshot)), true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8")) finally out.close()
+  }
+
   /** Parse the cached stats; None when never collected. */
   def cached(spark: SparkSession, root: String, snapshotId: String): Option[Stats] = {
     val f = fs(spark, root)

@@ -234,6 +234,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(fast == brute && brute.size == 14)
   }
 
+  test("kNN over a SpatialTable seeds from metadata: one fewer job (no count() " +
+    "scan of the point table), identical results either path") {
+    ready
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val ptsDf = (0 until 400)
+      .map(i => (s"p$i", rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10))
+      .toDF("id", "lon", "lat")
+    val root = java.nio.file.Files.createTempDirectory("graft_knn_tbl").toString
+    graft.table.SpatialTable.write(spark, ptsDf, root, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 1, partitions = 2)
+    val queries = Seq((0, 0.0, 0.0), (1, 8.0, -8.0)).toDF("qid", "qlon", "qlat")
+    // job ids are assigned synchronously at submit, so the id high-water
+    // mark counts the jobs a code path ran
+    def jobsDuring[T](body: => T): (Int, T) = {
+      def hi = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .foldLeft(-1)(_ max _)
+      val before = hi
+      val r = body
+      (hi - before, r)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Int, String)] =
+      df.select("qid", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val (jobsSeeded, seeded) = jobsDuring(ids(KnnJoin.forTable(spark, root, "s1",
+      "lon", "lat", queries, "qid", "qlon", "qlat", k = 5, res = 7)))
+    val (jobsRaw, raw) = jobsDuring(ids(KnnJoin(spark,
+      graft.table.SpatialTable.read(spark, root, "s1"), "lon", "lat",
+      queries, "qid", "qlon", "qlat", k = 5, res = 7)))
+    assert(seeded == raw, s"metadata seed changed results: ${seeded -- raw} / ${raw -- seeded}")
+    assert(seeded == ids(KnnJoin.bruteForce(ptsDf, "lon", "lat",
+      queries, "qid", "qlon", "qlat", k = 5)))
+    assert(jobsSeeded < jobsRaw,
+      s"expected the seeded path to skip the count() job: $jobsSeeded vs $jobsRaw")
+  }
+
   test("kNN many-query regime: 10^4 query points, DataFrame state (no IN-list), " +
     "few candidate passes, matches brute force") {
     ready

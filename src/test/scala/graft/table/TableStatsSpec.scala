@@ -115,10 +115,21 @@ class TableStatsSpec extends AnyFunSuite with SparkTest {
         .withColumn("dtg", col("dtg").cast("timestamp")))
     assert(TableStats.getBounds(spark, root, "s3") == (-10.0, -10.0, 10.0, 10.0))
 
-    // deletes shrink: remove everything but cappa
+    // deletes: counts move EXACTLY, but bounds/min-max are writer-
+    // maintained expand-only envelopes (the reference's MetadataBacked
+    // Stats: a MinMax stat cannot un-see a removed value — deletes
+    // decrement counts, an EXACT refresh is the explicit re-collect /
+    // StatsScan path)
     SpatialTable.deleteWhere(spark, root, "s3", "s4", "name <> 'cappa'")
     assert(TableStats.getCount(spark, root, "s4").contains(1L))
+    assert(TableStats.getBounds(spark, root, "s4") == (-10.0, -10.0, 10.0, 10.0))
+    assert(TableStats.getAttributeBounds(spark, root, "s4", "name")
+      .exists(_._3 == 1L))
+    // the explicit re-collect is the exact path: bounds shrink to cappa
+    TableStats.collect(spark, root, "s4", Seq("name", "age"))
     assert(TableStats.getBounds(spark, root, "s4") == (10.0, 10.0, 10.0, 10.0))
+    assert(TableStats.getAttributeBounds(spark, root, "s4", "name")
+      .contains(("cappa", "cappa", 1L)))
   }
 
   test("exact counts scan (optionally under CQL); estimates come from the " +
