@@ -439,6 +439,21 @@ object SparkEntry {
       }
     }),
 
+    "q_format_scan" -> ((s, dir) => {
+      // the spark.read.format("graft") front door (GeoMesaSparkSQL
+      // :64-95 UX, DSv1 like the reference): relational filters push to
+      // the inner columnar scan, and the conjunctive lon/lat box routes
+      // through the fully-pruned readBBox path — same answer as the
+      // programmatic API, through the packaged one-liner
+      StFunctions.register(s)
+      val root = tableRoot("rule", dir)
+      prepareTables(s, dir)
+      s.read.format("graft").option("snapshot", "s1").load(root)
+        .where("""lon >= -60.005 AND lon <= 0.005
+                 |AND lat >= -30.005 AND lat <= 30.005 AND value >= 3.0""".stripMargin)
+        .selectExpr("event_id", "value")
+    }),
+
     "q_attr_scan" -> ((s, dir) => {
       // attribute-index scan (AttributeIndex analog): a second layout
       // bucketed by attr hash + sorted by (attr, cell); equality lookup
@@ -1913,6 +1928,14 @@ object SparkEntry {
 
       "q_attr_scan" ->
         "SELECT event_id FROM events WHERE event_type = 'click'",
+
+      // the .005-offset bounds dodge the lon/lat lattice exactly like
+      // q_cql_bbox, so inclusive BETWEENs agree with the pushed filters
+      "q_format_scan" ->
+        s"""WITH $ptsCte
+           |SELECT event_id, value FROM pts
+           |WHERE lon BETWEEN -60.005 AND 0.005
+           |  AND lat BETWEEN -30.005 AND 30.005 AND value >= 3.0""".stripMargin,
 
       "q_planned_scan" ->
         "SELECT event_id FROM events WHERE event_type = 'click' AND value > 50.0",

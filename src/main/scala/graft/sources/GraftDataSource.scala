@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import graft.table.SpatialTable
+
+/**
+ * The `spark.read.format("graft")` front door — the packaging analog of
+ * the reference's GeoMesaDataSource (geomesa-spark/geomesa-spark-sql/
+ * .../GeoMesaSparkSQL.scala:64-95, a DSv1 RelationProvider family), so
+ * SQL users get the one-liner and `CREATE TABLE ... USING graft`
+ * without touching the programmatic SpatialTable API:
+ *
+ * {{{
+ *   spark.read.format("graft").option("snapshot", "s1").load(root)
+ *   df.write.format("graft").option("snapshot", "s2")
+ *     .option("id", "event_id").save(root)
+ *   CREATE TABLE events_g USING graft OPTIONS (path '/data/events')
+ * }}}
+ *
+ * Read options: `snapshot` (default: latest committed), `lon` / `lat`
+ * (geometry columns, default "lon"/"lat"), `cql` (an ECQL filter
+ * compiled into the scan — the reference's `geomesa.filter` query
+ * param). Write options: `snapshot` (default "s1"), `id`, `lon`,
+ * `lat`, `res`, `prefixRes`, `salts`, `partitions`.
+ *
+ * Pushdown parity with the programmatic path: relational filters
+ * translate onto the inner columnar scan (they appear as PushedFilters
+ * on the parquet relation), and a conjunction of lon/lat range filters
+ * upgrades the scan to [[SpatialTable.readBBox]] — cell_prefix
+ * directory pruning + z-range row-group skipping + exact refine, the
+ * same three levels every other entry point gets. Snapshots produced
+ * by scoped mutations resolve transparently (the relation reads
+ * through the manifest like [[SpatialTable.read]]).
+ */
+class GraftDataSource extends DataSourceRegister
+    with RelationProvider with SchemaRelationProvider with CreatableRelationProvider {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext, parameters)
+
+  /** User-supplied schemas are refused rather than silently ignored:
+    * the snapshot manifest is the schema authority. */
+  override def createRelation(sqlContext: SQLContext, parameters: Map[String, String],
+                              schema: StructType): BaseRelation = {
+    val rel = GraftRelation(sqlContext, parameters)
+    require(schema == rel.schema,
+      s"graft tables carry their schema in the snapshot manifest; got $schema, " +
+        s"manifest says ${rel.schema}")
+    rel
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = GraftRelation.rootOf(parameters)
+    val snapshot = parameters.getOrElse("snapshot", "s1")
+    val committed = SpatialTable.isCommitted(spark, root, snapshot)
+    mode match {
+      case SaveMode.ErrorIfExists if committed =>
+        throw new IllegalArgumentException(
+          s"snapshot $snapshot already committed under $root (snapshots are " +
+            "immutable — pick a new snapshot id, or SaveMode.Ignore)")
+      case SaveMode.Ignore if committed => // no-op
+      case SaveMode.Append =>
+        throw new IllegalArgumentException(
+          "graft snapshots are immutable — append via SpatialTable.upsert " +
+            "against a new snapshot id")
+      case m =>
+        if (m == SaveMode.Overwrite && committed) {
+          // drop exactly this snapshot's artifacts, then rewrite
+          val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          Seq(s"$root/data/snapshot=$snapshot", s"$root/_metrics/snapshot=$snapshot",
+            s"$root/_manifests/$snapshot.json", s"$root/_manifests/$snapshot.committed")
+            .foreach(p => f.delete(new Path(p), true))
+        }
+        SpatialTable.write(spark, data, root, snapshot,
+          idCol = parameters.getOrElse("id", "id"),
+          lonCol = parameters.getOrElse("lon", "lon"),
+          latCol = parameters.getOrElse("lat", "lat"),
+          res = parameters.getOrElse("res", "9").toInt,
+          prefixRes = parameters.getOrElse("prefixRes", "4").toInt,
+          salts = parameters.getOrElse("salts", "4").toInt,
+          partitions = parameters.getOrElse("partitions", "32").toInt)
+    }
+    GraftRelation(sqlContext, parameters + ("snapshot" -> snapshot))
+  }
+}
+
+object GraftRelation {
+  private[sources] def rootOf(parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft format needs a table root: load(root) / OPTIONS (path '...')"))
+}
+
+case class GraftRelation(sqlContext: SQLContext,
+                         parameters: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val root = GraftRelation.rootOf(parameters)
+  private def spark = sqlContext.sparkSession
+  private val snapshotId = parameters.get("snapshot").getOrElse {
+    SpatialTable.snapshots(spark, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshots under $root"))
+  }
+  private val info = SpatialTable.manifestInfo(spark, root, snapshotId)
+  private val lonCol = parameters.getOrElse("lon", "lon")
+  private val latCol = parameters.getOrElse("lat", "lat")
+  private val cql = parameters.get("cql")
+
+  // nullable-normalized: the parquet scan underneath reports every
+  // column nullable regardless of how the writing plan typed it
+  override val schema: StructType =
+    StructType(info.readOrder.map(f => info.schema(f).copy(nullable = true)))
+
+  /** The filter subset we translate onto the inner scan; everything the
+    * translation does not cover is declared unhandled, so Spark
+    * re-applies it above (never dropped). */
+  private def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (cl <- translate(l); cr <- translate(r)) yield cl && cr
+    case Or(l, r) => for (cl <- translate(l); cr <- translate(r)) yield cl || cr
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(translate(_).isEmpty)
+
+  /** Conjunctive lon/lat bounds across the pushed filters — when both
+    * dimensions are bounded on both sides, the scan routes through the
+    * fully-pruned bbox path (the DSv1 analog of the reference's
+    * sparkFilterToCQLFilter spatial extraction). */
+  private def extractBBox(filters: Array[Filter]): Option[(Double, Double, Double, Double)] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    var (lo1, hi1, lo2, hi2) = (Option.empty[Double], Option.empty[Double],
+      Option.empty[Double], Option.empty[Double])
+    def visit(f: Filter): Unit = f match {
+      case And(l, r) => visit(l); visit(r)
+      case GreaterThan(a, v) if a == lonCol => lo1 = num(v).orElse(lo1)
+      case GreaterThanOrEqual(a, v) if a == lonCol => lo1 = num(v).orElse(lo1)
+      case LessThan(a, v) if a == lonCol => hi1 = num(v).orElse(hi1)
+      case LessThanOrEqual(a, v) if a == lonCol => hi1 = num(v).orElse(hi1)
+      case GreaterThan(a, v) if a == latCol => lo2 = num(v).orElse(lo2)
+      case GreaterThanOrEqual(a, v) if a == latCol => lo2 = num(v).orElse(lo2)
+      case LessThan(a, v) if a == latCol => hi2 = num(v).orElse(hi2)
+      case LessThanOrEqual(a, v) if a == latCol => hi2 = num(v).orElse(hi2)
+      case _ =>
+    }
+    filters.foreach(visit)
+    for (a <- lo1; b <- lo2; c <- hi1; d <- hi2 if a <= c && b <= d) yield (a, b, c, d)
+  }
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    // bbox routing gives prefix-directory pruning + z-range row-group
+    // skipping; its inclusive refine is a superset of any strict bound,
+    // and the translated filters re-apply exactly below
+    val base = extractBBox(filters) match {
+      case Some(b) => SpatialTable.readBBox(spark, root, snapshotId, b, lonCol, latCol)
+      case None => SpatialTable.read(spark, root, snapshotId)
+    }
+    val withCql = cql match {
+      case Some(q) =>
+        val defaults: Map[String, Column] =
+          if (base.columns.contains(lonCol) && base.columns.contains(latCol))
+            Map("geom" -> graft.functions.StFunctions.fn("st_makePoint")(col(lonCol), col(latCol)))
+          else Map.empty
+        graft.plans.Cql.filter(base, q, defaults, parameters.getOrElse("id", "id"))
+      case None => base
+    }
+    val filtered = filters.flatMap(translate).foldLeft(withCql)(_ where _)
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.toSeq.map(col): _*)
+    projected.rdd
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTest
+import graft.table.SpatialTable
+
+/**
+ * The `format("graft")` front door (GeoMesaSparkSQL.scala:64-95 UX):
+ * one-liner reads with pushdown parity against the programmatic path,
+ * `CREATE TABLE ... USING graft`, and the write path.
+ */
+class GraftDataSourceSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 500).map { i =>
+      (s"f$i", s"name-${i % 5}", rnd.nextDouble() * 300 - 150, rnd.nextDouble() * 160 - 80)
+    }.toDF("id", "name", "lon", "lat")
+    SpatialTable.write(spark, df, r, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 2, partitions = 4)
+    r
+  }
+
+  test("format read equals the programmatic read (latest snapshot by default)") {
+    val viaFormat = spark.read.format("graft").load(root)
+    val direct = SpatialTable.read(spark, root, "s1")
+    assert(viaFormat.schema == direct.schema)
+    assert(viaFormat.count() == 500)
+    assert(viaFormat.select("id").as[String].collect().sorted.toSeq ==
+      direct.select("id").as[String].collect().sorted.toSeq)
+  }
+
+  test("relational filters push down (PushedFilters on the scan) and results " +
+    "match re-filtering the direct read") {
+    val q = spark.read.format("graft").option("snapshot", "s1").load(root)
+      .where($"name" === "name-2" && $"lon" > 0.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(name,name-2)"), plan)
+    val expect = SpatialTable.read(spark, root, "s1")
+      .where($"name" === "name-2" && $"lon" > 0.0).count()
+    assert(q.count() == expect && expect > 0)
+  }
+
+  test("a conjunctive lon/lat box routes through the pruned bbox path: " +
+    "fewer bytes read than the full scan, same rows as the exact filter") {
+    def bytesOf[T](body: => T): (Long, T) = {
+      // accumulate task-level input bytes while the body runs
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      val r = body
+      // flush the async listener bus with a no-input job + a short wait
+      spark.sparkContext.parallelize(Seq(1)).count()
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(l)
+      (acc.get(), r)
+    }
+    val box = ($"lon" >= 10.0 && $"lon" <= 30.0 && $"lat" >= 10.0 && $"lat" <= 30.0)
+    val (bBox, nBox) = bytesOf(
+      spark.read.format("graft").load(root).where(box).count())
+    val (bAll, nAll) = bytesOf(
+      spark.read.format("graft").load(root).count())
+    val exact = SpatialTable.read(spark, root, "s1").where(box).count()
+    assert(nBox == exact && nAll == 500)
+    assert(bBox < bAll, s"bbox path should read fewer bytes: $bBox vs $bAll")
+  }
+
+  test("CREATE TABLE ... USING graft answers SQL with pushdown") {
+    spark.sql("DROP TABLE IF EXISTS fmt_events")
+    spark.sql(s"CREATE TABLE fmt_events USING graft OPTIONS (path '$root', snapshot 's1')")
+    val out = spark.sql(
+      "SELECT id FROM fmt_events WHERE name = 'name-1' AND lat BETWEEN -10 AND 10")
+    val expect = SpatialTable.read(spark, root, "s1")
+      .where($"name" === "name-1" && $"lat".between(-10, 10)).count()
+    assert(out.count() == expect)
+    spark.sql("DROP TABLE fmt_events")
+  }
+
+  test("cql option compiles an ECQL filter into the scan") {
+    val out = spark.read.format("graft")
+      .option("cql", "BBOX(geom, -50, -50, 50, 50) AND name = 'name-3'")
+      .load(root)
+    val expect = SpatialTable.queryCql(spark, root, "s1",
+      "BBOX(geom, -50, -50, 50, 50) AND name = 'name-3'")
+    assert(out.count() == expect.count())
+  }
+
+  test("write path: save creates a committed snapshot; immutability is enforced") {
+    val r2 = java.nio.file.Files.createTempDirectory("graft_fmt_w").toString
+    val df = Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0)).toDF("id", "lon", "lat")
+    df.write.format("graft").option("snapshot", "w1").option("id", "id").save(r2)
+    assert(SpatialTable.isCommitted(spark, r2, "w1"))
+    assert(spark.read.format("graft").load(r2).count() == 2)
+    // default ErrorIfExists refuses to clobber a committed snapshot
+    intercept[IllegalArgumentException](
+      df.write.format("graft").option("snapshot", "w1").option("id", "id").save(r2))
+    // Ignore no-ops; Overwrite replaces
+    df.write.format("graft").mode("ignore")
+      .option("snapshot", "w1").option("id", "id").save(r2)
+    df.limit(1).write.format("graft").mode("overwrite")
+      .option("snapshot", "w1").option("id", "id").save(r2)
+    assert(spark.read.format("graft").load(r2).count() == 1)
+  }
+
+  test("scoped-mutation snapshots resolve through the format") {
+    val r3 = java.nio.file.Files.createTempDirectory("graft_fmt_m").toString
+    val df = (0 until 100).map(i => (s"p$i", -100.0 + i, (i % 80) - 40.0))
+      .toDF("id", "lon", "lat")
+    SpatialTable.write(spark, df, r3, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 1, partitions = 2)
+    SpatialTable.deleteWhere(spark, r3, "s1", "s2", "IN ('p0')")
+    assert(spark.read.format("graft").load(r3).count() == 99) // latest = s2
+    assert(spark.read.format("graft").option("snapshot", "s1").load(r3).count() == 100)
+  }
+}
