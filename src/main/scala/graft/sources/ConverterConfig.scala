@@ -66,9 +66,60 @@ object ConverterConfig {
 
   private val mapper = new ObjectMapper()
 
-  def parse(configJson: String): Parsed = parseNode(mapper.readTree(configJson))
+  /**
+   * Parse a converter config. JSON parses as-is; anything Jackson
+   * rejects re-parses through the from-scratch [[Hocon]] subset parser
+   * (every JSON document is valid HOCON, so reference-doc configs —
+   * unquoted keys, `=`, comments, newline separators — load VERBATIM).
+   */
+  def parse(config: String): Parsed = parseNode(readAny(config))
 
-  private def parseNode(n: JsonNode): Parsed = {
+  private def readAny(config: String): JsonNode = {
+    val viaJson =
+      try Option(mapper.readTree(config)).filter(_.isObject)
+      catch { case _: Exception => None }
+    viaJson.getOrElse(Hocon.parse(config))
+  }
+
+  /**
+   * Translate the reference's own config vocabulary onto this parser's
+   * canonical keys, so configs from geomesa-convert docs work unedited:
+   * type aliases (`delimited-text`, `composite-converter`), the
+   * converter-relative `path` field key (JsonPath for json configs,
+   * XPath for xml), and `json-type` (output type when the field has no
+   * transform; INPUT documentation — dropped — when it does, since the
+   * transform decides the output, matching the reference semantics).
+   */
+  private def normalize(n: JsonNode): JsonNode = n match {
+    case o0: com.fasterxml.jackson.databind.node.ObjectNode =>
+      val o = o0.deepCopy()
+      Option(o.get("type")).map(_.asText) match {
+        case Some("delimited-text") => o.put("type", "delimited")
+        case Some("composite-converter") => o.put("type", "composite")
+        case _ =>
+      }
+      val typ = Option(o.get("type")).map(_.asText)
+      Option(o.get("fields")).foreach { fs =>
+        fs.elements().asScala.foreach {
+          case fo: com.fasterxml.jackson.databind.node.ObjectNode =>
+            if (fo.has("path") && !fo.has("json-path") && !fo.has("xpath")) {
+              val key = if (typ.contains("xml")) "xpath" else "json-path"
+              fo.set[JsonNode](key, fo.remove("path"))
+            }
+            if (fo.has("json-type")) {
+              val jt = fo.remove("json-type").asText
+              if (!fo.has("transform") || jt == "geometry")
+                fo.put("type", if (jt == "integer") "int" else jt)
+            }
+          case _ =>
+        }
+      }
+      o
+    case other => other
+  }
+
+  private def parseNode(n0: JsonNode): Parsed = {
+    val n = normalize(n0)
     val typ = Option(n.get("type")).map(_.asText).getOrElse(
       throw new IllegalArgumentException("converter config needs a 'type'"))
     require(Set("delimited", "fixed-width", "json", "xml", "composite")(typ),

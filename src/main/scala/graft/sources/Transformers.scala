@@ -312,7 +312,9 @@ object Transformers {
     "isodatetime" -> "yyyyMMdd'T'HHmmss[.SSS]XXX",
     "basicDateTime" -> "yyyyMMdd'T'HHmmss[.SSS]XXX",
     "basicDateTimeNoMillis" -> "yyyyMMdd'T'HHmmssXXX",
-    "dateHourMinuteSecondMillis" -> "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    // [XXX]: the reference docs' own example data carries a trailing
+    // 'Z' (example.rst) — XXX parses it as UTC when present
+    "dateHourMinuteSecondMillis" -> "yyyy-MM-dd'T'HH:mm:ss.SSS[XXX]")
 
   private def str(c: Column): Column = c.cast("string")
 
@@ -328,7 +330,9 @@ object Transformers {
       a(0).substr(a(1) + lit(1), a(2) - a(1))
     case "strlen" | "length" => length(a.head)
     case "toString" => str(a.head)
-    case "concat" => concat(a.map(str): _*)
+    // `concatenate` is the reference docs' long-form alias
+    // (docs/user/convert/example.rst "concatenate($1, $2)")
+    case "concat" | "concatenate" => concat(a.map(str): _*)
     case "mkstring" => // mkstring(sep, args...): join with the separator
       a.tail.map(str).reduce((x, y) => concat(x, str(a.head), y))
     case "emptyToNull" => when(trim(a.head) === "" || a.head.isNull, lit(null)).otherwise(a.head)
