@@ -28,9 +28,12 @@ object ChangelogStream {
   final case class GeoState(id: String, lon: Double, lat: Double,
                             attrs: Map[String, String], updated: Timestamp)
 
-  /** Emitted change. op: "upsert" | "delete" | "expire". */
+  /** Emitted change. op: "upsert" | "delete" | "expire". Carries the
+    * feature's attributes so downstream sinks (the persistence job) can
+    * materialize the full feature; deletes carry an empty map. */
   final case class StateChange(id: String, op: String, lon: Double, lat: Double,
-                               updated: Timestamp)
+                               updated: Timestamp,
+                               attrs: Map[String, String] = Map.empty)
 
   /**
    * Materialize the changelog into a stream of state changes with
@@ -50,7 +53,7 @@ object ChangelogStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(StateChange(id, "expire", s.lon, s.lat, s.updated))
+            Iterator(StateChange(id, "expire", s.lon, s.lat, s.updated, s.attrs))
           } else {
             // apply events in event-time order; last-write-wins upsert,
             // delete tombstones (the reference's cache semantics)
@@ -61,7 +64,7 @@ object ChangelogStream {
               e.kind match {
                 case "upsert" if current.forall(_.updated.getTime <= e.ts.getTime) =>
                   current = Some(GeoState(id, e.lon, e.lat, e.attrs, e.ts))
-                  out += StateChange(id, "upsert", e.lon, e.lat, e.ts)
+                  out += StateChange(id, "upsert", e.lon, e.lat, e.ts, e.attrs)
                 case "delete" =>
                   current = None
                   out += StateChange(id, "delete", e.lon, e.lat, e.ts)
@@ -96,6 +99,83 @@ object ChangelogStream {
     val liveTouched = liveEvents.select("id").distinct()
     val untouched = persistent.join(liveTouched, Seq("id"), "left_anti").as[GeoState]
     untouched.union(replay(spark, liveEvents))
+  }
+
+  /**
+   * Persistent-tier maintainer — the reference's DataStorePersistence
+   * analog (geomesa-lambda/.../stream/kafka/DataStorePersistence
+   * .scala:84-87: a background task that moves expired transient
+   * entries into the persistent store, and deletes write through).
+   * Attach to the materialized changelog:
+   *
+   * {{{
+   *   ChangelogStream.materialize(spark, events, ttlMs)
+   *     .writeStream.outputMode("append")
+   *     .option("checkpointLocation", ckpt)
+   *     .foreachBatch(ChangelogStream.persistenceSink(spark, root) _)
+   *     .start()
+   * }}}
+   *
+   * Per micro-batch: `expire` changes UPSERT into the SpatialTable at
+   * `root` as a new snapshot chained on the latest, and `delete`
+   * changes write through as a scoped delete — so [[mergedView]]'s
+   * persistent tier maintains itself: a feature aging out of the live
+   * window is already in the table, and a live delete of a previously
+   * persisted feature cannot resurrect when its tombstone leaves the
+   * window.
+   *
+   * Exactly-once by construction: snapshot ids derive from the batch
+   * id and SpatialTable commits are marker-idempotent, so foreachBatch
+   * replays (its at-least-once contract) re-commit as no-ops. Scoped
+   * mutations keep each drain proportional to the drained features —
+   * never a whole-table rewrite.
+   */
+  def persistenceSink(spark: SparkSession, root: String,
+                      maxDeleteIds: Int = 100000)
+                     (batch: Dataset[StateChange], batchId: Long): Unit = {
+    import graft.table.SpatialTable
+    def latest: Option[String] = SpatialTable.snapshots(spark, root).lastOption
+    val expired = batch.filter(_.op == "expire")
+      .toDF().select("id", "lon", "lat", "attrs", "updated")
+    // suffix ordering matters: snapshots() sorts lexically and `latest`
+    // must see the LAST commit of a batch — expires commit as "-a",
+    // write-through deletes as "-b"
+    if (!expired.isEmpty) {
+      val target = f"b$batchId%09d-a"
+      latest match {
+        case None =>
+          SpatialTable.write(spark, expired, root, target, "id", "lon", "lat")
+        case Some(from) if from != target =>
+          SpatialTable.upsert(spark, root, from, target, expired)
+        case _ => // replayed batch: already committed
+      }
+    }
+    // write-through deletes (bounded id list -> CQL IN; a drain that
+    // deletes more than maxDeleteIds per batch should partition its
+    // input rather than grow an unbounded driver list)
+    val delIds = batch.filter(_.op == "delete").toDF().select("id")
+      .distinct().limit(maxDeleteIds + 1)
+      .collect().map(_.getString(0))
+    require(delIds.length <= maxDeleteIds,
+      s"persistence batch $batchId deletes more than $maxDeleteIds features")
+    if (delIds.nonEmpty) latest.foreach { from =>
+      val target = f"b$batchId%09d-b"
+      if (from != target) {
+        val quoted = delIds.map(i => s"'${i.replace("'", "''")}'").mkString(", ")
+        SpatialTable.deleteWhere(spark, root, from, target, s"IN ($quoted)")
+      }
+    }
+  }
+
+  /** The persistent tier as a typed dataset (latest snapshot), for
+    * [[mergedView]]. Empty before the first drain. */
+  def persistentTier(spark: SparkSession, root: String): Dataset[GeoState] = {
+    import spark.implicits._
+    graft.table.SpatialTable.snapshots(spark, root).lastOption match {
+      case None => spark.emptyDataset[GeoState]
+      case Some(s) => graft.table.SpatialTable.read(spark, root, s)
+        .select("id", "lon", "lat", "attrs", "updated").as[GeoState]
+    }
   }
 
   /** Batch variant: replay a finite changelog into the final live view —

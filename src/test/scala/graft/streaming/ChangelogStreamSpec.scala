@@ -74,6 +74,67 @@ class ChangelogStreamSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("persistence job (DataStorePersistence analog): expired features drain " +
+    "into the SpatialTable, leave live state, and write-through deletes hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_lambda_pers").toString
+    val input = MemoryStream[GeoEvent]
+    val changes = ChangelogStream.materialize(spark,
+      input.toDS().withWatermark("ts", "0 seconds"), ttlMs = 5 * 60000L)
+    val q = changes.writeStream.format("memory").queryName("pers_live")
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StateChange], id: Long) =>
+        // memory sink AND the persistence drain on the same stream: the
+        // drain is the foreachBatch, the memory view feeds the asserts
+        ChangelogStream.persistenceSink(spark, root)(b, id)
+        b.write.mode("append").saveAsTable("pers_live_tbl")
+      }
+      .start()
+    try {
+      spark.sql("DROP TABLE IF EXISTS pers_live_tbl")
+      spark.sql("CREATE TABLE pers_live_tbl (id STRING, op STRING, lon DOUBLE, " +
+        "lat DOUBLE, updated TIMESTAMP, attrs MAP<STRING, STRING>) USING parquet")
+      input.addData(GeoEvent("upsert", ts(0), "old", 1.0, 1.0, Map("k" -> "v")))
+      q.processAllAvailable()
+      // push the watermark past old+ttl, then one more batch to fire it
+      input.addData(GeoEvent("upsert", ts(20), "fresh", 2.0, 2.0, Map()))
+      q.processAllAvailable()
+      input.addData(GeoEvent("upsert", ts(21), "fresh2", 3.0, 3.0, Map()))
+      q.processAllAvailable()
+
+      // the expired feature reached the persistent tier WITH its attrs
+      val tier = ChangelogStream.persistentTier(spark, root).collect()
+        .map(s => s.id -> s).toMap
+      assert(tier.contains("old"), s"expired feature not drained: ${tier.keySet}")
+      assert(tier("old").attrs == Map("k" -> "v") && tier("old").lon == 1.0)
+      assert(!tier.contains("fresh"), "live feature must not persist early")
+      // ...and left the live state (its change stream shows the expire)
+      val ops = spark.table("pers_live_tbl").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(ops.contains(("old", "expire")))
+
+      // write-through delete: deleting a persisted feature removes it
+      // from the table even after its tombstone would leave the window
+      input.addData(GeoEvent("delete", ts(22), "old", 0.0, 0.0, Map()))
+      q.processAllAvailable()
+      val after = ChangelogStream.persistentTier(spark, root).collect().map(_.id).toSet
+      assert(!after.contains("old"), s"write-through delete failed: $after")
+
+      // replaying a committed batch is a no-op (marker idempotence):
+      // rerun the sink with the ORIGINAL batch id of the expire drain
+      val snapsBefore = graft.table.SpatialTable.snapshots(spark, root)
+      val expireBatch = snapsBefore.find(_.endsWith("-a")).get
+        .stripPrefix("b").stripSuffix("-a").toLong
+      val replay = spark.table("pers_live_tbl").as[StateChange].filter(_.op == "expire")
+      ChangelogStream.persistenceSink(spark, root)(replay, expireBatch)
+      assert(graft.table.SpatialTable.snapshots(spark, root) == snapsBefore)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS pers_live_tbl")
+    }
+  }
+
   test("lambda merged view: live tier wins, live deletes suppress persistent rows") {
     import spark.implicits._
     val persistent = Seq(
