@@ -51,21 +51,45 @@ object SpatialTable {
    * holders, never another level of indirection), so chains of
    * mutations resolve in O(1).
    */
+  /** A data-partition key: `cell_prefix` for plain layouts, the
+    * (time_bin, cell_prefix) pair for temporal ones. `relpath` is the
+    * directory fragment under the snapshot's data dir. */
+  private[graft] final case class PKey(bin: Option[Int], prefix: Long) {
+    def relpath: String =
+      bin.map(b => s"time_bin=$b/").getOrElse("") + s"cell_prefix=$prefix"
+    /** The manifest sources-map key: plain prefixes keep the bare number
+      * (round-4 format compatibility); temporal keys are "bin/prefix". */
+    def sourceKey: String = bin.map(b => s"$b/$prefix").getOrElse(prefix.toString)
+  }
+
   final case class ManifestInfo(snapshot: String, res: Int, prefixRes: Int, salts: Int,
                                 period: Option[String], dtg: Option[String],
                                 schema: StructType,
                                 partitions: Map[Long, Long],
                                 sources: Map[Long, String],
-                                scoped: Boolean) {
+                                scoped: Boolean,
+                                tpartitions: Map[(Int, Long), Long] = Map.empty,
+                                tsources: Map[(Int, Long), String] = Map.empty) {
     /** prefix -> physical holder for every live prefix (identity for
-      * self-contained snapshots). */
+      * self-contained snapshots). Plain layouts only. */
     def physical: Map[Long, String] =
       if (scoped) sources else partitions.keys.map(_ -> snapshot).toMap
+    /** Partition key -> physical holder, layout-agnostic. Empty for
+      * legacy temporal manifests written before partitions were
+      * recorded (callers must fall back to whole-table paths). */
+    private[graft] def physicalKeys: Map[PKey, String] =
+      if (period.nonEmpty) {
+        val m = if (scoped) tsources else tpartitions.keys.map(_ -> snapshot).toMap
+        m.map { case ((b, p), s) => PKey(Some(b), p) -> s }
+      } else physical.map { case (p, s) => PKey(None, p) -> s }
+    /** The partition (directory) columns, outermost first. */
+    def partitionCols: Seq[String] =
+      if (period.nonEmpty) Seq("time_bin", "cell_prefix") else Seq("cell_prefix")
     /** The column order a snapshot read presents: file columns first,
-      * the cell_prefix partition column last (what plain partition
+      * partition columns last in directory order (what plain partition
       * discovery yields). */
     def readOrder: Seq[String] =
-      schema.fieldNames.filterNot(_ == "cell_prefix").toSeq :+ "cell_prefix"
+      schema.fieldNames.filterNot(partitionCols.contains).toSeq ++ partitionCols
   }
 
   /** Parse a snapshot's manifest (shared by every entry point). */
@@ -75,23 +99,41 @@ object SpatialTable {
     def intField(name: String): Int = Option(n.get(name)).map(_.asInt)
       .getOrElse(throw new IllegalStateException(s"manifest missing $name"))
     val schema = DataType.fromJson(n.get("schema").toString).asInstanceOf[StructType]
-    val parts = Option(n.get("partitions")).map { arr =>
-      (0 until arr.size).map { i =>
+    // entries with a time_bin belong to a temporal layout's key space
+    var parts = Map.empty[Long, Long]
+    var tparts = Map.empty[(Int, Long), Long]
+    Option(n.get("partitions")).foreach { arr =>
+      (0 until arr.size).foreach { i =>
         val e = arr.get(i)
-        e.get("cell_prefix").asLong -> e.get("rows").asLong
-      }.toMap
-    }.getOrElse(Map.empty[Long, Long])
-    val sources = Option(n.get("sources")).map { o =>
+        val p = e.get("cell_prefix").asLong
+        val rows = e.get("rows").asLong
+        Option(e.get("time_bin")) match {
+          case Some(b) => tparts += (b.asInt, p) -> rows
+          case None => parts += p -> rows
+        }
+      }
+    }
+    // sources keys: bare prefix (plain) or "bin/prefix" (temporal)
+    var sources = Map.empty[Long, String]
+    var tsources = Map.empty[(Int, Long), String]
+    Option(n.get("sources")).foreach { o =>
       val it = o.fields()
-      val b = Map.newBuilder[Long, String]
-      while (it.hasNext) { val e = it.next(); b += e.getKey.toLong -> e.getValue.asText }
-      b.result()
-    }.getOrElse(Map.empty[Long, String])
+      while (it.hasNext) {
+        val e = it.next()
+        e.getKey.split('/') match {
+          case Array(b, p) => tsources += (b.toInt, p.toLong) -> e.getValue.asText
+          case Array(p) => sources += p.toLong -> e.getValue.asText
+          case other => throw new IllegalStateException(
+            s"bad sources key '${other.mkString("/")}'")
+        }
+      }
+    }
     ManifestInfo(n.get("snapshot").asText, intField("res"), intField("prefix_res"),
       intField("salts"),
       Option(n.get("period")).map(_.asText), Option(n.get("dtg")).map(_.asText),
       schema, parts, sources,
-      scoped = Option(n.get("sources")).isDefined)
+      scoped = Option(n.get("sources")).isDefined,
+      tpartitions = tparts, tsources = tsources)
   }
 
   private def fs(spark: SparkSession, p: String): FileSystem =
@@ -186,8 +228,8 @@ object SpatialTable {
       StructType(info.readOrder.map(f => info.schema(f))))
 
   private def readResolved(spark: SparkSession, root: String, info: ManifestInfo): DataFrame = {
-    val paths = info.physical.toSeq.sortBy(_._1)
-      .map { case (p, src) => s"$root/data/snapshot=$src/cell_prefix=$p" }
+    val paths = info.physicalKeys.toSeq.sortBy(_._1.relpath)
+      .map { case (k, src) => s"$root/data/snapshot=$src/${k.relpath}" }
     if (paths.isEmpty) emptyOf(spark, info) // fully-deleted snapshot: schema-only
     else {
       val withSnap = StructType(info.schema.fields :+ StructField("snapshot", StringType))
@@ -298,10 +340,21 @@ object SpatialTable {
     metrics.coalesce(1).write.mode("overwrite")
       .parquet(s"$root/_metrics/snapshot=$snapshotId")
 
+    // per-(time_bin, cell_prefix) stats in the manifest — what scoped
+    // mutations resolve live partitions from (the temporal analog of
+    // write()'s partitions array)
+    val partStats = spark.read.parquet(s"$root/_metrics/snapshot=$snapshotId")
+      .groupBy("time_bin", "cell_prefix")
+      .agg(sum("rows").as("rows"), min("min_cell").as("min_cell"), max("max_cell").as("max_cell"))
+      .collect()
+      .sortBy(r => (r.getInt(0), r.getLong(1)))
+      .map(r => s"""{"time_bin":${r.getInt(0)},"cell_prefix":${r.getLong(1)},""" +
+        s""""rows":${r.getLong(2)},"min_cell":${r.getLong(3)},"max_cell":${r.getLong(4)}}""")
+      .mkString("[", ",", "]")
     val manifest =
       s"""{"snapshot":"$snapshotId","res":$res,"prefix_res":$prefixRes,"salts":$salts,
          |"period":"$period","dtg":"$dtgCol",
-         |"schema":${ujsonSchema(indexed)}}""".stripMargin
+         |"schema":${ujsonSchema(indexed)},"partitions":$partStats}""".stripMargin
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/_manifests"))
     writeString(f, s"$root/_manifests/$snapshotId.json", manifest)
@@ -850,7 +903,7 @@ object SpatialTable {
    * snapshot and inputs).
    */
   private def commitScoped(spark: SparkSession, root: String, from: String, to: String,
-                           p0: Seq[Long], transform: DataFrame => DataFrame,
+                           p0: Seq[PKey], transform: DataFrame => DataFrame,
                            removed: DataFrame, addedUser: Option[DataFrame],
                            mayMove: Boolean,
                            idCol: String, lonCol: String, latCol: String,
@@ -858,68 +911,83 @@ object SpatialTable {
     require(from != to, "mutation must target a NEW snapshot id")
     require(isCommitted(spark, root, from), s"source snapshot $from not committed")
     val info = manifestInfo(spark, root, from)
-    require(info.period.isEmpty, "scoped mutation applies to plain layouts (temporal uses rewrite)")
+    val temporal = info.period.nonEmpty
     val snap = Snapshot(to, root, info.prefixRes, info.res, info.salts)
     if (isCommitted(spark, root, to)) return snap
 
-    val srcPhys = info.physical
+    val keyCols = info.partitionCols
+    val srcPhys: Map[PKey, String] = info.physicalKeys
     val p0live = p0.distinct.filter(srcPhys.contains)
     val userFields = info.schema.fields.filterNot(fld => DerivedCols(fld.name))
     def emptyUser = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(userFields))
     val withSnap = StructType(info.schema.fields :+ StructField("snapshot", StringType))
-    def srcRows(prefixes: Seq[Long]): DataFrame =
-      if (prefixes.isEmpty) emptyUser
+    def srcRows(keys: Seq[PKey]): DataFrame =
+      if (keys.isEmpty) emptyUser
       else spark.read.schema(withSnap).option("basePath", s"$root/data")
-        .parquet(prefixes.sorted.map(p => s"$root/data/snapshot=${srcPhys(p)}/cell_prefix=$p"): _*)
+        .parquet(keys.sortBy(_.relpath)
+          .map(k => s"$root/data/snapshot=${srcPhys(k)}/${k.relpath}"): _*)
         .select(userFields.toSeq.map(fld => col(fld.name)): _*)
-    def index(df: DataFrame): DataFrame = df
-      .withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(info.res)))
-      .withColumn("cell_prefix", StFunctions.stCellParent(col("cell"), lit(info.prefixRes)))
-      .withColumn("salt", pmod(xxhash64(col(idCol)), lit(info.salts)).cast("int"))
+    def index(df: DataFrame): DataFrame = {
+      val base = df
+        .withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(info.res)))
+        .withColumn("cell_prefix", StFunctions.stCellParent(col("cell"), lit(info.prefixRes)))
+        .withColumn("salt", pmod(xxhash64(col(idCol)), lit(info.salts)).cast("int"))
+      if (!temporal) base
+      else base.withColumn("time_bin", StFunctions.stZ3Bin(
+        unix_millis(col(info.dtg.get).cast("timestamp")), lit(info.period.get)))
+    }
+    def keysOf(df: DataFrame): Seq[PKey] =
+      df.select(keyCols.map(col): _*).distinct().collect().toSeq.map { r =>
+        if (temporal) PKey(Some(r.getInt(0)), r.getLong(1)) else PKey(None, r.getLong(0))
+      }
 
     val out0 = index(transform(srcRows(p0live)))
     val (newData, pTouched) =
       if (!mayMove) (out0, p0.distinct)
       else {
         // mover closure: one tiny aggregate over the transformed rows
-        val p1 = out0.select("cell_prefix").distinct().collect().map(_.getLong(0)).toSeq
+        val p1 = keysOf(out0)
         val extra = (p1.toSet -- p0live.toSet).toSeq.filter(srcPhys.contains)
         (if (extra.isEmpty) out0 else out0.unionByName(index(srcRows(extra))),
           (p0 ++ p1).distinct)
       }
 
     val dataPath = s"$root/data/snapshot=$to"
-    // shuffle width scales with |touched prefixes|, never the table
+    // shuffle width scales with |touched partitions|, never the table
     val nParts = math.max(1, math.min(partitions, pTouched.size.max(1) * info.salts))
-    newData.repartition(nParts, col("cell_prefix"), col("salt"))
-      .sortWithinPartitions("cell_prefix", "cell")
-      .write.mode("overwrite").partitionBy("cell_prefix").parquet(dataPath)
+    newData.repartition(nParts, (keyCols :+ "salt").map(col): _*)
+      .sortWithinPartitions((keyCols :+ "cell").map(col): _*)
+      .write.mode("overwrite").partitionBy(keyCols: _*).parquet(dataPath)
 
-    // metrics: recompute rewritten prefixes from the files just written,
-    // carry untouched prefixes' rows through (the provenance column keeps
+    // metrics: recompute rewritten partitions from the files just
+    // written, carry untouched ones through (the provenance column keeps
     // the PHYSICAL holder, so the lineage table shows where files live)
     val written = spark.read.schema(StructType(info.schema.fields)).parquet(dataPath)
-    val newMetrics = written.groupBy("cell_prefix", "salt")
+    val newMetrics = written.groupBy((keyCols :+ "salt").map(col): _*)
       .agg(count(lit(1)).as("rows"), min("cell").as("min_cell"), max("cell").as("max_cell"))
       .withColumn("snapshot", lit(to))
-    val inherited = (srcPhys.keySet -- pTouched.toSet).toSeq.sorted
-    val inhDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(inherited.map(Row(_)), 1),
-      StructType(Seq(StructField("cell_prefix", org.apache.spark.sql.types.LongType))))
+    val inherited = (srcPhys.keySet -- pTouched.toSet).toSeq.sortBy(_.relpath)
+    val inhRows = inherited.map(k =>
+      if (temporal) Row(k.bin.get, k.prefix) else Row(k.prefix))
+    val inhSchema =
+      if (temporal) StructType(Seq(
+        StructField("time_bin", IntegerType),
+        StructField("cell_prefix", org.apache.spark.sql.types.LongType)))
+      else StructType(Seq(StructField("cell_prefix", org.apache.spark.sql.types.LongType)))
+    val inhDf = spark.createDataFrame(spark.sparkContext.parallelize(inhRows, 1), inhSchema)
     val carried = spark.read.parquet(s"$root/_metrics/snapshot=$from")
-      .join(broadcast(inhDf), Seq("cell_prefix"), "left_semi")
+      .join(broadcast(inhDf), keyCols, "left_semi")
     newMetrics.unionByName(carried, allowMissingColumns = false)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/_metrics/snapshot=$to")
 
     val merged = spark.read.parquet(s"$root/_metrics/snapshot=$to")
-    val perPrefix = merged.groupBy("cell_prefix")
+    val perKey = merged.groupBy(keyCols.map(col): _*)
       .agg(sum("rows").as("rows"), min("min_cell").as("min_cell"), max("max_cell").as("max_cell"))
       .collect()
-    val writtenPrefixes = newMetrics.select("cell_prefix").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val sourcesMap: Map[Long, String] =
-      inherited.map(p => p -> srcPhys(p)).toMap ++ writtenPrefixes.map(_ -> to)
+    val writtenKeys = keysOf(newMetrics).toSet
+    val sourcesMap: Map[PKey, String] =
+      inherited.map(k => k -> srcPhys(k)).toMap ++ writtenKeys.map(_ -> to)
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
@@ -927,18 +995,26 @@ object SpatialTable {
     node.put("res", info.res)
     node.put("prefix_res", info.prefixRes)
     node.put("salts", info.salts)
+    info.period.foreach(node.put("period", _))
+    info.dtg.foreach(node.put("dtg", _))
     node.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema",
       mapper.readTree(info.schema.json).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
     val parts = node.putArray("partitions")
-    perPrefix.sortBy(_.getLong(0)).foreach { r =>
+    val keyed = perKey.map { r =>
+      val off = if (temporal) 1 else 0
+      val k = if (temporal) PKey(Some(r.getInt(0)), r.getLong(1)) else PKey(None, r.getLong(0))
+      (k, r.getLong(off + 1), r.getLong(off + 2), r.getLong(off + 3))
+    }
+    keyed.sortBy(_._1.relpath).foreach { case (k, rows, minC, maxC) =>
       val e = parts.addObject()
-      e.put("cell_prefix", r.getLong(0))
-      e.put("rows", r.getLong(1))
-      e.put("min_cell", r.getLong(2))
-      e.put("max_cell", r.getLong(3))
+      k.bin.foreach(e.put("time_bin", _))
+      e.put("cell_prefix", k.prefix)
+      e.put("rows", rows)
+      e.put("min_cell", minC)
+      e.put("max_cell", maxC)
     }
     val srcs = node.putObject("sources")
-    sourcesMap.toSeq.sortBy(_._1).foreach { case (p, s) => srcs.put(p.toString, s) }
+    sourcesMap.toSeq.sortBy(_._1.relpath).foreach { case (k, s) => srcs.put(k.sourceKey, s) }
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/_manifests"))
     writeString(f, s"$root/_manifests/$to.json", mapper.writeValueAsString(node))
@@ -963,6 +1039,21 @@ object SpatialTable {
     coalesce(graft.plans.Cql.parse(cql, geomDefaults(df, lonCol, latCol) ++ props,
       idColumn, graft.plans.Cql.arrayProps(df)), lit(false))
 
+  /** Whether the scoped (file-granular) engine can serve this snapshot:
+    * plain layouts always; temporal layouts once their manifest records
+    * partitions (writeTemporal does since round 4) or they were
+    * themselves produced by a scoped mutation. Legacy temporal
+    * manifests fall back to the whole-table rewrite. */
+  private def canScope(info: ManifestInfo): Boolean =
+    info.period.isEmpty || info.scoped || info.tpartitions.nonEmpty
+
+  /** The distinct partition keys a DataFrame's rows occupy. */
+  private def keysIn(info: ManifestInfo, df: DataFrame): Seq[PKey] =
+    df.select(info.partitionCols.map(col): _*).distinct().collect().toSeq.map { r =>
+      if (info.period.nonEmpty) PKey(Some(r.getInt(0)), r.getLong(1))
+      else PKey(None, r.getLong(0))
+    }
+
   /** removeFeatures(filter) — new snapshot keeps the rows the filter
     * does NOT match (AccumuloDataStoreDeleteTest "delete" blocks;
     * AccumuloFeatureWriterTest "provide ability to remove features").
@@ -979,13 +1070,13 @@ object SpatialTable {
     require(isCommitted(spark, root, fromSnapshot), s"source snapshot $fromSnapshot not committed")
     def remove(df: DataFrame): DataFrame =
       df.where(!cqlPred(df, cql, lonCol, latCol, idCol, props))
-    if (manifestInfo(spark, root, fromSnapshot).period.nonEmpty)
+    val info = manifestInfo(spark, root, fromSnapshot)
+    if (!canScope(info))
       rewrite(spark, root, fromSnapshot, toSnapshot, remove, idCol, lonCol, latCol)
     else {
       val src = read(spark, root, fromSnapshot)
       val matched = src.where(cqlPred(src, cql, lonCol, latCol, idCol, props))
-      val p0 = matched.select("cell_prefix").distinct().collect().map(_.getLong(0)).toSeq
-      commitScoped(spark, root, fromSnapshot, toSnapshot, p0, remove,
+      commitScoped(spark, root, fromSnapshot, toSnapshot, keysIn(info, matched), remove,
         removed = matched, addedUser = None, mayMove = false,
         idCol, lonCol, latCol, partitions = 32)
     }
@@ -1014,12 +1105,12 @@ object SpatialTable {
         d.withColumn(name, when(col("__match"), value).otherwise(col(name)))
       }.drop("__match")
     }
-    if (manifestInfo(spark, root, fromSnapshot).period.nonEmpty)
+    val info = manifestInfo(spark, root, fromSnapshot)
+    if (!canScope(info))
       rewrite(spark, root, fromSnapshot, toSnapshot, update, idCol, lonCol, latCol)
     else {
       val src = read(spark, root, fromSnapshot)
       val matched = src.where(cqlPred(src, cql, lonCol, latCol, idCol, props))
-      val p0 = matched.select("cell_prefix").distinct().collect().map(_.getLong(0)).toSeq
       // every row in `matched` matches — the added versions apply the
       // sets unconditionally (same values commitScoped's transform
       // produces for them)
@@ -1027,9 +1118,10 @@ object SpatialTable {
       val added = sets.foldLeft(matchedUser) { case (d, (name, value)) =>
         d.withColumn(name, value)
       }
-      // mayMove: a set may change lon/lat, re-homing rows to prefixes
-      // outside the predicate's cover — the mover closure pulls those in
-      commitScoped(spark, root, fromSnapshot, toSnapshot, p0, update,
+      // mayMove: a set may change lon/lat (or the dtg on a temporal
+      // layout), re-homing rows to partitions outside the predicate's
+      // cover — the mover closure pulls those in
+      commitScoped(spark, root, fromSnapshot, toSnapshot, keysIn(info, matched), update,
         removed = matched, addedUser = Some(added), mayMove = true,
         idCol, lonCol, latCol, partitions = 32)
     }
@@ -1069,7 +1161,7 @@ object SpatialTable {
         .unionByName(incoming)
     }
     val info = manifestInfo(spark, root, fromSnapshot)
-    if (info.period.nonEmpty)
+    if (!canScope(info))
       rewrite(spark, root, fromSnapshot, toSnapshot, merge, idCol, lonCol, latCol)
     else {
       val userCols = info.schema.fieldNames.filterNot(DerivedCols).sorted
@@ -1090,13 +1182,17 @@ object SpatialTable {
         } else
           read(spark, root, fromSnapshot)
             .join(incoming.select(idCol).distinct(), Seq(idCol), "left_semi")
-      val pOld = oldRows.select("cell_prefix").distinct().collect().map(_.getLong(0)).toSeq
+      val pOld = keysIn(info, oldRows)
       // new rows' homes are known without touching the table at all
-      val pNew = incoming
-        .select(StFunctions.stCellParent(
-          StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(info.res)),
-          lit(info.prefixRes)).as("p"))
-        .distinct().collect().map(_.getLong(0)).toSeq
+      val derived0 = incoming.withColumn("cell_prefix", StFunctions.stCellParent(
+        StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(info.res)),
+        lit(info.prefixRes)))
+      val derived = info.period match {
+        case Some(p) => derived0.withColumn("time_bin", StFunctions.stZ3Bin(
+          unix_millis(col(info.dtg.get).cast("timestamp")), lit(p)))
+        case None => derived0
+      }
+      val pNew = keysIn(info, derived)
       commitScoped(spark, root, fromSnapshot, toSnapshot, pOld ++ pNew, merge,
         removed = oldRows, addedUser = Some(incoming), mayMove = false,
         idCol, lonCol, latCol, partitions = 32)

@@ -212,4 +212,33 @@ class SparkSqlDataParitySpec extends AnyFunSuite {
     } yield (pn, zn)).toSet
     assert(fast == brute && brute.nonEmpty, s"fast=${fast.size} brute=${brute.size}")
   }
+
+  test("format(\"graft\") route: same SQL surface, same PushedFilters and " +
+    "pruning, same answers as the programmatic snapshot views (VERDICT r3 #2)") {
+    mkViews()
+    spark.sql("DROP TABLE IF EXISTS chicago_fmt")
+    spark.sql(s"CREATE TABLE chicago_fmt USING graft OPTIONS (path '$root', " +
+      "snapshot 'chi', id '__fid__')")
+    try {
+      // same rows as the programmatic read
+      assert(spark.sql("select __fid__ from chicago_fmt").collect().length == 3)
+      // attribute pushdown reaches the relation scan
+      val attr = spark.sql("select case_number from chicago_fmt where case_number < 2")
+      val attrPhys = attr.queryExecution.executedPlan.toString
+      assert(attrPhys.contains("PushedFilters") && attrPhys.contains("LessThan(case_number,2)"),
+        attrPhys)
+      assert(attr.collect().map(_.getInt(0)).toSeq == Seq(1))
+      // conjunctive lon/lat box: routed through the pruned bbox path and
+      // answers exactly like the view-based query
+      val box = spark.sql("select __fid__ from chicago_fmt where " +
+        "lon >= -77.5 and lon <= -76.0 and lat >= 38.0 and lat <= 38.6")
+      assert(box.collect().map(_.getString(0)).toSet == Set("1", "2"))
+      // cql option through SQL-created tables is not expressible; the
+      // DataFrame route covers it
+      val viaCql = spark.read.format("graft")
+        .option("snapshot", "chi").option("id", "__fid__")
+        .option("cql", "BBOX(geom, -77.5, 38.0, -76.0, 38.6)").load(root)
+      assert(viaCql.count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS chicago_fmt")
+  }
 }

@@ -200,6 +200,50 @@ class MutationScopedSpec extends AnyFunSuite with SparkTest {
     assert(SpatialTable.read(spark, root, "s3").count() == 78)
   }
 
+  test("temporal layouts are file-granular too: a one-month delete leaves the " +
+    "other months' (time_bin, cell_prefix) directories referenced, not copied") {
+    val root = freshRoot("graft_scope8")
+    val rows = (0 until 60).map { i =>
+      val month = 1 + (i % 3) // Jan / Feb / Mar 2024
+      (s"id$i", 10.0 + (i % 10) * 0.01, 20.0,
+        java.sql.Timestamp.valueOf(f"2024-$month%02d-10 12:00:00"))
+    }
+    SpatialTable.writeTemporal(spark, rows.toDF("id", "lon", "lat", "dtg"),
+      root, "s1", "id", "lon", "lat", "dtg", period = "month",
+      res = 9, prefixRes = 3, salts = 1, partitions = 2)
+    // delete all of February by a dtg range
+    SpatialTable.deleteWhere(spark, root, "s1", "s2",
+      "dtg DURING 2024-02-01T00:00:00.000Z/2024-02-28T23:59:59.000Z")
+    val s2 = SpatialTable.read(spark, root, "s2")
+    assert(s2.count() == 40)
+    assert(s2.where(month(col("dtg")) === 2).count() == 0)
+    // s2's own data dir holds ONLY the February bins (now emptied or
+    // rewritten) — January/March directories were never written
+    val s2Dir = new java.io.File(s"$root/data/snapshot=s2")
+    val s2Bins = if (!s2Dir.exists()) Set.empty[String]
+      else s2Dir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    val febBin = graft.cells.BinnedTime.toBinned(
+      graft.cells.BinnedTime.period("month"),
+      java.sql.Timestamp.valueOf("2024-02-10 12:00:00").getTime).bin.toInt
+    assert(s2Bins.subsetOf(Set(s"time_bin=$febBin")),
+      s"only February may rewrite, got $s2Bins")
+    // the surviving months physically resolve to s1's files
+    val scanned = scannedFiles(s2)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("snapshot=s1/")), scanned)
+    // time pruning still works on the resolved snapshot
+    def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    val jan = SpatialTable.readBBoxTime(spark, root, "s2", (9.0, 19.0, 11.0, 21.0),
+      ms("2024-01-01 00:00:00"), ms("2024-02-01 00:00:00"))
+    assert(jan.count() == 20)
+    // and a temporal upsert (moving one row across months) stays scoped
+    SpatialTable.upsert(spark, root, "s2", "s3",
+      Seq(("id0", 10.0, 20.0, java.sql.Timestamp.valueOf("2024-03-15 12:00:00")))
+        .toDF("id", "lon", "lat", "dtg"))
+    val s3 = SpatialTable.read(spark, root, "s3")
+    assert(s3.count() == 40)
+    assert(s3.where($"id" === "id0").select(month(col("dtg"))).head().getInt(0) == 3)
+  }
+
   test("deleting everything leaves a readable empty snapshot") {
     val root = freshRoot("graft_scope7")
     SpatialTable.write(spark, twoClusters, root, "s1", "id", "lon", "lat",
