@@ -81,14 +81,24 @@ class GraftDataSource extends DataSourceRegister
             s"$root/_manifests/$snapshot.json", s"$root/_manifests/$snapshot.committed")
             .foreach(p => f.delete(new Path(p), true))
         }
-        SpatialTable.write(spark, data, root, snapshot,
-          idCol = parameters.getOrElse("id", "id"),
-          lonCol = parameters.getOrElse("lon", "lon"),
-          latCol = parameters.getOrElse("lat", "lat"),
-          res = parameters.getOrElse("res", "9").toInt,
-          prefixRes = parameters.getOrElse("prefixRes", "4").toInt,
-          salts = parameters.getOrElse("salts", "4").toInt,
-          partitions = parameters.getOrElse("partitions", "32").toInt)
+        val idCol = parameters.getOrElse("id", "id")
+        val lonCol = parameters.getOrElse("lon", "lon")
+        val latCol = parameters.getOrElse("lat", "lat")
+        val res = parameters.getOrElse("res", "9").toInt
+        val prefixRes = parameters.getOrElse("prefixRes", "4").toInt
+        val salts = parameters.getOrElse("salts", "4").toInt
+        val nParts = parameters.getOrElse("partitions", "32").toInt
+        // a dtg option selects the temporal (time_bin, cell_prefix)
+        // layout — the FS datastore's `daily,z2`-style config as format
+        // options
+        parameters.get("dtg") match {
+          case Some(dtgCol) =>
+            SpatialTable.writeTemporal(spark, data, root, snapshot, idCol, lonCol, latCol,
+              dtgCol, parameters.getOrElse("period", "day"), res, prefixRes, salts, nParts)
+          case None =>
+            SpatialTable.write(spark, data, root, snapshot, idCol, lonCol, latCol,
+              res, prefixRes, salts, nParts)
+        }
     }
     GraftRelation(sqlContext, parameters + ("snapshot" -> snapshot))
   }
@@ -173,13 +183,51 @@ case class GraftRelation(sqlContext: SQLContext,
     for (a <- lo1; b <- lo2; c <- hi1; d <- hi2 if a <= c && b <= d) yield (a, b, c, d)
   }
 
+  /** Pushed dtg bounds -> a time_bin range on temporal layouts: bins
+    * are monotone in the date, so a one-week dtg filter prunes whole
+    * day/week directories before any file is listed. Open-ended bounds
+    * prune one side. */
+  private def extractTimeBins(filters: Array[Filter]): Option[(Int, Int)] =
+    (for (p <- info.period; dtgCol <- info.dtg) yield (p, dtgCol)).flatMap { case (p, dtgCol) =>
+      def ms(v: Any): Option[Long] = v match {
+        case t: java.sql.Timestamp => Some(t.getTime)
+        case t: java.time.Instant => Some(t.toEpochMilli)
+        case d: java.sql.Date => Some(d.getTime)
+        case _ => None
+      }
+      var lo = Option.empty[Long]
+      var hi = Option.empty[Long]
+      def visit(f: Filter): Unit = f match {
+        case And(l, r) => visit(l); visit(r)
+        case GreaterThan(a, v) if a == dtgCol => lo = ms(v).orElse(lo)
+        case GreaterThanOrEqual(a, v) if a == dtgCol => lo = ms(v).orElse(lo)
+        case LessThan(a, v) if a == dtgCol => hi = ms(v).orElse(hi)
+        case LessThanOrEqual(a, v) if a == dtgCol => hi = ms(v).orElse(hi)
+        case _ =>
+      }
+      filters.foreach(visit)
+      if (lo.isEmpty && hi.isEmpty) None
+      else {
+        val per = graft.cells.BinnedTime.period(p)
+        Some((
+          lo.map(m => graft.cells.BinnedTime.toBinned(per, m).bin.toInt)
+            .getOrElse(Int.MinValue),
+          hi.map(m => graft.cells.BinnedTime.toBinned(per, m).bin.toInt)
+            .getOrElse(Int.MaxValue)))
+      }
+    }
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     // bbox routing gives prefix-directory pruning + z-range row-group
     // skipping; its inclusive refine is a superset of any strict bound,
     // and the translated filters re-apply exactly below
-    val base = extractBBox(filters) match {
+    val base0 = extractBBox(filters) match {
       case Some(b) => SpatialTable.readBBox(spark, root, snapshotId, b, lonCol, latCol)
       case None => SpatialTable.read(spark, root, snapshotId)
+    }
+    val base = extractTimeBins(filters) match {
+      case Some((b0, b1)) => base0.where(col("time_bin").between(b0, b1))
+      case None => base0
     }
     val withCql = cql match {
       case Some(q) =>

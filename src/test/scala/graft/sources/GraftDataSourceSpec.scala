@@ -110,6 +110,33 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkTest {
     assert(spark.read.format("graft").load(r2).count() == 1)
   }
 
+  test("temporal layout through the format: dtg option writes (time_bin, " +
+    "cell_prefix) directories and pushed dtg bounds prune whole time bins") {
+    val r4 = java.nio.file.Files.createTempDirectory("graft_fmt_t").toString
+    val rows = (0 until 60).map { i =>
+      val month = 1 + (i % 3)
+      (s"id$i", 10.0 + (i % 10) * 0.01, 20.0,
+        java.sql.Timestamp.valueOf(f"2024-$month%02d-10 12:00:00"))
+    }
+    rows.toDF("id", "lon", "lat", "dtg").write.format("graft")
+      .option("snapshot", "t1").option("id", "id")
+      .option("dtg", "dtg").option("period", "month").save(r4)
+    assert(new java.io.File(s"$r4/data/snapshot=t1").listFiles()
+      .exists(_.getName.startsWith("time_bin=")))
+    val q = spark.read.format("graft").load(r4)
+      .where($"dtg" >= java.sql.Timestamp.valueOf("2024-02-01 00:00:00") &&
+        $"dtg" < java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    assert(q.count() == 20)
+    // only February's directory is scanned (bin pruning from the pushed
+    // dtg bounds)
+    val feb = graft.cells.BinnedTime.toBinned(
+      graft.cells.BinnedTime.period("month"),
+      java.sql.Timestamp.valueOf("2024-02-10 12:00:00").getTime).bin.toInt
+    val scanned = q.select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(scanned.nonEmpty && scanned.forall(_.contains(s"time_bin=$feb/")),
+      scanned.mkString("\n"))
+  }
+
   test("scoped-mutation snapshots resolve through the format") {
     val r3 = java.nio.file.Files.createTempDirectory("graft_fmt_m").toString
     val df = (0 until 100).map(i => (s"p$i", -100.0 + i, (i % 80) - 40.0))
