@@ -53,7 +53,16 @@ object SpatialTable {
    */
   /** A data-partition key: `cell_prefix` for plain layouts, the
     * (time_bin, cell_prefix) pair for temporal ones. `relpath` is the
-    * directory fragment under the snapshot's data dir. */
+    * directory fragment under the snapshot's data dir.
+    *
+    * Scale note: driver-side key lists and the manifest partitions
+    * array are bounded by the PARTITION count, which `prefixRes` (and
+    * the time period) set deliberately — at res 4 that is tens of
+    * thousands of prefixes worldwide, and a sane temporal config keeps
+    * bins×prefixes in the 10^5-10^6 range (the same order Iceberg
+    * carries in its manifests). Choosing prefixRes so partitions stay
+    * file-sized (hundreds of MB each at the target scale) keeps both
+    * the manifest and these collects trivially small next to the data. */
   private[graft] final case class PKey(bin: Option[Int], prefix: Long) {
     def relpath: String =
       bin.map(b => s"time_bin=$b/").getOrElse("") + s"cell_prefix=$prefix"
