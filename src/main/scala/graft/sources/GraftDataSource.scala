@@ -75,10 +75,35 @@ class GraftDataSource extends DataSourceRegister
             "against a new snapshot id")
       case m =>
         if (m == SaveMode.Overwrite && committed) {
-          // drop exactly this snapshot's artifacts, then rewrite
+          // refuse when any OTHER snapshot inherits this one's files (a
+          // scoped-mutation descendant): deleting the directory would
+          // silently break its resolved reads
+          val refs = SpatialTable.snapshots(spark, root).filter(_ != snapshot).filter { s =>
+            val i = SpatialTable.manifestInfo(spark, root, s)
+            (i.sources.values ++ i.tsources.values).exists(_ == snapshot)
+          }
+          require(refs.isEmpty,
+            s"cannot overwrite snapshot $snapshot: snapshot(s) ${refs.mkString(", ")} " +
+              "reference its files (scoped-mutation descendants) — mutate forward or " +
+              "drop the descendants first")
+          // drop ALL of this snapshot's artifacts — data, metrics,
+          // manifest, every index layout + its markers/sidecars, stats —
+          // so nothing stale answers for the rewritten id
           val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          Seq(s"$root/data/snapshot=$snapshot", s"$root/_metrics/snapshot=$snapshot",
-            s"$root/_manifests/$snapshot.json", s"$root/_manifests/$snapshot.committed")
+          val indexDirs =
+            if (!f.exists(new Path(root))) Seq.empty
+            else f.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+              .filter(_.startsWith("index_"))
+              .map(d => s"$root/$d/snapshot=$snapshot")
+          val markers =
+            if (!f.exists(new Path(s"$root/_manifests"))) Seq.empty
+            else f.listStatus(new Path(s"$root/_manifests")).toSeq.map(_.getPath.getName)
+              .filter(_.startsWith(s"$snapshot.attr_"))
+              .map(n => s"$root/_manifests/$n")
+          (Seq(s"$root/data/snapshot=$snapshot", s"$root/_metrics/snapshot=$snapshot",
+            s"$root/_stats/$snapshot.json",
+            s"$root/_manifests/$snapshot.json", s"$root/_manifests/$snapshot.committed") ++
+            indexDirs ++ markers)
             .foreach(p => f.delete(new Path(p), true))
         }
         val idCol = parameters.getOrElse("id", "id")
@@ -192,7 +217,16 @@ case class GraftRelation(sqlContext: SQLContext,
       def ms(v: Any): Option[Long] = v match {
         case t: java.sql.Timestamp => Some(t.getTime)
         case t: java.time.Instant => Some(t.toEpochMilli)
-        case d: java.sql.Date => Some(d.getTime)
+        case d: java.sql.Date =>
+          // date literals are calendar days: resolve start-of-day in the
+          // SESSION timezone (what time_bin's cast-to-timestamp uses) —
+          // Date.getTime uses the JVM default zone and could shift the
+          // bound across a bin boundary, pruning matching rows
+          val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+          Some(d.toLocalDate.atStartOfDay(zone).toInstant.toEpochMilli)
+        case d: java.time.LocalDate =>
+          val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+          Some(d.atStartOfDay(zone).toInstant.toEpochMilli)
         case _ => None
       }
       var lo = Option.empty[Long]

@@ -130,48 +130,67 @@ object ChangelogStream {
    * mutations keep each drain proportional to the drained features —
    * never a whole-table rewrite.
    */
+  /** Drain snapshot ids: zero-padded batch id + a suffix ordering the
+    * commits WITHIN a batch (expires "-a", then deletes "-b"). */
+  private val DrainId = "^b(\\d{9})-[ab]$".r
+
+  /** The persistence chain's head: the latest DRAIN snapshot when any
+    * exist (their zero-padded ids order lexically), else the latest
+    * committed snapshot (a user bootstrap like "s1"). NEVER the bare
+    * lexical max of all ids — a bootstrap id sorting after "b...-a"
+    * (most do: 's' > 'b') would otherwise hijack the chain, every
+    * drain would silently re-base on the stale bootstrap, and no
+    * drained feature would ever surface in [[persistentTier]]. */
+  private def chainHead(spark: SparkSession, root: String): Option[String] = {
+    val snaps = graft.table.SpatialTable.snapshots(spark, root)
+    val drains = snaps.filter(s => DrainId.findFirstIn(s).isDefined)
+    if (drains.nonEmpty) Some(drains.max) else snaps.lastOption
+  }
+
   def persistenceSink(spark: SparkSession, root: String,
                       maxDeleteIds: Int = 100000)
                      (batch: Dataset[StateChange], batchId: Long): Unit = {
     import graft.table.SpatialTable
-    def latest: Option[String] = SpatialTable.snapshots(spark, root).lastOption
-    val expired = batch.filter(_.op == "expire")
-      .toDF().select("id", "lon", "lat", "attrs", "updated")
-    // suffix ordering matters: snapshots() sorts lexically and `latest`
-    // must see the LAST commit of a batch — expires commit as "-a",
-    // write-through deletes as "-b"
-    if (!expired.isEmpty) {
-      val target = f"b$batchId%09d-a"
-      latest match {
-        case None =>
-          SpatialTable.write(spark, expired, root, target, "id", "lon", "lat")
-        case Some(from) if from != target =>
-          SpatialTable.upsert(spark, root, from, target, expired)
-        case _ => // replayed batch: already committed
+    def latest: Option[String] = chainHead(spark, root)
+    // the stateful micro-batch output would re-execute per action —
+    // cache it across the isEmpty probe, the upsert and the delete scan
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val expired = batch.filter(_.op == "expire")
+        .toDF().select("id", "lon", "lat", "attrs", "updated")
+      if (!expired.isEmpty) {
+        val target = f"b$batchId%09d-a"
+        latest match {
+          case None =>
+            SpatialTable.write(spark, expired, root, target, "id", "lon", "lat")
+          case Some(from) if from != target =>
+            SpatialTable.upsert(spark, root, from, target, expired)
+          case _ => // replayed batch: already committed
+        }
       }
-    }
-    // write-through deletes (bounded id list -> CQL IN; a drain that
-    // deletes more than maxDeleteIds per batch should partition its
-    // input rather than grow an unbounded driver list)
-    val delIds = batch.filter(_.op == "delete").toDF().select("id")
-      .distinct().limit(maxDeleteIds + 1)
-      .collect().map(_.getString(0))
-    require(delIds.length <= maxDeleteIds,
-      s"persistence batch $batchId deletes more than $maxDeleteIds features")
-    if (delIds.nonEmpty) latest.foreach { from =>
-      val target = f"b$batchId%09d-b"
-      if (from != target) {
-        val quoted = delIds.map(i => s"'${i.replace("'", "''")}'").mkString(", ")
-        SpatialTable.deleteWhere(spark, root, from, target, s"IN ($quoted)")
+      // write-through deletes (bounded id list -> CQL IN; a drain that
+      // deletes more than maxDeleteIds per batch should partition its
+      // input rather than grow an unbounded driver list)
+      val delIds = batch.filter(_.op == "delete").toDF().select("id")
+        .distinct().limit(maxDeleteIds + 1)
+        .collect().map(_.getString(0))
+      require(delIds.length <= maxDeleteIds,
+        s"persistence batch $batchId deletes more than $maxDeleteIds features")
+      if (delIds.nonEmpty) latest.foreach { from =>
+        val target = f"b$batchId%09d-b"
+        if (from != target) {
+          val quoted = delIds.map(i => s"'${i.replace("'", "''")}'").mkString(", ")
+          SpatialTable.deleteWhere(spark, root, from, target, s"IN ($quoted)")
+        }
       }
-    }
+    } finally batch.unpersist()
   }
 
-  /** The persistent tier as a typed dataset (latest snapshot), for
+  /** The persistent tier as a typed dataset (the chain head), for
     * [[mergedView]]. Empty before the first drain. */
   def persistentTier(spark: SparkSession, root: String): Dataset[GeoState] = {
     import spark.implicits._
-    graft.table.SpatialTable.snapshots(spark, root).lastOption match {
+    chainHead(spark, root) match {
       case None => spark.emptyDataset[GeoState]
       case Some(s) => graft.table.SpatialTable.read(spark, root, s)
         .select("id", "lon", "lat", "attrs", "updated").as[GeoState]

@@ -763,6 +763,23 @@ object SpatialTable {
   /** The engine-derived columns (never user data). */
   private val DerivedCols = Set("cell", "cell_prefix", "salt", "time_bin")
 
+  /** Add the engine-derived placement columns (cell, cell_prefix, salt,
+    * and time_bin on temporal layouts) for a snapshot's layout
+    * parameters. ONE implementation on purpose: commitScoped's write
+    * path and the entry points' partition-key probes must agree
+    * byte-for-byte, or a probe could miss partitions the write creates
+    * (silently corrupting the sources map). */
+  private def withDerived(info: ManifestInfo, df: DataFrame,
+                          idCol: String, lonCol: String, latCol: String): DataFrame = {
+    val base = df
+      .withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(info.res)))
+      .withColumn("cell_prefix", StFunctions.stCellParent(col("cell"), lit(info.prefixRes)))
+      .withColumn("salt", pmod(xxhash64(col(idCol)), lit(info.salts)).cast("int"))
+    if (info.period.isEmpty) base
+    else base.withColumn("time_bin", StFunctions.stZ3Bin(
+      unix_millis(col(info.dtg.get).cast("timestamp")), lit(info.period.get)))
+  }
+
   private def readFileString(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try new String(org.apache.commons.io.IOUtils.toByteArray(in),
@@ -937,26 +954,14 @@ object SpatialTable {
         .parquet(keys.sortBy(_.relpath)
           .map(k => s"$root/data/snapshot=${srcPhys(k)}/${k.relpath}"): _*)
         .select(userFields.toSeq.map(fld => col(fld.name)): _*)
-    def index(df: DataFrame): DataFrame = {
-      val base = df
-        .withColumn("cell", StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(info.res)))
-        .withColumn("cell_prefix", StFunctions.stCellParent(col("cell"), lit(info.prefixRes)))
-        .withColumn("salt", pmod(xxhash64(col(idCol)), lit(info.salts)).cast("int"))
-      if (!temporal) base
-      else base.withColumn("time_bin", StFunctions.stZ3Bin(
-        unix_millis(col(info.dtg.get).cast("timestamp")), lit(info.period.get)))
-    }
-    def keysOf(df: DataFrame): Seq[PKey] =
-      df.select(keyCols.map(col): _*).distinct().collect().toSeq.map { r =>
-        if (temporal) PKey(Some(r.getInt(0)), r.getLong(1)) else PKey(None, r.getLong(0))
-      }
+    def index(df: DataFrame): DataFrame = withDerived(info, df, idCol, lonCol, latCol)
 
     val out0 = index(transform(srcRows(p0live)))
     val (newData, pTouched) =
       if (!mayMove) (out0, p0.distinct)
       else {
         // mover closure: one tiny aggregate over the transformed rows
-        val p1 = keysOf(out0)
+        val p1 = keysIn(info, out0)
         val extra = (p1.toSet -- p0live.toSet).toSeq.filter(srcPhys.contains)
         (if (extra.isEmpty) out0 else out0.unionByName(index(srcRows(extra))),
           (p0 ++ p1).distinct)
@@ -994,7 +999,7 @@ object SpatialTable {
     val perKey = merged.groupBy(keyCols.map(col): _*)
       .agg(sum("rows").as("rows"), min("min_cell").as("min_cell"), max("max_cell").as("max_cell"))
       .collect()
-    val writtenKeys = keysOf(newMetrics).toSet
+    val writtenKeys = keysIn(info, newMetrics).toSet
     val sourcesMap: Map[PKey, String] =
       inherited.map(k => k -> srcPhys(k)).toMap ++ writtenKeys.map(_ -> to)
 
@@ -1151,61 +1156,60 @@ object SpatialTable {
              idLookupLimit: Long = 10000L): Snapshot = {
     require(fromSnapshot != toSnapshot, "mutation must target a NEW snapshot id")
     require(isCommitted(spark, root, fromSnapshot), s"source snapshot $fromSnapshot not committed")
+    // the caller's batch feeds several passes (dup check, count, id
+    // collect / semi-join probe, key derivation, the merge itself) —
+    // cache it so an expensive upstream plan runs once, not 4+ times
     val incoming = updates.drop("cell", "cell_prefix", "salt", "time_bin")
-    // a DataFrame has no row order, so "last write wins" is undefined
-    // for duplicate ids within ONE batch — reject them loudly instead
-    // of committing duplicate feature ids (the reference writer is
-    // sequential, so the ambiguity cannot arise there)
-    val dups = incoming.groupBy(idCol).agg(count(lit(1)).as("n"))
-      .where(col("n") > 1).select(idCol).limit(5)
-      .collect().map(_.get(0)).toSeq
-    require(dups.isEmpty,
-      s"upsert batch has duplicate ids (unordered rows — last-wins is " +
-        s"undefined): ${dups.mkString(", ")}")
-    def merge(df: DataFrame): DataFrame = {
-      require(df.columns.sorted.sameElements(incoming.columns.sorted),
-        s"upsert schema mismatch: table has [${df.columns.sorted.mkString(",")}], " +
-          s"updates have [${incoming.columns.sorted.mkString(",")}]")
-      df.join(incoming.select(idCol).distinct(), Seq(idCol), "left_anti")
-        .unionByName(incoming)
-    }
-    val info = manifestInfo(spark, root, fromSnapshot)
-    if (!canScope(info))
-      rewrite(spark, root, fromSnapshot, toSnapshot, merge, idCol, lonCol, latCol)
-    else {
-      val userCols = info.schema.fieldNames.filterNot(DerivedCols).sorted
-      require(userCols.sameElements(incoming.columns.sorted),
-        s"upsert schema mismatch: table has [${userCols.mkString(",")}], " +
-          s"updates have [${incoming.columns.sorted.mkString(",")}]")
-      // old locations of replaced ids. Small batches go through the id
-      // index when one exists — per-id bucket pruning, NO table scan to
-      // find a handful of rows (VERDICT r3's "one-row upsert is a
-      // full-table job" is dead in both halves). Larger batches (or no
-      // id index) fall back to one column-complete semi-join scan.
-      val haveIdIndex = indexedColumns(spark, root, fromSnapshot).contains(idCol)
-      val oldRows =
-        if (haveIdIndex && incoming.count() <= idLookupLimit) {
-          val vals = incoming.select(idCol).distinct().collect().map(_.get(0)).toSeq
-          if (vals.isEmpty) read(spark, root, fromSnapshot).limit(0)
-          else readByIds(spark, root, fromSnapshot, idCol, vals).drop("attr_bucket")
-        } else
-          read(spark, root, fromSnapshot)
-            .join(incoming.select(idCol).distinct(), Seq(idCol), "left_semi")
-      val pOld = keysIn(info, oldRows)
-      // new rows' homes are known without touching the table at all
-      val derived0 = incoming.withColumn("cell_prefix", StFunctions.stCellParent(
-        StFunctions.stCellOfXY(col(lonCol), col(latCol), lit(info.res)),
-        lit(info.prefixRes)))
-      val derived = info.period match {
-        case Some(p) => derived0.withColumn("time_bin", StFunctions.stZ3Bin(
-          unix_millis(col(info.dtg.get).cast("timestamp")), lit(p)))
-        case None => derived0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a DataFrame has no row order, so "last write wins" is undefined
+      // for duplicate ids within ONE batch — reject them loudly instead
+      // of committing duplicate feature ids (the reference writer is
+      // sequential, so the ambiguity cannot arise there)
+      val dups = incoming.groupBy(idCol).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).select(idCol).limit(5)
+        .collect().map(_.get(0)).toSeq
+      require(dups.isEmpty,
+        s"upsert batch has duplicate ids (unordered rows — last-wins is " +
+          s"undefined): ${dups.mkString(", ")}")
+      def merge(df: DataFrame): DataFrame = {
+        require(df.columns.sorted.sameElements(incoming.columns.sorted),
+          s"upsert schema mismatch: table has [${df.columns.sorted.mkString(",")}], " +
+            s"updates have [${incoming.columns.sorted.mkString(",")}]")
+        df.join(incoming.select(idCol).distinct(), Seq(idCol), "left_anti")
+          .unionByName(incoming)
       }
-      val pNew = keysIn(info, derived)
-      commitScoped(spark, root, fromSnapshot, toSnapshot, pOld ++ pNew, merge,
-        removed = oldRows, addedUser = Some(incoming), mayMove = false,
-        idCol, lonCol, latCol, partitions = 32)
-    }
+      val info = manifestInfo(spark, root, fromSnapshot)
+      if (!canScope(info))
+        rewrite(spark, root, fromSnapshot, toSnapshot, merge, idCol, lonCol, latCol)
+      else {
+        val userCols = info.schema.fieldNames.filterNot(DerivedCols).sorted
+        require(userCols.sameElements(incoming.columns.sorted),
+          s"upsert schema mismatch: table has [${userCols.mkString(",")}], " +
+            s"updates have [${incoming.columns.sorted.mkString(",")}]")
+        // old locations of replaced ids. Small batches go through the id
+        // index when one exists — per-id bucket pruning, NO table scan to
+        // find a handful of rows (VERDICT r3's "one-row upsert is a
+        // full-table job" is dead in both halves). Larger batches (or no
+        // id index) fall back to one column-complete semi-join scan.
+        val haveIdIndex = indexedColumns(spark, root, fromSnapshot).contains(idCol)
+        val oldRows =
+          if (haveIdIndex && incoming.count() <= idLookupLimit) {
+            val vals = incoming.select(idCol).distinct().collect().map(_.get(0)).toSeq
+            if (vals.isEmpty) read(spark, root, fromSnapshot).limit(0)
+            else readByIds(spark, root, fromSnapshot, idCol, vals).drop("attr_bucket")
+          } else
+            read(spark, root, fromSnapshot)
+              .join(incoming.select(idCol).distinct(), Seq(idCol), "left_semi")
+        val pOld = keysIn(info, oldRows)
+        // new rows' homes are known without touching the table at all —
+        // derived through the SAME helper commitScoped writes with
+        val pNew = keysIn(info, withDerived(info, incoming, idCol, lonCol, latCol))
+        commitScoped(spark, root, fromSnapshot, toSnapshot, pOld ++ pNew, merge,
+          removed = oldRows, addedUser = Some(incoming), mayMove = false,
+          idCol, lonCol, latCol, partitions = 32)
+      }
+    } finally incoming.unpersist()
   }
 
   /**

@@ -146,5 +146,32 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkTest {
     SpatialTable.deleteWhere(spark, r3, "s1", "s2", "IN ('p0')")
     assert(spark.read.format("graft").load(r3).count() == 99) // latest = s2
     assert(spark.read.format("graft").option("snapshot", "s1").load(r3).count() == 100)
+    // overwriting s1 is refused: s2 references s1's physical files
+    val e = intercept[IllegalArgumentException](
+      df.limit(1).write.format("graft").mode("overwrite")
+        .option("snapshot", "s1").option("id", "id").save(r3))
+    assert(e.getMessage.contains("reference its files"), e.getMessage)
+    assert(spark.read.format("graft").option("snapshot", "s2").load(r3).count() == 99)
+  }
+
+  test("overwrite drops index layouts and stats with the snapshot (nothing " +
+    "stale answers for the rewritten id)") {
+    val r5 = java.nio.file.Files.createTempDirectory("graft_fmt_ow").toString
+    val df = (0 until 50).map(i => (s"p$i", s"n${i % 5}", -10.0 + i, 0.0))
+      .toDF("id", "name", "lon", "lat")
+    SpatialTable.write(spark, df, r5, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 1, partitions = 2)
+    SpatialTable.writeAttributeIndex(spark, r5, "s1", "name", buckets = 4)
+    graft.table.TableStats.collect(spark, r5, "s1", Seq("name"))
+    // rewrite s1 through the format with a 2-row frame
+    Seq(("x1", "zz", 1.0, 1.0), ("x2", "zz", 2.0, 2.0))
+      .toDF("id", "name", "lon", "lat")
+      .write.format("graft").mode("overwrite")
+      .option("snapshot", "s1").option("id", "id").save(r5)
+    assert(spark.read.format("graft").load(r5).count() == 2)
+    // the old index layout + marker + stats are gone — no stale answers
+    assert(SpatialTable.indexedColumns(spark, r5, "s1").isEmpty)
+    assert(!new java.io.File(s"$r5/index_name/snapshot=s1").exists())
+    assert(graft.table.TableStats.cached(spark, r5, "s1").isEmpty)
   }
 }

@@ -79,6 +79,13 @@ class ChangelogStreamSpec extends AnyFunSuite with SparkTest {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_lambda_pers").toString
+    // bootstrap the persistent tier under a USER id ("s1" sorts AFTER
+    // the drain ids "b%09d-a" — the chain head must still follow the
+    // drains, not the lexical max)
+    graft.table.SpatialTable.write(spark,
+      Seq(("boot", 5.0, 5.0, Map("src" -> "bootstrap"), ts(0)))
+        .toDF("id", "lon", "lat", "attrs", "updated"),
+      root, "s1", "id", "lon", "lat")
     val input = MemoryStream[GeoEvent]
     val changes = ChangelogStream.materialize(spark,
       input.toDS().withWatermark("ts", "0 seconds"), ttlMs = 5 * 60000L)
@@ -103,10 +110,13 @@ class ChangelogStreamSpec extends AnyFunSuite with SparkTest {
       input.addData(GeoEvent("upsert", ts(21), "fresh2", 3.0, 3.0, Map()))
       q.processAllAvailable()
 
-      // the expired feature reached the persistent tier WITH its attrs
+      // the expired feature reached the persistent tier WITH its attrs,
+      // chained ON TOP of the bootstrap (which stays visible) — i.e.
+      // the chain head followed the drain ids, not the lexical max "s1"
       val tier = ChangelogStream.persistentTier(spark, root).collect()
         .map(s => s.id -> s).toMap
       assert(tier.contains("old"), s"expired feature not drained: ${tier.keySet}")
+      assert(tier.contains("boot"), s"bootstrap row lost: ${tier.keySet}")
       assert(tier("old").attrs == Map("k" -> "v") && tier("old").lon == 1.0)
       assert(!tier.contains("fresh"), "live feature must not persist early")
       // ...and left the live state (its change stream shows the expire)
