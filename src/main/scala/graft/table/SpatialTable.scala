@@ -1225,6 +1225,57 @@ object SpatialTable {
     if (f.exists(p)) require(f.delete(p, true), s"failed to delete $root")
   }
 
+  /**
+   * Snapshot garbage collection — the Iceberg `expire_snapshots` /
+   * reference age-off analog for mutation chains: every snapshot NOT in
+   * `keep` and NOT physically referenced by a kept snapshot is deleted
+   * (data, metrics, stats, index layouts, markers, manifest). Because
+   * scoped-mutation manifests keep their `sources` maps FLATTENED
+   * (values are always physical holders), reachability is one hop: a
+   * kept snapshot's manifest + index sidecars name every snapshot whose
+   * files it still reads. Returns the expired ids.
+   *
+   * Time travel to an expired snapshot subsequently fails (that is the
+   * point); kept snapshots — including scoped ones inheriting files
+   * from retained ancestors — keep answering identically.
+   */
+  def expireSnapshots(spark: SparkSession, root: String, keep: Seq[String]): Seq[String] = {
+    val all = snapshots(spark, root)
+    val missing = keep.filterNot(all.contains)
+    require(missing.isEmpty, s"cannot keep unknown snapshot(s): ${missing.mkString(", ")}")
+    require(keep.nonEmpty, "keep at least one snapshot (use dropTable to delete everything)")
+    val referenced: Set[String] = keep.flatMap { s =>
+      val i = manifestInfo(spark, root, s)
+      val dataRefs = i.sources.values ++ i.tsources.values
+      val idxRefs = indexedColumns(spark, root, s).keys
+        .flatMap(a => indexPhysical(spark, root, s, a).values)
+      dataRefs ++ idxRefs
+    }.toSet
+    val retain = keep.toSet ++ referenced
+    val drop = all.filterNot(retain)
+    val f = fs(spark, root)
+    val indexNames =
+      if (!f.exists(new Path(root))) Seq.empty
+      else f.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("index_"))
+    drop.foreach { id =>
+      // the COMMIT MARKER goes first: a crash mid-expiry then leaves an
+      // uncommitted (invisible) snapshot, never a committed one with
+      // half its files missing
+      f.delete(new Path(s"$root/_manifests/$id.committed"), false)
+      val rest =
+        if (!f.exists(new Path(s"$root/_manifests"))) Seq.empty
+        else f.listStatus(new Path(s"$root/_manifests")).toSeq.map(_.getPath.getName)
+          .filter(n => n == s"$id.json" || n.startsWith(s"$id.attr_"))
+          .map(n => s"$root/_manifests/$n")
+      (Seq(s"$root/data/snapshot=$id", s"$root/_metrics/snapshot=$id",
+        s"$root/_stats/$id.json") ++
+        indexNames.map(d => s"$root/$d/snapshot=$id") ++ rest)
+        .foreach(p => f.delete(new Path(p), true))
+    }
+    drop
+  }
+
   def metricsTable(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/_metrics")
 

@@ -244,6 +244,38 @@ class MutationScopedSpec extends AnyFunSuite with SparkTest {
     assert(s3.where($"id" === "id0").select(month(col("dtg"))).head().getInt(0) == 3)
   }
 
+  test("expireSnapshots: unreferenced chain links are garbage-collected, " +
+    "referenced ancestors survive, kept snapshots answer identically") {
+    val root = freshRoot("graft_scope9")
+    SpatialTable.write(spark, twoClusters, root, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 2, partitions = 4)
+    // s2 rewrites the WEST prefixes; s3 rewrites them AGAIN -> s3 never
+    // references s2's files (west -> s3, east -> s1): s2 is collectible
+    SpatialTable.updateWhere(spark, root, "s1", "s2", "name = 'west'",
+      Map("age" -> lit(100L)))
+    SpatialTable.updateWhere(spark, root, "s2", "s3", "name = 'west'",
+      Map("age" -> lit(200L)))
+    val before = SpatialTable.read(spark, root, "s3")
+      .select("id", "age").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val expired = SpatialTable.expireSnapshots(spark, root, keep = Seq("s3"))
+    assert(expired == Seq("s2"), s"expected only s2 collectible, got $expired")
+    // s1 survives (s3 inherits the east prefixes from it); s2's dir gone
+    assert(new java.io.File(s"$root/data/snapshot=s1").exists())
+    assert(!new java.io.File(s"$root/data/snapshot=s2").exists())
+    assert(SpatialTable.snapshots(spark, root) == Seq("s1", "s3"))
+    // the kept snapshot answers byte-identically after the GC
+    val after = SpatialTable.read(spark, root, "s3")
+      .select("id", "age").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before)
+    assert(after.count(_._2 == 200L) == 40)
+    // guards: unknown keeps and empty keeps are refused
+    intercept[IllegalArgumentException](
+      SpatialTable.expireSnapshots(spark, root, Seq("nope")))
+    intercept[IllegalArgumentException](
+      SpatialTable.expireSnapshots(spark, root, Seq.empty))
+  }
+
   test("deleting everything leaves a readable empty snapshot") {
     val root = freshRoot("graft_scope7")
     SpatialTable.write(spark, twoClusters, root, "s1", "id", "lon", "lat",
