@@ -36,9 +36,16 @@ object TableStats {
     * empty (the reference's wholeWorldEnvelope default). */
   val WholeWorld: (Double, Double, Double, Double) = (-180.0, -90.0, 180.0, 90.0)
 
+  /** `hll` is the base64 DataSketches HLL sketch over the attribute's
+    * RENDERED values (the same string domain min/max use — sketching
+    * the rendering keeps every attribute type supported and the
+    * collect/merge domains identical). Present since round 4; absent on
+    * older sidecars, where the mutation delta falls back to the
+    * max(old, added) cardinality lower bound. */
   final case class AttributeStat(min: String, max: String, count: Long,
                                  cardinality: Long, dataType: String,
-                                 topK: Seq[(String, Long)])
+                                 topK: Seq[(String, Long)],
+                                 hll: Option[String] = None)
 
   final case class Stats(snapshot: String, count: Long,
                          bounds: Option[(Double, Double, Double, Double)],
@@ -89,7 +96,12 @@ object TableStats {
         tracked.flatMap { a =>
           val dt = df.schema(a).dataType
           Seq(render(dt, min(col(a))).as(s"min_$a"), render(dt, max(col(a))).as(s"max_$a"),
-            count(col(a)).as(s"count_$a"), approx_count_distinct(col(a)).as(s"card_$a"))
+            count(col(a)).as(s"count_$a"), approx_count_distinct(col(a)).as(s"card_$a"),
+            // mergeable cardinality: a DataSketches HLL over the rendered
+            // values rides along so mutation deltas can UNION instead of
+            // falling back to a lower bound (the reference's
+            // MetadataBackedStats stores exactly this sketch)
+            hll_sketch_agg(render(dt, col(a))).as(s"hll_$a"))
         }
     val (row, tops) = try {
       val r = df.agg(aggs.head, aggs.tail: _*).collect().head
@@ -127,6 +139,8 @@ object TableStats {
         n.put("min", row.getString(row.fieldIndex(s"min_$a")))
         n.put("max", row.getString(row.fieldIndex(s"max_$a")))
       }
+      Option(row.getAs[Array[Byte]](row.fieldIndex(s"hll_$a"))).foreach(b =>
+        n.put("hll", java.util.Base64.getEncoder.encodeToString(b)))
       val tk = n.putArray("topk")
       tops.getOrElse(a, Nil).foreach { case (v, c) =>
         val e = tk.addArray(); e.add(v); e.add(c)
@@ -171,7 +185,7 @@ object TableStats {
     val tracked = st.attributes.keys.toSeq.sorted
 
     def deltaOf(df: DataFrame): (Long, Option[(Double, Double, Double, Double)],
-        Map[String, (Option[String], Option[String], Long, Long)]) = {
+        Map[String, (Option[String], Option[String], Long, Long, Option[Array[Byte]])]) = {
       val spatial = df.columns.contains(lonCol) && df.columns.contains(latCol)
       val present = tracked.filter(df.columns.contains)
       val aggs = Seq(count(lit(1)).as("n")) ++
@@ -182,7 +196,8 @@ object TableStats {
         present.flatMap { a =>
           val dt = df.schema(a).dataType
           Seq(render(dt, min(col(a))).as(s"min_$a"), render(dt, max(col(a))).as(s"max_$a"),
-            count(col(a)).as(s"n_$a"), approx_count_distinct(col(a)).as(s"card_$a"))
+            count(col(a)).as(s"n_$a"), approx_count_distinct(col(a)).as(s"card_$a"),
+            hll_sketch_agg(render(dt, col(a))).as(s"hll_$a"))
         }
       val r = df.agg(aggs.head, aggs.tail: _*).collect().head
       val n = r.getLong(r.fieldIndex("n"))
@@ -194,12 +209,34 @@ object TableStats {
         val cnt = r.getLong(r.fieldIndex(s"n_$a"))
         a -> (Option(r.getString(r.fieldIndex(s"min_$a"))).filter(_ => cnt > 0),
           Option(r.getString(r.fieldIndex(s"max_$a"))).filter(_ => cnt > 0),
-          cnt, r.getLong(r.fieldIndex(s"card_$a")))
+          cnt, r.getLong(r.fieldIndex(s"card_$a")),
+          Option(r.getAs[Array[Byte]](r.fieldIndex(s"hll_$a"))).filter(_ => cnt > 0))
       }.toMap
       (n, env, attrs)
     }
     val (remN, _, remAttrs) = deltaOf(removed)
     val (addN, addEnv, addAttrs) = deltaOf(added)
+
+    /** Union the stored sketch with the added rows' — the reference's
+      * MetadataBackedStats HLL merge; deletes cannot subtract (neither
+      * can the reference's). Returns (estimate, merged base64). */
+    def mergeHll(oldB64: String, addSketch: Option[Array[Byte]]): (Long, String) =
+      addSketch match {
+        case None =>
+          // no added rows: the sketch (and its estimate) are unchanged
+          val ob = java.util.Base64.getDecoder.decode(oldB64)
+          val r = spark.range(1)
+            .select(hll_sketch_estimate(lit(ob)).as("e")).collect().head
+          (r.getLong(0), oldB64)
+        case Some(ab) =>
+          val ob = java.util.Base64.getDecoder.decode(oldB64)
+          val r = spark.range(1)
+            .select(hll_union(lit(ob), lit(ab)).as("u"))
+            .select(hll_sketch_estimate(col("u")).as("e"), col("u"))
+            .collect().head
+          (r.getLong(0), java.util.Base64.getEncoder.encodeToString(
+            r.getAs[Array[Byte]](1)))
+      }
 
     // added rows' value counts for the topK merge: the added side's own
     // top candidates plus refreshed counts for every stored topK value
@@ -233,13 +270,23 @@ object TableStats {
     val attrsNode = node.putObject("attributes")
     tracked.foreach { a =>
       val old = st.attributes(a)
-      val (addMin, addMax, addCnt, addCard) =
-        addAttrs.getOrElse(a, (None, None, 0L, 0L))
+      val (addMin, addMax, addCnt, addCard, addHll) =
+        addAttrs.getOrElse(a, (None, None, 0L, 0L, None))
       val remCnt = remAttrs.get(a).map(_._3).getOrElse(0L)
       val n = attrsNode.putObject(a)
       val cnt = math.max(0L, old.count - remCnt + addCnt)
       n.put("count", cnt)
-      n.put("cardinality", math.max(old.cardinality, addCard))
+      // sketch union when the sidecar carries one (collect() has since
+      // round 4); pre-sketch sidecars fall back to the documented
+      // max(old, added) lower bound
+      old.hll match {
+        case Some(oldB64) =>
+          val (est, merged) = mergeHll(oldB64, addHll)
+          n.put("cardinality", est)
+          n.put("hll", merged)
+        case None =>
+          n.put("cardinality", math.max(old.cardinality, addCard))
+      }
       n.put("type", old.dataType)
       val oldMin = Option(old.min).filter(_ => old.count > 0)
       val oldMax = Option(old.max).filter(_ => old.count > 0)
@@ -293,7 +340,8 @@ object TableStats {
             Option(a.get("min")).map(_.asText).orNull,
             Option(a.get("max")).map(_.asText).orNull,
             a.get("count").asLong, a.get("cardinality").asLong,
-            a.get("type").asText, tk)
+            a.get("type").asText, tk,
+            Option(a.get("hll")).map(_.asText))
         }
         b.result()
       }

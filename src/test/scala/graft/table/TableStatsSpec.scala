@@ -132,6 +132,29 @@ class TableStatsSpec extends AnyFunSuite with SparkTest {
       .contains(("cappa", "cappa", 1L)))
   }
 
+  test("mutation deltas merge the stored HLL sketch: cardinality tracks the " +
+    "UNION of old and added values, not a lower bound") {
+    val root = freshRoot("graft_stats_hll")
+    val base = (0 until 40).map(i => (s"f$i", s"name-${i % 20}", 10.0, 10.0))
+      .toDF("id", "name", "lon", "lat")
+    SpatialTable.write(spark, base, root, "s1", "id", "lon", "lat",
+      res = 9, prefixRes = 3, salts = 1, partitions = 1)
+    TableStats.collect(spark, root, "s1", Seq("name"))
+    val st1 = TableStats.cached(spark, root, "s1").get
+    assert(st1.attributes("name").hll.isDefined, "collect must store the sketch")
+    assert(st1.attributes("name").cardinality == 20L) // exact at this size
+    // upsert 10 rows with 10 BRAND-NEW names: union cardinality = 30.
+    // The lower-bound fallback would report max(20, 10) = 20
+    val ups = (0 until 10).map(i => (s"g$i", s"fresh-$i", 11.0, 11.0))
+      .toDF("id", "name", "lon", "lat")
+    SpatialTable.upsert(spark, root, "s1", "s2", ups)
+    val st2 = TableStats.cached(spark, root, "s2").get
+    assert(st2.attributes("name").cardinality == 30L,
+      s"sketch union expected 30, got ${st2.attributes("name").cardinality}")
+    assert(st2.attributes("name").hll.isDefined, "merged sketch must persist")
+    assert(st2.attributes("name").count == 50L)
+  }
+
   test("exact counts scan (optionally under CQL); estimates come from the " +
     "lineage metrics and bound the truth (StatsTest :286-312)") {
     val root = freshRoot("graft_stats3")
