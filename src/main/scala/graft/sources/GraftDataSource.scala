@@ -28,6 +28,12 @@ import graft.table.SpatialTable
  * param). Write options: `snapshot` (default "s1"), `id`, `lon`,
  * `lat`, `res`, `prefixRes`, `salts`, `partitions`.
  *
+ * Catalog semantics: a `CREATE TABLE`d relation resolves its snapshot
+ * when the catalog instantiates it and is cached by Spark like any
+ * DSv1 table — after external mutations/expiry run `REFRESH TABLE t`
+ * (the same contract Spark's own parquet tables have for external
+ * writes). `spark.read.format("graft")` reads resolve fresh per load.
+ *
  * Pushdown parity with the programmatic path: relational filters
  * translate onto the inner columnar scan (they appear as PushedFilters
  * on the parquet relation), and a conjunction of lon/lat range filters
