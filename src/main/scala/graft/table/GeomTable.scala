@@ -541,6 +541,61 @@ object GeomTable {
     }
   }
 
+  /** Snapshot ids present under the root, committed only (the
+    * SpatialTable.snapshots analog — GeomTable has no secondary
+    * layouts, so every marker/json pair is a snapshot). */
+  def snapshots(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/_manifests")
+    if (!f.exists(dir)) Seq.empty
+    else {
+      val names = f.listStatus(dir).map(_.getPath.getName).toSet
+      names.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed"))
+        .filter(id => names.contains(s"$id.json")).toSeq.sorted
+    }
+  }
+
+  /**
+   * Snapshot GC for extent-table mutation chains — every snapshot NOT
+   * in `keep` and NOT physically referenced (transitively, to a
+   * fixpoint) by a kept snapshot is deleted. Same contract as
+   * [[SpatialTable.expireSnapshots]]; legacy snapshots have no sources
+   * map, so they are collectible exactly when unkept and unreferenced.
+   * Returns the expired ids.
+   */
+  def expireSnapshots(spark: SparkSession, root: String, keep: Seq[String]): Seq[String] = {
+    val all = snapshots(spark, root)
+    val missing = keep.filterNot(all.contains)
+    require(missing.isEmpty, s"cannot keep unknown snapshot(s): ${missing.mkString(", ")}")
+    require(keep.nonEmpty, "keep at least one snapshot (use dropTable to delete everything)")
+    def refs(id: String): Set[String] =
+      ginfo(spark, root, id).sources.values.toSet - id
+    var retain = keep.toSet
+    var frontier = keep.toSet
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(refs) -- retain
+      retain ++= next
+      frontier = next
+    }
+    val drop = all.filterNot(retain)
+    val f = fs(spark, root)
+    drop.foreach { id =>
+      // marker first: a crash mid-expiry leaves an uncommitted
+      // (invisible) snapshot, never a committed one missing files
+      f.delete(new Path(s"$root/_manifests/$id.committed"), false)
+      Seq(s"$root/data/snapshot=$id", s"$root/_manifests/$id.json")
+        .foreach(p => f.delete(new Path(p), true))
+    }
+    drop
+  }
+
+  /** removeSchema analog: drop the whole table root. */
+  def dropTable(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (f.exists(p)) require(f.delete(p, true), s"failed to delete $root")
+  }
+
   /**
    * Writer-with-existing-fids semantics on an extent layout: rows of
    * `updates` whose id already exists REPLACE the stored row; new ids

@@ -61,13 +61,20 @@ class TableLifecycleSpec extends AnyFunSuite with SparkTest {
     assert(st.count == 250)
     assert(st.attributes("category").cardinality == 4L) // cat-0..2 + cat-9
 
-    // 5. expire everything but the head; the head keeps answering
-    // (referenced ancestors are retained automatically). The catalog
-    // table pinned its snapshot at creation — REFRESH TABLE picks up
-    // external changes, exactly like Spark's own parquet tables
+    // 5. fold the chain into a self-contained snapshot (the compaction
+    // pattern persistence drains use), then expire ALL history; the
+    // head keeps answering. A scoped head retains every snapshot it
+    // still reads files from — transitively, to a fixpoint — so
+    // folding first is what makes the entire history collectible.
+    // The catalog table pinned its snapshot at creation — REFRESH
+    // TABLE picks up external changes, like Spark's own parquet tables
     spark.sql("REFRESH TABLE lifecycle_t")
-    val expired = SpatialTable.expireSnapshots(spark, root, keep = Seq("v4"))
-    assert(expired.nonEmpty && !expired.contains("v4"))
+    SpatialTable.rewrite(spark, root, "v4", "v5",
+      identity[org.apache.spark.sql.DataFrame])
+    val expired = SpatialTable.expireSnapshots(spark, root, keep = Seq("v5"))
+    assert(expired.toSet == Set("v1", "v2", "v3", "v4"),
+      s"a folded head frees all history, got $expired")
+    spark.sql("REFRESH TABLE lifecycle_t")
     assert(spark.read.format("graft").load(root).count() == 250)
     assert(spark.sql("SELECT count(*) FROM lifecycle_t WHERE category = 'cat-9'")
       .head().getLong(0) == 1)

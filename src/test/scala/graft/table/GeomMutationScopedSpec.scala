@@ -175,6 +175,31 @@ class GeomMutationScopedSpec extends AnyFunSuite with SparkTest {
     assert(GeomTable.read(spark, root, "s3").where($"age" === -1L).count() == 5)
   }
 
+  test("expireSnapshots on an extent chain: unreferenced links collect, " +
+    "referenced ancestors survive to a fixpoint, kept snapshots answer identically") {
+    val root = newRoot()
+    GeomTable.write(spark, twoClusters, root, "s1", partitions = 4)
+    // s2 rewrites west; s3 rewrites west AGAIN -> s2 is collectible
+    // (s3 sources: west -> s3, east -> s1)
+    GeomTable.updateWhere(spark, root, "s1", "s2", "name = 'west'",
+      Map("age" -> lit(100L)))
+    GeomTable.updateWhere(spark, root, "s2", "s3", "name = 'west'",
+      Map("age" -> lit(200L)))
+    val before = GeomTable.read(spark, root, "s3")
+      .select("id", "age").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expired = GeomTable.expireSnapshots(spark, root, keep = Seq("s3"))
+    assert(expired == Seq("s2"), s"expected only s2 collectible, got $expired")
+    assert(GeomTable.snapshots(spark, root) == Seq("s1", "s3"))
+    assert(!new java.io.File(s"$root/data/snapshot=s2").exists())
+    val after = GeomTable.read(spark, root, "s3")
+      .select("id", "age").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before && after.count(_._2 == 200L) == 20)
+    intercept[IllegalArgumentException](GeomTable.expireSnapshots(spark, root, Seq("nope")))
+    // dropTable removes the whole root
+    GeomTable.dropTable(spark, root)
+    assert(!new java.io.File(root).exists())
+  }
+
   test("chains of scoped mutations stay flattened: every source value is a " +
     "physical holder (one-hop resolution)") {
     val root = newRoot()
