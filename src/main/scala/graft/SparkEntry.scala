@@ -1847,12 +1847,15 @@ object SparkEntry {
       import graft.table.GeomTable
       StFunctions.register(s)
       val root = tableRoot("geommut", dir)
+      pts(s, dir) // registers the `events` temp view the SQL below reads
       val boxes = s.sql(s"WITH pts AS ($PtsSql) $BoxesSql")
         .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
         .withColumn("geom", StFunctions.fn("st_makeBBOX")(
           col("bminx"), col("bminy"), col("bmaxx"), col("bmaxy")))
         .select("event_id", "event_type", "geom")
-      GeomTable.write(s, boxes, root, "s1", partitions = 8)
+      // chunkRes 3 (~85 world chunks): partition-dir count proportional
+      // to the bench SF, like the point fixtures' prefixRes 3
+      GeomTable.write(s, boxes, root, "s1", partitions = 8, chunkRes = 3)
       GeomTable.updateWhere(s, root, "s1", "s2",
         "BBOX(geom, -60.005, -30.005, 0.005, 30.005) AND event_type = 'click'",
         Map("event_type" -> lit("flagged")), idColumn = "event_id")
