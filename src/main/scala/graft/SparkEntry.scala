@@ -1832,6 +1832,24 @@ object SparkEntry {
           "round(maxx, 6) AS maxx", "round(maxy, 6) AS maxy")
     }),
 
+    "q_geom_format" -> ((s, dir) => {
+      // extent tables through the packaged front door: the SAME
+      // envelope-overlap answer as q_geom_bbox, served by
+      // format("graft") — the manifest routes to the extent relation,
+      // the pushed maxx/minx/maxy/miny conjuncts prune chunk
+      // directories + xz row groups via readEnvelope, and for boxes
+      // the envelope overlap IS the intersects semantics, so the
+      // DuckDB replay is exact
+      StFunctions.register(s)
+      prepareTables(s, dir)
+      s.read.format("graft").option("snapshot", "s1")
+        .load(tableRoot("geomxz2", dir))
+        .where(col("maxx") >= -40.005 && col("minx") <= 25.005 &&
+          col("maxy") >= -30.005 && col("miny") <= 20.005)
+        .selectExpr("event_id", "round(minx, 6) AS minx", "round(miny, 6) AS miny",
+          "round(maxx, 6) AS maxx", "round(maxy, 6) AS maxy")
+    }),
+
     "q_geom_mutation" -> ((s, dir) => {
       // file-granular mutations on an EXTENT (XZ) layout — the
       // schema-generic FeatureWriter parity gap VERDICT r4 #1 named
@@ -3052,6 +3070,15 @@ object SparkEntry {
            |FROM boxes
            |WHERE bminx <= 25.005 AND bmaxx >= -40.005 AND bminy <= 20.005 AND bmaxy >= -30.005
            |  AND epoch_ms(CAST(ts AS TIMESTAMP)) BETWEEN 1704672000000 AND 1705276799999""".stripMargin,
+
+      // identical answer required through the format("graft") extent
+      // relation (envelope-overlap pushdown)
+      "q_geom_format" ->
+        s"""WITH $ptsCte, boxes AS ($BoxesSql)
+           |SELECT event_id, round(bminx, 6) AS minx, round(bminy, 6) AS miny,
+           |  round(bmaxx, 6) AS maxx, round(bmaxy, 6) AS maxy
+           |FROM boxes
+           |WHERE bminx <= 25.005 AND bmaxx >= -40.005 AND bminy <= 20.005 AND bmaxy >= -30.005""".stripMargin,
 
       // the extent-layout mutation chain replayed in SQL: for boxes JTS
       // intersects equals the inclusive envelope overlap, and the upsert

@@ -48,15 +48,24 @@ class GraftDataSource extends DataSourceRegister
 
   override def shortName(): String = "graft"
 
+  /** Both table kinds serve through the one format: the snapshot's
+    * manifest decides whether this root is a point table
+    * (SpatialTable, cell_prefix layout) or an extent table (GeomTable,
+    * xz_chunk layout — lines/polygons). */
   override def createRelation(sqlContext: SQLContext,
-                              parameters: Map[String, String]): BaseRelation =
-    GraftRelation(sqlContext, parameters)
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val (root, snap) = GraftRelation.resolve(spark, parameters)
+    val p2 = parameters + ("snapshot" -> snap)
+    if (GraftRelation.isExtentManifest(spark, root, snap)) GeomGraftRelation(sqlContext, p2)
+    else GraftRelation(sqlContext, p2)
+  }
 
   /** User-supplied schemas are refused rather than silently ignored:
     * the snapshot manifest is the schema authority. */
   override def createRelation(sqlContext: SQLContext, parameters: Map[String, String],
                               schema: StructType): BaseRelation = {
-    val rel = GraftRelation(sqlContext, parameters)
+    val rel = createRelation(sqlContext, parameters)
     require(schema == rel.schema,
       s"graft tables carry their schema in the snapshot manifest; got $schema, " +
         s"manifest says ${rel.schema}")
@@ -88,7 +97,9 @@ class GraftDataSource extends DataSourceRegister
           // sources sidecar (ADVICE r4: a descendant can rewrite all its
           // data prefixes yet still inherit attr_buckets from here)
           val refs = SpatialTable.snapshots(spark, root).filter(_ != snapshot).filter { s =>
-            SpatialTable.referencedSnapshots(spark, root, s).contains(snapshot)
+            if (GraftRelation.isExtentManifest(spark, root, s))
+              graft.table.GeomTable.referencedSnapshots(spark, root, s).contains(snapshot)
+            else SpatialTable.referencedSnapshots(spark, root, s).contains(snapshot)
           }
           require(refs.isEmpty,
             s"cannot overwrite snapshot $snapshot: snapshot(s) ${refs.mkString(", ")} " +
@@ -118,7 +129,11 @@ class GraftDataSource extends DataSourceRegister
         val lonCol = parameters.getOrElse("lon", "lon")
         val latCol = parameters.getOrElse("lat", "lat")
         val res = parameters.getOrElse("res", "9").toInt
-        val prefixRes = parameters.getOrElse("prefixRes", "4").toInt
+        // DSv1 may hand options through a CaseInsensitiveMap whose
+        // iteration lowercases keys — accept both spellings for the
+        // camelCase option names rather than silently defaulting
+        val prefixRes = parameters.get("prefixRes")
+          .orElse(parameters.get("prefixres")).getOrElse("4").toInt
         val salts = parameters.getOrElse("salts", "4").toInt
         val nParts = parameters.getOrElse("partitions", "32").toInt
         // sft-style options route the save through writeConfigured, so
@@ -132,15 +147,27 @@ class GraftDataSource extends DataSourceRegister
         val period = parameters.getOrElse("period", "day")
         val sftStyle = parameters.contains("sft") || parameters.contains("indexed") ||
           parameters.keys.exists(_.startsWith("geomesa."))
-        if (sftStyle) {
+        if (parameters.contains("geom")) {
+          // extent (line/polygon) save path: a WKB geometry column
+          // selects the GeomTable chunked XZ layout (temporal with dtg)
+          graft.table.GeomTable.write(spark, data, root, snapshot,
+            parameters("geom"), dtg,
+            parameters.getOrElse("res", "12").toInt,
+            parameters.getOrElse("period", "week"),
+            parameters.getOrElse("partitions", "8").toInt,
+            parameters.get("chunkRes").orElse(parameters.get("chunkres"))
+              .getOrElse("4").toInt)
+        } else if (sftStyle) {
           import graft.table.Sft
           val sft0 = parameters.get("sft") match {
-            case Some(spec) => Sft.parse(parameters.getOrElse("typeName", "features"), spec)
+            case Some(spec) => Sft.parse(parameters.get("typeName")
+              .orElse(parameters.get("typename")).getOrElse("features"), spec)
             case None =>
               // synthesized from the DataFrame schema — columns whose
               // types have no sft name (structs etc.) still write; they
               // just carry no sft-level options
-              Sft.Schema(parameters.getOrElse("typeName", "features"), None,
+              Sft.Schema(parameters.get("typeName")
+                .orElse(parameters.get("typename")).getOrElse("features"), None,
                 data.schema.fields.toSeq.flatMap { f =>
                   sftTypeName(f.dataType).map(t => Sft.Field(f.name, t, Nil, defaultGeom = false))
                 }, Nil)
@@ -176,7 +203,7 @@ class GraftDataSource extends DataSourceRegister
               res, prefixRes, salts, nParts)
         }
     }
-    GraftRelation(sqlContext, parameters + ("snapshot" -> snapshot))
+    createRelation(sqlContext, parameters + ("snapshot" -> snapshot))
   }
 
   /** Spark type -> sft canonical type name, for synthesizing an sft
@@ -202,6 +229,130 @@ object GraftRelation {
     parameters.get("path").orElse(parameters.get("root")).getOrElse(
       throw new IllegalArgumentException(
         "graft format needs a table root: load(root) / OPTIONS (path '...')"))
+
+  /** (root, snapshot) with "latest" resolved by commit-marker mtime. */
+  private[sources] def resolve(spark: org.apache.spark.sql.SparkSession,
+                               parameters: Map[String, String]): (String, String) = {
+    val root = rootOf(parameters)
+    val snap = parameters.get("snapshot").getOrElse(
+      SpatialTable.latestSnapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots under $root")))
+    (root, snap)
+  }
+
+  /** Extent (GeomTable) manifests never carry prefix_res; point
+    * (SpatialTable) manifests always do — one byte-level probe decides
+    * which relation serves the root. */
+  private[sources] def isExtentManifest(spark: org.apache.spark.sql.SparkSession,
+                                        root: String, snapshotId: String): Boolean = {
+    val p = new Path(s"$root/_manifests/$snapshotId.json")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p), s"no manifest for snapshot $snapshotId under $root")
+    val in = f.open(p)
+    val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    !txt.contains("\"prefix_res\"")
+  }
+
+  /** The filter subset the relations translate onto the inner scan;
+    * everything the translation does not cover is declared unhandled,
+    * so Spark re-applies it above (never dropped). Shared by the point
+    * and extent relations. */
+  private[sources] def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (cl <- translate(l); cr <- translate(r)) yield cl && cr
+    case Or(l, r) => for (cl <- translate(l); cr <- translate(r)) yield cl || cr
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
+
+/**
+ * The extent-table (GeomTable) relation behind `format("graft")`:
+ * line/polygon tables answer SQL through the same front door as point
+ * tables. Pushed conjunctive bounds on the stored envelope columns —
+ * the `maxx >= a AND minx <= b AND maxy >= c AND miny <= d` overlap
+ * idiom — route the scan through [[graft.table.GeomTable.readEnvelope]]
+ * (chunk-directory pruning + xz row-group ranges; exact for envelope
+ * queries since the XZ cover is envelope-based), a `cql` option
+ * compiles ECQL against the stored WKB geometry, and every translated
+ * relational filter re-applies on the pruned base.
+ */
+case class GeomGraftRelation(sqlContext: SQLContext,
+                             parameters: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan {
+
+  import graft.table.GeomTable
+
+  private val root = GraftRelation.rootOf(parameters)
+  private def spark = sqlContext.sparkSession
+  private val snapshotId = parameters("snapshot")
+  private val geomCol = GeomTable.manifest(spark, root, snapshotId).geom
+
+  override val schema: StructType =
+    StructType(GeomTable.read(spark, root, snapshotId).schema.map(_.copy(nullable = true)))
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(GraftRelation.translate(_).isEmpty)
+
+  /** Conjunctive envelope-overlap window from the pushed filters:
+    * lower bounds on maxx/maxy, upper bounds on minx/miny. Inclusive
+    * routing is a superset of any strict bound — the translated
+    * filters re-apply exactly below. */
+  private def extractEnvelope(filters: Array[Filter]): Option[(Double, Double, Double, Double)] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    var loMaxx: Option[Double] = None
+    var loMaxy: Option[Double] = None
+    var hiMinx: Option[Double] = None
+    var hiMiny: Option[Double] = None
+    def visit(f: Filter): Unit = f match {
+      case And(l, r) => visit(l); visit(r)
+      case GreaterThan("maxx", v) => loMaxx = num(v).orElse(loMaxx)
+      case GreaterThanOrEqual("maxx", v) => loMaxx = num(v).orElse(loMaxx)
+      case GreaterThan("maxy", v) => loMaxy = num(v).orElse(loMaxy)
+      case GreaterThanOrEqual("maxy", v) => loMaxy = num(v).orElse(loMaxy)
+      case LessThan("minx", v) => hiMinx = num(v).orElse(hiMinx)
+      case LessThanOrEqual("minx", v) => hiMinx = num(v).orElse(hiMinx)
+      case LessThan("miny", v) => hiMiny = num(v).orElse(hiMiny)
+      case LessThanOrEqual("miny", v) => hiMiny = num(v).orElse(hiMiny)
+      case _ =>
+    }
+    filters.foreach(visit)
+    for (a <- loMaxx; b <- loMaxy; c <- hiMinx; d <- hiMiny if a <= c && b <= d)
+      yield (a, b, c, d)
+  }
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val base = extractEnvelope(filters) match {
+      case Some((wminx, wminy, wmaxx, wmaxy)) =>
+        GeomTable.readEnvelope(spark, root, snapshotId, wminx, wminy, wmaxx, wmaxy)
+      case None => GeomTable.read(spark, root, snapshotId)
+    }
+    val withCql = parameters.get("cql") match {
+      case Some(q) => graft.plans.Cql.filter(base, q,
+        Map("geom" -> col(geomCol)), parameters.getOrElse("id", "id"))
+      case None => base
+    }
+    val filtered = filters.flatMap(GraftRelation.translate).foldLeft(withCql)(_ where _)
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.toSeq.map(col): _*)
+    projected.rdd
+  }
 }
 
 case class GraftRelation(sqlContext: SQLContext,
@@ -227,27 +378,9 @@ case class GraftRelation(sqlContext: SQLContext,
   override val schema: StructType =
     StructType(info.readOrder.map(f => info.schema(f).copy(nullable = true)))
 
-  /** The filter subset we translate onto the inner scan; everything the
-    * translation does not cover is declared unhandled, so Spark
-    * re-applies it above (never dropped). */
-  private def translate(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
-    case And(l, r) => for (cl <- translate(l); cr <- translate(r)) yield cl && cr
-    case Or(l, r) => for (cl <- translate(l); cr <- translate(r)) yield cl || cr
-    case Not(c) => translate(c).map(!_)
-    case _ => None
-  }
+  /** The shared translation (object GraftRelation): untranslated
+    * filters are declared unhandled, so Spark re-applies them above. */
+  private def translate(f: Filter): Option[Column] = GraftRelation.translate(f)
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filter(translate(_).isEmpty)

@@ -328,20 +328,33 @@ object GeomTable {
         .reduce(_ || _))
     }
 
-  /** bbox scan over a flat XZ2 layout: chunk-directory pruning + xz
-    * ranges + envelope + exact refine. The XZ resolution comes from the
-    * snapshot's own manifest, never from the caller (a mismatched res
-    * would return silent empties). */
-  def readBBox(spark: SparkSession, root: String, snapshotId: String,
-               minx: Double, miny: Double, maxx: Double, maxy: Double,
-               maxRanges: Int = 64): DataFrame = {
+  /** Envelope-overlap scan: chunk-directory pruning + xz ranges + the
+    * stored envelope predicate, NO exact geometry refine — this is
+    * EXACT for envelope-intersection queries (the XZ cover guarantee is
+    * itself envelope-based), and the pruned base [[readBBox]] refines
+    * on. The DSv1 relation routes pushed envelope-bounds conjuncts
+    * here. */
+  def readEnvelope(spark: SparkSession, root: String, snapshotId: String,
+                   minx: Double, miny: Double, maxx: Double, maxy: Double,
+                   maxRanges: Int = 64): DataFrame = {
     val info = ginfo(spark, root, snapshotId)
     val ranges = XZ2(info.m.res).ranges(minx, miny, maxx, maxy, maxRanges)
     chunkPrune(read(spark, root, snapshotId), info, minx, miny, maxx, maxy)
       .where(xzPred(ranges))
       .where(col("minx") <= maxx && col("maxx") >= minx &&
         col("miny") <= maxy && col("maxy") >= miny)
-      .where(StFunctions.fn("st_intersects")(col(info.m.geom), lit(boxWkb(minx, miny, maxx, maxy))))
+  }
+
+  /** bbox scan over a flat XZ2 layout: chunk-directory pruning + xz
+    * ranges + envelope + exact JTS refine. The XZ resolution comes from
+    * the snapshot's own manifest, never from the caller (a mismatched
+    * res would return silent empties). */
+  def readBBox(spark: SparkSession, root: String, snapshotId: String,
+               minx: Double, miny: Double, maxx: Double, maxy: Double,
+               maxRanges: Int = 64): DataFrame = {
+    val geomCol = ginfo(spark, root, snapshotId).m.geom
+    readEnvelope(spark, root, snapshotId, minx, miny, maxx, maxy, maxRanges)
+      .where(StFunctions.fn("st_intersects")(col(geomCol), lit(boxWkb(minx, miny, maxx, maxy))))
   }
 
   /**
@@ -588,6 +601,11 @@ object GeomTable {
     }
     drop
   }
+
+  /** Every snapshot whose PHYSICAL files snapshot `id` still reads
+    * (excluding itself) — the overwrite-safety / GC edge set. */
+  def referencedSnapshots(spark: SparkSession, root: String, id: String): Set[String] =
+    ginfo(spark, root, id).sources.values.toSet - id
 
   /** removeSchema analog: drop the whole table root. */
   def dropTable(spark: SparkSession, root: String): Unit = {

@@ -62,6 +62,16 @@ class GraftFormatWriteSpec extends AnyFunSuite with SparkTest {
     assert(SpatialTable.readByAttribute(spark, root, "s1", "kind", "odd").count() == 30)
   }
 
+  test("camelCase option names survive the DSv1 option map: prefixRes shapes " +
+    "the written layout") {
+    val root = freshRoot("graft_fmtw5")
+    rows.write.format("graft").option("snapshot", "s1")
+      .option("prefixRes", "3").option("salts", "2").save(root)
+    val info = SpatialTable.manifestInfo(spark, root, "s1")
+    assert(info.prefixRes == 3, s"prefixRes option dropped: got ${info.prefixRes}")
+    assert(info.salts == 2)
+  }
+
   test("a plain format write (no sft options) stays on the unconfigured path") {
     val root = freshRoot("graft_fmtw3")
     rows.write.format("graft").option("snapshot", "s1").save(root)
