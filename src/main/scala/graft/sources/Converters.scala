@@ -247,8 +247,16 @@ object Converters {
                   stack.length == targets(i).length && stackMatches(stack, targets(i))) {
                 specs(i).attr match {
                   case Some(a) =>
-                    results(i) = reader.getAttributeValue(null, a)
-                    satisfied(i) = true
+                    // XPath's node-set holds ATTRIBUTE nodes: the first
+                    // matching element WITHOUT the attribute contributes
+                    // nothing, so a later sibling that has it still wins
+                    // (review r5 #2) — present-but-empty IS a node and
+                    // does satisfy (string value "", nulled at the end)
+                    val v = reader.getAttributeValue(null, a)
+                    if (v != null) {
+                      results(i) = v
+                      satisfied(i) = true
+                    }
                   case None =>
                     capturing(i) = true
                     captureDepth(i) = stack.length
@@ -281,8 +289,17 @@ object Converters {
               if (capturing(i) && stack.length < captureDepth(i)) {
                 capturing(i) = false
                 if (!satisfied(i)) {
-                  satisfied(i) = true
-                  results(i) = if (specs(i).textOnly) null else buffers(i).toString
+                  if (specs(i).textOnly) {
+                    // no direct text node in this element: its
+                    // contribution to the XPath node-set is EMPTY — a
+                    // later matching sibling may still hold the first
+                    // text node, so stay unsatisfied (review r5 #3)
+                  } else {
+                    // an element node DID match (even if empty): XPath
+                    // takes the first element's string value
+                    satisfied(i) = true
+                    results(i) = buffers(i).toString
+                  }
                 }
               }
               i += 1

@@ -251,7 +251,10 @@ object GraftRelation {
     val in = f.open(p)
     val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
-    !txt.contains("\"prefix_res\"")
+    // TOP-LEVEL field test, not a substring probe: both manifests embed
+    // the full Spark schema JSON, so a user column literally named
+    // "prefix_res" must not misroute the table (review r5 #5)
+    !new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt).has("prefix_res")
   }
 
   /** The filter subset the relations translate onto the inner scan;
@@ -298,10 +301,15 @@ case class GeomGraftRelation(sqlContext: SQLContext,
   private val root = GraftRelation.rootOf(parameters)
   private def spark = sqlContext.sparkSession
   private val snapshotId = parameters("snapshot")
-  private val geomCol = GeomTable.manifest(spark, root, snapshotId).geom
+  // ONE manifest parse serves the relation's schema and every scan
+  private val info = GeomTable.ginfo(spark, root, snapshotId)
+  private val geomCol = info.m.geom
 
   override val schema: StructType =
-    StructType(GeomTable.read(spark, root, snapshotId).schema.map(_.copy(nullable = true)))
+    if (info.chunked)
+      StructType(info.readOrder.map(f => info.schema.get(f).copy(nullable = true)))
+    else
+      StructType(GeomTable.read(spark, root, info).schema.map(_.copy(nullable = true)))
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filter(GraftRelation.translate(_).isEmpty)
@@ -339,8 +347,8 @@ case class GeomGraftRelation(sqlContext: SQLContext,
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val base = extractEnvelope(filters) match {
       case Some((wminx, wminy, wmaxx, wmaxy)) =>
-        GeomTable.readEnvelope(spark, root, snapshotId, wminx, wminy, wmaxx, wmaxy)
-      case None => GeomTable.read(spark, root, snapshotId)
+        GeomTable.readEnvelope(spark, root, info, wminx, wminy, wmaxx, wmaxy, 64)
+      case None => GeomTable.read(spark, root, info)
     }
     val withCql = parameters.get("cql") match {
       case Some(q) => graft.plans.Cql.filter(base, q,

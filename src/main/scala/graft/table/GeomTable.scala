@@ -78,7 +78,7 @@ object GeomTable {
     * temporal layouts. Bounded by chunkRes (a few hundred chunks
     * worldwide at the default) times the live bins — the same
     * manifest-scale argument as SpatialTable.PKey. */
-  private[table] final case class GKey(bin: Option[Int], chunk: Long) {
+  private[graft] final case class GKey(bin: Option[Int], chunk: Long) {
     def relpath: String =
       bin.map(b => s"time_bin=$b/").getOrElse("") + s"$ChunkCol=$chunk"
     def sourceKey: String = bin.map(b => s"$b/$chunk").getOrElse(chunk.toString)
@@ -89,7 +89,7 @@ object GeomTable {
 
   /** Full manifest contents for chunked (round-5) layouts; `schema`
     * None marks a legacy snapshot (plain files, no chunk dirs). */
-  private[table] final case class GInfo(snapshot: String, m: Manifest,
+  private[graft] final case class GInfo(snapshot: String, m: Manifest,
                                         schema: Option[StructType],
                                         partitions: Map[GKey, Long],
                                         sources: Map[GKey, String],
@@ -236,7 +236,7 @@ object GeomTable {
 
   /** Full manifest parse. Legacy (pre-round-5) manifests — no schema,
     * no partitions — parse with `schema = None`. */
-  private[table] def ginfo(spark: SparkSession, root: String, snapshotId: String): GInfo = {
+  private[graft] def ginfo(spark: SparkSession, root: String, snapshotId: String): GInfo = {
     val n = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(manifestString(spark, root, snapshotId))
     val m = Manifest(
@@ -283,8 +283,15 @@ object GeomTable {
     * the partition columns keep their written types and chunk-directory
     * pruning behaves identically either way. Legacy snapshots read
     * their directory directly. */
-  def read(spark: SparkSession, root: String, snapshotId: String): DataFrame = {
-    val info = ginfo(spark, root, snapshotId)
+  def read(spark: SparkSession, root: String, snapshotId: String): DataFrame =
+    read(spark, root, ginfo(spark, root, snapshotId))
+
+  /** Parsed-manifest overload: one manifest read serves a whole planned
+    * query (review r5: readBBox was re-parsing the manifest three times
+    * through the delegation chain — on an object store that is 3-5 GETs
+    * per query for one small JSON). */
+  private[graft] def read(spark: SparkSession, root: String, info: GInfo): DataFrame = {
+    val snapshotId = info.snapshot
     if (!info.chunked) spark.read.parquet(s"$root/data/snapshot=$snapshotId")
     else {
       val phys = info.physicalKeys
@@ -336,13 +343,24 @@ object GeomTable {
     * here. */
   def readEnvelope(spark: SparkSession, root: String, snapshotId: String,
                    minx: Double, miny: Double, maxx: Double, maxy: Double,
-                   maxRanges: Int = 64): DataFrame = {
-    val info = ginfo(spark, root, snapshotId)
-    val ranges = XZ2(info.m.res).ranges(minx, miny, maxx, maxy, maxRanges)
-    chunkPrune(read(spark, root, snapshotId), info, minx, miny, maxx, maxy)
-      .where(xzPred(ranges))
+                   maxRanges: Int = 64): DataFrame =
+    readEnvelope(spark, root, ginfo(spark, root, snapshotId), minx, miny, maxx, maxy, maxRanges)
+
+  private[graft] def readEnvelope(spark: SparkSession, root: String, info: GInfo,
+                                  minx: Double, miny: Double, maxx: Double, maxy: Double,
+                                  maxRanges: Int): DataFrame = {
+    val base = chunkPrune(read(spark, root, info), info, minx, miny, maxx, maxy)
       .where(col("minx") <= maxx && col("maxx") >= minx &&
         col("miny") <= maxy && col("maxy") >= miny)
+    // the xz BETWEEN ranges are XZ2-coded — TEMPORAL layouts store XZ3
+    // codes in `xz` (a different key base; review r5 #1: applying XZ2
+    // ranges there silently filtered out nearly every row), so a
+    // time-unbounded envelope scan on them relies on chunk-directory
+    // pruning + the envelope predicate (readBBoxTime supplies the
+    // per-bin XZ3 ranges when the caller has a time interval)
+    if (info.m.dtg.isEmpty)
+      base.where(xzPred(XZ2(info.m.res).ranges(minx, miny, maxx, maxy, maxRanges)))
+    else base
   }
 
   /** bbox scan over a flat XZ2 layout: chunk-directory pruning + xz
@@ -352,9 +370,9 @@ object GeomTable {
   def readBBox(spark: SparkSession, root: String, snapshotId: String,
                minx: Double, miny: Double, maxx: Double, maxy: Double,
                maxRanges: Int = 64): DataFrame = {
-    val geomCol = ginfo(spark, root, snapshotId).m.geom
-    readEnvelope(spark, root, snapshotId, minx, miny, maxx, maxy, maxRanges)
-      .where(StFunctions.fn("st_intersects")(col(geomCol), lit(boxWkb(minx, miny, maxx, maxy))))
+    val info = ginfo(spark, root, snapshotId)
+    readEnvelope(spark, root, info, minx, miny, maxx, maxy, maxRanges)
+      .where(StFunctions.fn("st_intersects")(col(info.m.geom), lit(boxWkb(minx, miny, maxx, maxy))))
   }
 
   /**
@@ -381,7 +399,7 @@ object GeomTable {
       val hi = if (bin == b1.bin.toInt) b1.offset else BinnedTime.maxOffset(p) - 1
       col("time_bin") === bin && xzPred(sfc.ranges(minx, miny, lo, maxx, maxy, hi, maxRanges))
     }.reduce(_ || _)
-    chunkPrune(read(spark, root, snapshotId), info, minx, miny, maxx, maxy)
+    chunkPrune(read(spark, root, info), info, minx, miny, maxx, maxy)
       .where(binPred)
       .where(col("minx") <= maxx && col("maxx") >= minx &&
         col("miny") <= maxy && col("maxy") >= miny)
@@ -515,7 +533,7 @@ object GeomTable {
       df.where(!cqlPred(df, cql, info.m.geom, idColumn, props))
     if (!info.chunked) rewrite(spark, root, fromSnapshot, toSnapshot, remove)
     else {
-      val src = read(spark, root, fromSnapshot)
+      val src = read(spark, root, info)
       val matched = src.where(cqlPred(src, cql, info.m.geom, idColumn, props))
       commitScoped(spark, root, info, toSnapshot, keysIn(info, matched), remove,
         mayMove = false)
@@ -547,7 +565,7 @@ object GeomTable {
     }
     if (!info.chunked) rewrite(spark, root, fromSnapshot, toSnapshot, update)
     else {
-      val src = read(spark, root, fromSnapshot)
+      val src = read(spark, root, info)
       val matched = src.where(cqlPred(src, cql, info.m.geom, idColumn, props))
       commitScoped(spark, root, info, toSnapshot, keysIn(info, matched), update,
         mayMove = true)
@@ -557,50 +575,22 @@ object GeomTable {
   /** Snapshot ids present under the root, committed only (the
     * SpatialTable.snapshots analog — GeomTable has no secondary
     * layouts, so every marker/json pair is a snapshot). */
-  def snapshots(spark: SparkSession, root: String): Seq[String] = {
-    val f = fs(spark, root)
-    val dir = new Path(s"$root/_manifests")
-    if (!f.exists(dir)) Seq.empty
-    else {
-      val names = f.listStatus(dir).map(_.getPath.getName).toSet
-      names.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed"))
-        .filter(id => names.contains(s"$id.json")).toSeq.sorted
-    }
-  }
+  def snapshots(spark: SparkSession, root: String): Seq[String] =
+    Snapshots.committed(spark, root)
 
   /**
    * Snapshot GC for extent-table mutation chains — every snapshot NOT
    * in `keep` and NOT physically referenced (transitively, to a
    * fixpoint) by a kept snapshot is deleted. Same contract as
-   * [[SpatialTable.expireSnapshots]]; legacy snapshots have no sources
-   * map, so they are collectible exactly when unkept and unreferenced.
-   * Returns the expired ids.
+   * [[SpatialTable.expireSnapshots]] via the shared [[Snapshots]]
+   * machinery; legacy snapshots have no sources map, so they are
+   * collectible exactly when unkept and unreferenced. Returns the
+   * expired ids.
    */
-  def expireSnapshots(spark: SparkSession, root: String, keep: Seq[String]): Seq[String] = {
-    val all = snapshots(spark, root)
-    val missing = keep.filterNot(all.contains)
-    require(missing.isEmpty, s"cannot keep unknown snapshot(s): ${missing.mkString(", ")}")
-    require(keep.nonEmpty, "keep at least one snapshot (use dropTable to delete everything)")
-    def refs(id: String): Set[String] =
-      ginfo(spark, root, id).sources.values.toSet - id
-    var retain = keep.toSet
-    var frontier = keep.toSet
-    while (frontier.nonEmpty) {
-      val next = frontier.flatMap(refs) -- retain
-      retain ++= next
-      frontier = next
-    }
-    val drop = all.filterNot(retain)
-    val f = fs(spark, root)
-    drop.foreach { id =>
-      // marker first: a crash mid-expiry leaves an uncommitted
-      // (invisible) snapshot, never a committed one missing files
-      f.delete(new Path(s"$root/_manifests/$id.committed"), false)
-      Seq(s"$root/data/snapshot=$id", s"$root/_manifests/$id.json")
-        .foreach(p => f.delete(new Path(p), true))
-    }
-    drop
-  }
+  def expireSnapshots(spark: SparkSession, root: String, keep: Seq[String]): Seq[String] =
+    Snapshots.expire(spark, root, keep,
+      refs = id => referencedSnapshots(spark, root, id),
+      artifacts = id => Seq(s"$root/data/snapshot=$id", s"$root/_manifests/$id.json"))
 
   /** Every snapshot whose PHYSICAL files snapshot `id` still reads
     * (excluding itself) — the overwrite-safety / GC edge set. */
@@ -648,7 +638,7 @@ object GeomTable {
         require(userCols.sameElements(incoming.columns.sorted),
           s"upsert schema mismatch: table has [${userCols.mkString(",")}], " +
             s"updates have [${incoming.columns.sorted.mkString(",")}]")
-        val oldRows = read(spark, root, fromSnapshot)
+        val oldRows = read(spark, root, info)
           .join(incoming.select(idColumn).distinct(), Seq(idColumn), "left_semi")
         val pOld = keysIn(info, oldRows)
         val pNew = keysIn(info, withDerived(info, incoming))

@@ -1378,46 +1378,23 @@ object SpatialTable {
    * from retained ancestors — keep answering identically.
    */
   def expireSnapshots(spark: SparkSession, root: String, keep: Seq[String]): Seq[String] = {
-    val all = snapshots(spark, root)
-    val missing = keep.filterNot(all.contains)
-    require(missing.isEmpty, s"cannot keep unknown snapshot(s): ${missing.mkString(", ")}")
-    require(keep.nonEmpty, "keep at least one snapshot (use dropTable to delete everything)")
-    // reachability to a FIXPOINT over the whole retained set, not one hop
-    // from `keep` (ADVICE r4): a snapshot retained only because a kept
-    // snapshot reads its files may itself reference a third snapshot the
-    // kept one dropped — that third must also survive, or the retained
-    // middle snapshot stays committed with missing paths. Flattened
-    // sources maps make each STEP one hop, but the retained SET must be
-    // closed transitively.
-    var retain = keep.toSet
-    var frontier = keep.toSet
-    while (frontier.nonEmpty) {
-      val next = frontier.flatMap(s => referencedSnapshots(spark, root, s)) -- retain
-      retain ++= next
-      frontier = next
-    }
-    val drop = all.filterNot(retain)
     val f = fs(spark, root)
     val indexNames =
       if (!f.exists(new Path(root))) Seq.empty
       else f.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("index_"))
-    drop.foreach { id =>
-      // the COMMIT MARKER goes first: a crash mid-expiry then leaves an
-      // uncommitted (invisible) snapshot, never a committed one with
-      // half its files missing
-      f.delete(new Path(s"$root/_manifests/$id.committed"), false)
-      val rest =
-        if (!f.exists(new Path(s"$root/_manifests"))) Seq.empty
-        else f.listStatus(new Path(s"$root/_manifests")).toSeq.map(_.getPath.getName)
-          .filter(n => n == s"$id.json" || n.startsWith(s"$id.attr_"))
-          .map(n => s"$root/_manifests/$n")
-      (Seq(s"$root/data/snapshot=$id", s"$root/_metrics/snapshot=$id",
-        s"$root/_stats/$id.json") ++
-        indexNames.map(d => s"$root/$d/snapshot=$id") ++ rest)
-        .foreach(p => f.delete(new Path(p), true))
-    }
-    drop
+    Snapshots.expire(spark, root, keep,
+      refs = s => referencedSnapshots(spark, root, s),
+      artifacts = { id =>
+        val rest =
+          if (!f.exists(new Path(s"$root/_manifests"))) Seq.empty
+          else f.listStatus(new Path(s"$root/_manifests")).toSeq.map(_.getPath.getName)
+            .filter(n => n == s"$id.json" || n.startsWith(s"$id.attr_"))
+            .map(n => s"$root/_manifests/$n")
+        Seq(s"$root/data/snapshot=$id", s"$root/_metrics/snapshot=$id",
+          s"$root/_stats/$id.json") ++
+          indexNames.map(d => s"$root/$d/snapshot=$id") ++ rest
+      })
   }
 
   /** Every snapshot whose PHYSICAL files snapshot `id` still reads:
@@ -1448,13 +1425,22 @@ object SpatialTable {
     else {
       val statuses = f.listStatus(dir)
       val names = statuses.map(_.getPath.getName).toSet
+      // mtime ties happen on coarse-clock stores (object stores report
+      // second granularity): a chained drain id must outrank a
+      // bootstrap in a tie — lexical order alone would pick 's1' over
+      // 'b000000001-a' and reintroduce the stale read (review r5 #4);
+      // among drains the zero-padded ids make lexical = chain order
+      val chained = "^b\\d{9}-[a-z]$".r
       statuses.toSeq
         .filter { st =>
           val n = st.getPath.getName
           n.endsWith(".committed") &&
             names.contains(n.stripSuffix(".committed") + ".json")
         }
-        .sortBy(st => (st.getModificationTime, st.getPath.getName))
+        .sortBy { st =>
+          val id = st.getPath.getName.stripSuffix(".committed")
+          (st.getModificationTime, if (chained.findFirstIn(id).isDefined) 1 else 0, id)
+        }
         .lastOption.map(_.getPath.getName.stripSuffix(".committed"))
     }
   }
@@ -1471,14 +1457,6 @@ object SpatialTable {
     * index layouts commit through markers in the same directory
     * (`<id>.attr_<col>.committed`) — only ids with a matching snapshot
     * manifest (`<id>.json`) are snapshots. */
-  def snapshots(spark: SparkSession, root: String): Seq[String] = {
-    val f = fs(spark, root)
-    val dir = new Path(s"$root/_manifests")
-    if (!f.exists(dir)) Seq.empty
-    else {
-      val names = f.listStatus(dir).map(_.getPath.getName).toSet
-      names.filter(_.endsWith(".committed")).map(_.stripSuffix(".committed"))
-        .filter(id => names.contains(s"$id.json")).toSeq.sorted
-    }
-  }
+  def snapshots(spark: SparkSession, root: String): Seq[String] =
+    Snapshots.committed(spark, root)
 }

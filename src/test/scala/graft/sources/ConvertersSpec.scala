@@ -258,9 +258,15 @@ class ConvertersSpec extends AnyFunSuite with SparkTest {
       """<wrongroot><b>x</b></wrongroot>""",
       """<e><c><d/>after-child</d></c></e>""", // malformed: mismatched tags
       """not xml at all""",
-      """<e a="1"><b> spaced  text </b><c>first<d>mid</d>second</c></e>""")
+      """<e a="1"><b> spaced  text </b><c>first<d>mid</d>second</c></e>""",
+      // first-NODE semantics across repeated siblings: the attribute
+      // lives only on the SECOND b; the first b has no direct text
+      """<e><b>one</b><b x="v">two</b></e>""",
+      """<e><b/><b>hi</b></e>""",
+      // present-but-empty attribute on the first sibling IS a node
+      """<e><b x="">p</b><b x="v">q</b></e>""")
     val paths = Seq("/e/@a", "/e/b", "/e/b/text()", "/e/c", "/e/c/text()",
-      "b", "c/d", "@a", "e/b")
+      "b", "c/d", "@a", "e/b", "b/@x")
     // every path is inside the simple subset -> the fast group
     assert(paths.forall(p => Converters.parseSimplePath(p).isDefined))
     val fields = paths.zipWithIndex.map { case (p, i) => Field(s"f$i", XPath(p)) }

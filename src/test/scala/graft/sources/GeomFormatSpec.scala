@@ -95,5 +95,15 @@ class GeomFormatSpec extends AnyFunSuite with SparkTest {
     assert(GeomTable.manifest(spark, root, "s1").dtg.contains("dtg"))
     val df = spark.read.format("graft").load(root)
     assert(df.count() == 40 && df.columns.contains("time_bin"))
+    // regression (review r5 #1): TEMPORAL layouts store XZ3 codes in
+    // `xz` — the pushed envelope idiom must NOT apply XZ2-resolution
+    // BETWEEN ranges to them (that silently filtered out nearly every
+    // row); the pruned route answers exactly like the raw predicate
+    val east = df.where($"maxx" >= 139.0 && $"minx" <= 142.0 &&
+      $"maxy" >= -21.0 && $"miny" <= -19.0)
+    assert(east.count() == 20, "temporal envelope pushdown lost rows")
+    // and the same through readEnvelope directly
+    assert(GeomTable.readEnvelope(spark, root, "s1", 139.0, -21.0, 142.0, -19.0)
+      .count() == 20)
   }
 }
