@@ -1850,6 +1850,29 @@ object SparkEntry {
           "round(maxx, 6) AS maxx", "round(maxy, 6) AS maxy")
     }),
 
+    "q_geom_attr" -> ((s, dir) => {
+      // schema-generic AttributeIndex parity on an EXTENT table
+      // (geomesa-index-api/.../attribute/AttributeIndex.scala is
+      // geometry-agnostic): equality routes through the bucket-pruned
+      // attr layout — a copy of the polygon snapshot hashed by the
+      // attribute and sorted (attr, xz) inside each file — instead of a
+      // full scan of the xz-ordered primary; the oracle joins the raw
+      // tables directly
+      StFunctions.register(s)
+      val root = tableRoot("geomattr", dir)
+      pts(s, dir) // registers the `events` temp view
+      val boxes = s.sql(s"WITH pts AS ($PtsSql) $BoxesSql")
+        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+        .withColumn("geom", StFunctions.fn("st_makeBBOX")(
+          col("bminx"), col("bminy"), col("bmaxx"), col("bmaxy")))
+        .select("event_id", "event_type", "geom")
+      graft.table.GeomTable.write(s, boxes, root, "s1", partitions = 8, chunkRes = 3)
+      graft.table.GeomTable.writeAttributeIndex(s, root, "s1", "event_type", buckets = 8)
+      graft.table.GeomTable.readByAttribute(s, root, "s1", "event_type", "click")
+        .selectExpr("event_id", "event_type",
+          "round(minx, 6) AS minx", "round(maxy, 6) AS maxy")
+    }),
+
     "q_geom_mutation" -> ((s, dir) => {
       // file-granular mutations on an EXTENT (XZ) layout — the
       // schema-generic FeatureWriter parity gap VERDICT r4 #1 named
@@ -3079,6 +3102,15 @@ object SparkEntry {
            |  round(bmaxx, 6) AS maxx, round(bmaxy, 6) AS maxy
            |FROM boxes
            |WHERE bminx <= 25.005 AND bmaxx >= -40.005 AND bminy <= 20.005 AND bmaxy >= -30.005""".stripMargin,
+
+      // identical answer required through the extent table's
+      // bucket-pruned attribute-index layout
+      "q_geom_attr" ->
+        s"""WITH $ptsCte, boxes AS ($BoxesSql)
+           |SELECT b.event_id, e.event_type, round(b.bminx, 6) AS minx,
+           |  round(b.bmaxy, 6) AS maxy
+           |FROM boxes b JOIN events e USING (event_id)
+           |WHERE e.event_type = 'click'""".stripMargin,
 
       // the extent-layout mutation chain replayed in SQL: for boxes JTS
       // intersects equals the inclusive envelope overlap, and the upsert

@@ -186,11 +186,14 @@ object GeomTable {
   }
 
   /** Serialize + commit a manifest (marker LAST, like every commit in
-    * the engine); `sources` present marks a scoped snapshot. */
+    * the engine); `sources` present marks a scoped snapshot.
+    * `andMarker = false` defers the commit marker so index delta
+    * rebuilds land under the same idempotency umbrella. */
   private def commitManifest(spark: SparkSession, root: String, snapshotId: String,
                              m: Manifest, schema: StructType,
                              partitions: Map[GKey, Long],
-                             sources: Option[Map[GKey, String]]): Unit = {
+                             sources: Option[Map[GKey, String]],
+                             andMarker: Boolean = true): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("snapshot", snapshotId)
@@ -215,7 +218,7 @@ object GeomTable {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/_manifests"))
     writeString(f, s"$root/_manifests/$snapshotId.json", mapper.writeValueAsString(node))
-    writeString(f, s"$root/_manifests/$snapshotId.committed", "")
+    if (andMarker) writeString(f, s"$root/_manifests/$snapshotId.committed", "")
   }
 
   private def writeString(f: FileSystem, path: String, s: String): Unit = {
@@ -453,6 +456,12 @@ object GeomTable {
     val base = read(spark, root, fromSnapshot).drop(DerivedCols.toSeq: _*)
     write(spark, transform(base), root, toSnapshot, m.geom, m.dtg,
       m.res, m.period, partitions, m.chunkRes)
+    // every index layout the source had is rebuilt in full (same
+    // bucket counts) — the whole-table path's consistency-by-
+    // construction, like SpatialTable.rewrite
+    indexedColumns(spark, root, fromSnapshot).foreach { case (a, b) =>
+      writeAttributeIndex(spark, root, toSnapshot, a, b.getOrElse(16))
+    }
   }
 
   /**
@@ -464,6 +473,8 @@ object GeomTable {
    */
   private def commitScoped(spark: SparkSession, root: String, info: GInfo, to: String,
                            p0: Seq[GKey], transform: DataFrame => DataFrame,
+                           removed: DataFrame, addedUser: Option[DataFrame],
+                           idColumn: String,
                            mayMove: Boolean, partitions: Int = 8): Unit = {
     val from = info.snapshot
     require(from != to, "mutation must target a NEW snapshot id")
@@ -516,7 +527,14 @@ object GeomTable {
     val sources2 = inherited.map(k => k -> srcPhys(k)).toMap ++
       writtenParts.keys.map(_ -> to)
     commitManifest(spark, root, to, info.m, StructType(info.schema.get.fields),
-      partitions2, Some(sources2))
+      partitions2, Some(sources2), andMarker = false)
+    // delta-scoped attribute-index rebuilds, then the marker LAST — a
+    // crash anywhere re-runs idempotently
+    val addedIndexed = withDerived(info, addedUser.getOrElse(emptyUser))
+    indexedColumns(spark, root, from).keys.toSeq.sorted.foreach { a =>
+      rebuildIndexScoped(spark, root, from, to, a, removed, addedIndexed, idColumn, info)
+    }
+    Snapshots.writeString(fs(spark, root), s"$root/_manifests/$to.committed", "")
   }
 
   /** removeFeatures(filter) on an extent layout — FILE-GRANULAR on
@@ -536,7 +554,7 @@ object GeomTable {
       val src = read(spark, root, info)
       val matched = src.where(cqlPred(src, cql, info.m.geom, idColumn, props))
       commitScoped(spark, root, info, toSnapshot, keysIn(info, matched), remove,
-        mayMove = false)
+        removed = matched, addedUser = None, idColumn = idColumn, mayMove = false)
     }
   }
 
@@ -567,8 +585,14 @@ object GeomTable {
     else {
       val src = read(spark, root, info)
       val matched = src.where(cqlPred(src, cql, info.m.geom, idColumn, props))
+      // the added versions apply the sets unconditionally — the same
+      // values commitScoped's transform produces for the matched rows
+      val matchedUser = matched.drop(DerivedCols.toSeq: _*)
+      val added = sets.foldLeft(matchedUser) { case (d, (name, value)) =>
+        d.withColumn(name, value)
+      }
       commitScoped(spark, root, info, toSnapshot, keysIn(info, matched), update,
-        mayMove = true)
+        removed = matched, addedUser = Some(added), idColumn = idColumn, mayMove = true)
     }
   }
 
@@ -587,15 +611,216 @@ object GeomTable {
    * collectible exactly when unkept and unreferenced. Returns the
    * expired ids.
    */
-  def expireSnapshots(spark: SparkSession, root: String, keep: Seq[String]): Seq[String] =
+  def expireSnapshots(spark: SparkSession, root: String, keep: Seq[String]): Seq[String] = {
+    val f = fs(spark, root)
+    val indexNames =
+      if (!f.exists(new Path(root))) Seq.empty
+      else f.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("index_"))
     Snapshots.expire(spark, root, keep,
       refs = id => referencedSnapshots(spark, root, id),
-      artifacts = id => Seq(s"$root/data/snapshot=$id", s"$root/_manifests/$id.json"))
+      artifacts = { id =>
+        val rest =
+          if (!f.exists(new Path(s"$root/_manifests"))) Seq.empty
+          else f.listStatus(new Path(s"$root/_manifests")).toSeq.map(_.getPath.getName)
+            .filter(n => n == s"$id.json" || n.startsWith(s"$id.attr_"))
+            .map(n => s"$root/_manifests/$n")
+        Seq(s"$root/data/snapshot=$id") ++
+          indexNames.map(d => s"$root/$d/snapshot=$id") ++ rest
+      })
+  }
+
+  // ---- attribute-index layouts (schema-generic AttributeIndex parity) --
+  //
+  // The reference's attribute index applies to ANY feature type — a
+  // polygon table gets attr-keyed rows exactly like a point table
+  // (geomesa-index-api/.../attribute/AttributeIndex.scala is
+  // geometry-agnostic). Same physical shape as SpatialTable's: a copy
+  // of the snapshot bucketed by hash(attr) and sorted (attr, xz) inside
+  // each file — bucket-directory pruning + row-group min/max skipping
+  // on the sorted attribute; the secondary xz sort keeps the scan
+  // spatially clustered for attr+bbox combinations. Mutations rebuild
+  // only the buckets where a mutated row's old/new value hashes, the
+  // rest inherit by reference through a sources sidecar.
+
+  private def indexMarkerPath(root: String, id: String, attr: String) =
+    s"$root/_manifests/$id.attr_$attr.committed"
+  private def indexSourcesPath(root: String, id: String, attr: String) =
+    s"$root/_manifests/$id.attr_$attr.sources"
+
+  def writeAttributeIndex(spark: SparkSession, root: String, snapshotId: String,
+                          attrCol: String, buckets: Int = 16): Unit = {
+    val f = fs(spark, root)
+    val marker = indexMarkerPath(root, snapshotId, attrCol)
+    if (f.exists(new Path(marker))) return // resume: done
+    read(spark, root, snapshotId)
+      .withColumn("attr_bucket", pmod(xxhash64(col(attrCol)), lit(buckets)).cast("int"))
+      .repartition(buckets, col("attr_bucket"))
+      .sortWithinPartitions(col("attr_bucket"), col(attrCol), col("xz"))
+      .write.mode("overwrite")
+      .partitionBy("attr_bucket")
+      .parquet(s"$root/index_$attrCol/snapshot=$snapshotId")
+    // the marker records the WRITTEN bucket modulus — readers must
+    // never probe with a guessed one (silent empty results)
+    Snapshots.writeString(f, marker, buckets.toString)
+  }
+
+  def indexBuckets(spark: SparkSession, root: String, snapshotId: String,
+                   attrCol: String): Option[Int] = {
+    val f = fs(spark, root)
+    val p = new Path(indexMarkerPath(root, snapshotId, attrCol))
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      if (text.isEmpty) None else Some(text.linesIterator.next().toInt)
+    }
+  }
+
+  /** Committed attribute-index layouts for a snapshot. */
+  def indexedColumns(spark: SparkSession, root: String,
+                     snapshotId: String): Map[String, Option[Int]] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Map.empty
+    else f.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("index_") => n.stripPrefix("index_") }
+      .filter(a => f.exists(new Path(indexMarkerPath(root, snapshotId, a))))
+      .map(a => a -> indexBuckets(spark, root, snapshotId, a))
+      .toMap
+  }
+
+  /** attr_bucket -> physical snapshot: the sources sidecar when the
+    * layout was delta-rebuilt, else its own directory listing. */
+  private def indexPhysical(spark: SparkSession, root: String, id: String,
+                            attr: String): Map[Int, String] = {
+    val f = fs(spark, root)
+    val jp = new Path(indexSourcesPath(root, id, attr))
+    if (f.exists(jp)) {
+      val in = f.open(jp)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt).get("sources")
+      val it = n.fields()
+      val b = Map.newBuilder[Int, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey.toInt -> e.getValue.asText }
+      b.result()
+    } else {
+      val dir = new Path(s"$root/index_$attr/snapshot=$id")
+      if (!f.exists(dir)) Map.empty
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("attr_bucket=") =>
+          s.stripPrefix("attr_bucket=").toInt -> id }
+        .toMap
+    }
+  }
+
+  /** Resolution-aware index scan (self-contained or delta-rebuilt). */
+  private def indexRead(spark: SparkSession, root: String, id: String,
+                        attr: String, info: GInfo): DataFrame = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(indexSourcesPath(root, id, attr))))
+      spark.read.parquet(s"$root/index_$attr/snapshot=$id")
+    else {
+      val order = info.readOrder :+ "attr_bucket"
+      val phys = indexPhysical(spark, root, id, attr)
+      if (phys.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(info.readOrder.map(c => info.schema.get(c)) :+
+            StructField("attr_bucket", IntegerType)))
+      else {
+        val schema = StructType(info.schema.get.fields :+
+          StructField("attr_bucket", IntegerType) :+ StructField("snapshot", StringType))
+        val paths = phys.toSeq.sortBy(_._1)
+          .map { case (b, src) => s"$root/index_$attr/snapshot=$src/attr_bucket=$b" }
+        spark.read.schema(schema).option("basePath", s"$root/index_$attr").parquet(paths: _*)
+          .select(order.map(col): _*)
+      }
+    }
+  }
+
+  /** Equality scan through the attribute index: plan-time bucket
+    * pruning + sorted-attr row-group skipping. The probe literal casts
+    * to the column's type first — xxhash64 hashes by TYPE, and a
+    * mismatched literal silently finds nothing. */
+  def readByAttribute(spark: SparkSession, root: String, snapshotId: String,
+                      attrCol: String, value: Any): DataFrame = {
+    val info = ginfo(spark, root, snapshotId)
+    val idx = indexRead(spark, root, snapshotId, attrCol, info)
+    val typed = lit(value).cast(idx.schema(attrCol).dataType)
+    val pruned = indexBuckets(spark, root, snapshotId, attrCol) match {
+      case Some(n) => idx.where(col("attr_bucket") ===
+        pmod(xxhash64(typed), lit(n)).cast("int"))
+      case None => idx
+    }
+    pruned.where(col(attrCol) === typed)
+  }
+
+  /** Delta-scoped index rebuild for a mutation: only the attr_buckets
+    * where a mutated row's old/new value hashes are rewritten; every
+    * untouched bucket is inherited by reference through the sources
+    * sidecar (the SpatialTable.rebuildIndexScoped pattern in the XZ key
+    * space). */
+  private def rebuildIndexScoped(spark: SparkSession, root: String, from: String, to: String,
+                                 attr: String, removed: DataFrame, addedIndexed: DataFrame,
+                                 idColumn: String, info: GInfo): Unit = {
+    val f = fs(spark, root)
+    val marker = indexMarkerPath(root, to, attr)
+    if (f.exists(new Path(marker))) return // resume: done
+    val n = indexBuckets(spark, root, from, attr).getOrElse(16)
+    def bucketOf(c: Column) = pmod(xxhash64(c), lit(n)).cast("int")
+    val affected: Set[Int] =
+      removed.select(bucketOf(col(attr)).as("b"))
+        .unionByName(addedIndexed.select(bucketOf(col(attr)).as("b")))
+        .distinct().collect().map(_.getInt(0)).toSet
+    val phys = indexPhysical(spark, root, from, attr)
+    val order = info.readOrder :+ "attr_bucket"
+    val rebuildOld = affected.intersect(phys.keySet).toSeq.sorted
+    if (affected.nonEmpty) {
+      val oldRows =
+        if (rebuildOld.isEmpty) None
+        else {
+          val schema = StructType(info.schema.get.fields :+
+            StructField("attr_bucket", IntegerType) :+ StructField("snapshot", StringType))
+          Some(spark.read.schema(schema).option("basePath", s"$root/index_$attr")
+            .parquet(rebuildOld.map(b => s"$root/index_$attr/snapshot=${phys(b)}/attr_bucket=$b"): _*)
+            .select(order.map(col): _*)
+            .join(removed.select(col(idColumn)).distinct(), Seq(idColumn), "left_anti")
+            .select(order.map(col): _*))
+        }
+      val addedRows = addedIndexed.withColumn("attr_bucket", bucketOf(col(attr)))
+        .select(order.map(col): _*)
+      val union = oldRows.map(_.unionByName(addedRows)).getOrElse(addedRows)
+      union.repartition(math.max(1, affected.size), col("attr_bucket"))
+        .sortWithinPartitions(col("attr_bucket"), col(attr), col("xz"))
+        .write.mode("overwrite").partitionBy("attr_bucket")
+        .parquet(s"$root/index_$attr/snapshot=$to")
+    }
+    val outDir = new Path(s"$root/index_$attr/snapshot=$to")
+    val writtenBuckets: Set[Int] =
+      if (!f.exists(outDir)) Set.empty
+      else f.listStatus(outDir).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("attr_bucket=") =>
+          s.stripPrefix("attr_bucket=").toInt }.toSet
+    val sourcesMap: Map[Int, String] = (phys -- affected) ++ writtenBuckets.map(_ -> to).toMap
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    val srcs = node.putObject("sources")
+    sourcesMap.toSeq.sortBy(_._1).foreach { case (b, s) => srcs.put(b.toString, s) }
+    Snapshots.writeString(f, indexSourcesPath(root, to, attr), mapper.writeValueAsString(node))
+    Snapshots.writeString(f, marker, n.toString)
+  }
 
   /** Every snapshot whose PHYSICAL files snapshot `id` still reads
-    * (excluding itself) — the overwrite-safety / GC edge set. */
-  def referencedSnapshots(spark: SparkSession, root: String, id: String): Set[String] =
-    ginfo(spark, root, id).sources.values.toSet - id
+    * (excluding itself) — the overwrite-safety / GC edge set: the data
+    * sources map plus each delta-rebuilt index sidecar's values. */
+  def referencedSnapshots(spark: SparkSession, root: String, id: String): Set[String] = {
+    val dataRefs = ginfo(spark, root, id).sources.values.toSet
+    val idxRefs = indexedColumns(spark, root, id).keys
+      .flatMap(a => indexPhysical(spark, root, id, a).values).toSet
+    (dataRefs ++ idxRefs) - id
+  }
 
   /** removeSchema analog: drop the whole table root. */
   def dropTable(spark: SparkSession, root: String): Unit = {
@@ -643,6 +868,7 @@ object GeomTable {
         val pOld = keysIn(info, oldRows)
         val pNew = keysIn(info, withDerived(info, incoming))
         commitScoped(spark, root, info, toSnapshot, pOld ++ pNew, merge,
+          removed = oldRows, addedUser = Some(incoming), idColumn = idColumn,
           mayMove = false)
       }
     } finally incoming.unpersist()

@@ -175,6 +175,60 @@ class GeomMutationScopedSpec extends AnyFunSuite with SparkTest {
     assert(GeomTable.read(spark, root, "s3").where($"age" === -1L).count() == 5)
   }
 
+  test("attribute index on an extent table: bucket-pruned equality reads, " +
+    "delta rebuild under mutations, untouched buckets inherited by path") {
+    val root = newRoot()
+    // pick an east name whose bucket differs from both sides of the
+    // rename, so the untouched-bucket premise holds by construction
+    def bucketOf(v: String): Int = spark.sql(
+      s"SELECT CAST(pmod(xxhash64('$v'), 8) AS INT)").collect().head.getInt(0)
+    val touched = Set(bucketOf("west"), bucketOf("mid"))
+    val eastName = (0 until 64).map(i => s"east$i")
+      .find(n => !touched.contains(bucketOf(n))).get
+    val rows = ((0 until 20).map(i => (s"w$i", "west", i.toLong, box(-120.0 + i * 0.01, 35.0, 0.3, 0.2))) ++
+      (0 until 20).map(i => (s"e$i", eastName, i.toLong, box(140.0 + i * 0.01, -20.0, 0.3, 0.2))))
+      .toDF("id", "name", "age", "geom")
+    GeomTable.write(spark, rows, root, "s1", partitions = 4)
+    GeomTable.writeAttributeIndex(spark, root, "s1", "name", buckets = 8)
+    assert(GeomTable.indexedColumns(spark, root, "s1") == Map("name" -> Some(8)))
+    assert(GeomTable.readByAttribute(spark, root, "s1", "name", "west").count() == 20)
+    // bucket pruning: an equality read touches only its hash bucket dir
+    val scanned1 = scannedFiles(GeomTable.readByAttribute(spark, root, "s1", "name", "west"))
+    assert(scanned1.forall(_.contains(s"attr_bucket=${bucketOf("west")}")), scanned1)
+
+    // rename west -> mid: only the two affected buckets rebuild
+    GeomTable.updateWhere(spark, root, "s1", "s2", "name = 'west'",
+      Map("name" -> lit("mid")))
+    val idxDir = new java.io.File(s"$root/index_name/snapshot=s2")
+    val rebuilt = idxDir.listFiles().filter(_.isDirectory).map(_.getName)
+      .map(_.stripPrefix("attr_bucket=").toInt).toSet
+    assert(rebuilt.subsetOf(touched), s"rebuilt $rebuilt, affected only $touched")
+    assert(GeomTable.readByAttribute(spark, root, "s2", "name", "mid").count() == 20)
+    assert(GeomTable.readByAttribute(spark, root, "s2", "name", "west").count() == 0)
+    assert(GeomTable.readByAttribute(spark, root, "s2", "name", eastName).count() == 20)
+    // the untouched bucket's rows physically come from s1's index files
+    val eastScan = scannedFiles(GeomTable.readByAttribute(spark, root, "s2", "name", eastName))
+    assert(eastScan.forall(_.contains("snapshot=s1/")), eastScan)
+
+    // GC: s2 inherits the east chunk AND the east index bucket from s1
+    // — the refs edge set covers index sidecars, so s1 survives
+    assert(GeomTable.expireSnapshots(spark, root, keep = Seq("s2")).isEmpty)
+    assert(GeomTable.readByAttribute(spark, root, "s2", "name", eastName).count() == 20)
+
+    // upsert keeps the index exact too (replace + append); it touches
+    // both chunks and both live buckets, so s3 ends self-contained and
+    // the whole history becomes collectible
+    GeomTable.upsert(spark, root, "s2", "s3",
+      Seq(("w3", "mid", 99L, box(-119.97, 35.0, 0.3, 0.2)),
+        ("x1", eastName, 7L, box(140.5, -20.0, 0.3, 0.2)))
+        .toDF("id", "name", "age", "geom"))
+    assert(GeomTable.readByAttribute(spark, root, "s3", "name", "mid").count() == 20)
+    assert(GeomTable.readByAttribute(spark, root, "s3", "name", eastName).count() == 21)
+    val expired = GeomTable.expireSnapshots(spark, root, keep = Seq("s3"))
+    assert(expired.toSet == Set("s1", "s2"), s"got $expired")
+    assert(GeomTable.readByAttribute(spark, root, "s3", "name", eastName).count() == 21)
+  }
+
   test("expireSnapshots on an extent chain: unreferenced links collect, " +
     "referenced ancestors survive to a fixpoint, kept snapshots answer identically") {
     val root = newRoot()
