@@ -304,6 +304,7 @@ case class GeomGraftRelation(sqlContext: SQLContext,
   // ONE manifest parse serves the relation's schema and every scan
   private val info = GeomTable.ginfo(spark, root, snapshotId)
   private val geomCol = info.m.geom
+  private val indexedAttrs = GeomTable.indexedColumns(spark, root, snapshotId).keySet
 
   override val schema: StructType =
     if (info.chunked)
@@ -344,11 +345,31 @@ case class GeomGraftRelation(sqlContext: SQLContext,
       yield (a, b, c, d)
   }
 
+  /** First pushed equality on an attribute with a committed index
+    * layout — the extent analog of the strategy decider's attr-equals
+    * upgrade. */
+  private def extractIndexedEq(filters: Array[Filter]): Option[(String, Any)] = {
+    def visit(f: Filter): Option[(String, Any)] = f match {
+      case EqualTo(a, v) if indexedAttrs(a) => Some((a, v))
+      case And(l, r) => visit(l).orElse(visit(r))
+      case _ => None
+    }
+    filters.iterator.flatMap(f => visit(f)).nextOption()
+  }
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val base = extractEnvelope(filters) match {
-      case Some((wminx, wminy, wmaxx, wmaxy)) =>
-        GeomTable.readEnvelope(spark, root, info, wminx, wminy, wmaxx, wmaxy, 64)
-      case None => GeomTable.read(spark, root, info)
+    // cheapest scan wins: an indexed attr equality beats the envelope
+    // route (bucket dir + sorted row groups); the translated filters —
+    // including the equality itself and any envelope bounds — re-apply
+    // exactly on whichever base is picked
+    val base = extractIndexedEq(filters) match {
+      case Some((a, v)) =>
+        GeomTable.readByAttribute(spark, root, snapshotId, a, v).drop("attr_bucket")
+      case None => extractEnvelope(filters) match {
+        case Some((wminx, wminy, wmaxx, wmaxy)) =>
+          GeomTable.readEnvelope(spark, root, info, wminx, wminy, wmaxx, wmaxy, 64)
+        case None => GeomTable.read(spark, root, info)
+      }
     }
     val withCql = parameters.get("cql") match {
       case Some(q) => graft.plans.Cql.filter(base, q,

@@ -69,6 +69,24 @@ class GeomFormatSpec extends AnyFunSuite with SparkTest {
     assert(viaCql.count() == 5)
   }
 
+  test("an indexed attribute equality upgrades the format scan to the " +
+    "bucket-pruned layout") {
+    val root = newRoot()
+    twoClusters.write.format("graft")
+      .option("snapshot", "s1").option("geom", "geom").save(root)
+    GeomTable.writeAttributeIndex(spark, root, "s1", "name", buckets = 8)
+    val df = spark.read.format("graft").load(root)
+    val west = df.where($"name" === "west")
+    assert(west.count() == 20)
+    // every scanned file belongs to the index layout, not the primary
+    val scanned = west.select(input_file_name().as("f")).distinct().as[String]
+      .collect().toSet
+    assert(scanned.nonEmpty && scanned.forall(_.contains("index_name/")),
+      s"equality must route through the attr layout: $scanned")
+    // combined with other predicates the answer stays exact
+    assert(df.where($"name" === "west" && $"age" < 5).count() == 5)
+  }
+
   test("scoped geom mutations resolve through the format; overwrite refuses " +
     "when a descendant references the snapshot's files") {
     val root = newRoot()
