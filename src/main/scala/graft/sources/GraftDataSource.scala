@@ -304,7 +304,10 @@ case class GeomGraftRelation(sqlContext: SQLContext,
   // ONE manifest parse serves the relation's schema and every scan
   private val info = GeomTable.ginfo(spark, root, snapshotId)
   private val geomCol = info.m.geom
-  private val indexedAttrs = GeomTable.indexedColumns(spark, root, snapshotId).keySet
+  // attr -> bucket modulus, read ONCE (like `info`) so the indexed
+  // route costs no metadata round-trips per scan
+  private val indexedAttrs: Map[String, Option[Int]] =
+    GeomTable.indexedColumns(spark, root, snapshotId)
 
   override val schema: StructType =
     if (info.chunked)
@@ -350,7 +353,7 @@ case class GeomGraftRelation(sqlContext: SQLContext,
     * upgrade. */
   private def extractIndexedEq(filters: Array[Filter]): Option[(String, Any)] = {
     def visit(f: Filter): Option[(String, Any)] = f match {
-      case EqualTo(a, v) if indexedAttrs(a) => Some((a, v))
+      case EqualTo(a, v) if indexedAttrs.contains(a) => Some((a, v))
       case And(l, r) => visit(l).orElse(visit(r))
       case _ => None
     }
@@ -364,7 +367,8 @@ case class GeomGraftRelation(sqlContext: SQLContext,
     // exactly on whichever base is picked
     val base = extractIndexedEq(filters) match {
       case Some((a, v)) =>
-        GeomTable.readByAttribute(spark, root, snapshotId, a, v).drop("attr_bucket")
+        GeomTable.readByAttribute(spark, root, info, a, v, indexedAttrs(a))
+          .drop("attr_bucket")
       case None => extractEnvelope(filters) match {
         case Some((wminx, wminy, wmaxx, wmaxy)) =>
           GeomTable.readEnvelope(spark, root, info, wminx, wminy, wmaxx, wmaxy, 64)

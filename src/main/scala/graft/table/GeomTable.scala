@@ -447,7 +447,12 @@ object GeomTable {
 
   /** Whole-table copy-on-write rewrite — the mutation fallback for
     * legacy snapshots (which re-commit in the chunked shape) and a
-    * utility in its own right. */
+    * utility in its own right. Recovery model: the data snapshot and
+    * each index layout commit under their OWN markers, so a crash
+    * between them leaves the data readable and the index unlisted
+    * (indexedColumns gates on markers — nothing routes through a
+    * half-built layout); re-running the same rewrite call is the
+    * documented recovery and heals the missing layouts idempotently. */
   def rewrite(spark: SparkSession, root: String, fromSnapshot: String, toSnapshot: String,
               transform: DataFrame => DataFrame, partitions: Int = 8): Unit = {
     require(fromSnapshot != toSnapshot, "rewrite must target a NEW snapshot id")
@@ -529,10 +534,20 @@ object GeomTable {
     commitManifest(spark, root, to, info.m, StructType(info.schema.get.fields),
       partitions2, Some(sources2), andMarker = false)
     // delta-scoped attribute-index rebuilds, then the marker LAST — a
-    // crash anywhere re-runs idempotently
+    // crash anywhere re-runs idempotently. The removed/added plans are
+    // lazy CQL-match scans the loop would otherwise re-execute twice
+    // per indexed attribute (review r5b #5) — cache them for its
+    // duration
     val addedIndexed = withDerived(info, addedUser.getOrElse(emptyUser))
-    indexedColumns(spark, root, from).keys.toSeq.sorted.foreach { a =>
-      rebuildIndexScoped(spark, root, from, to, a, removed, addedIndexed, idColumn, info)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val removedC = removed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      indexedColumns(spark, root, from).keys.toSeq.sorted.foreach { a =>
+        rebuildIndexScoped(spark, root, from, to, a, removedC, addedIndexed, idColumn, info)
+      }
+    } finally {
+      removedC.unpersist()
+      addedIndexed.unpersist()
     }
     Snapshots.writeString(fs(spark, root), s"$root/_manifests/$to.committed", "")
   }
@@ -720,9 +735,22 @@ object GeomTable {
   private def indexRead(spark: SparkSession, root: String, id: String,
                         attr: String, info: GInfo): DataFrame = {
     val f = fs(spark, root)
-    if (!f.exists(new Path(indexSourcesPath(root, id, attr))))
-      spark.read.parquet(s"$root/index_$attr/snapshot=$id")
-    else {
+    if (!f.exists(new Path(indexSourcesPath(root, id, attr)))) {
+      // explicit schema, never inference: an index built on an EMPTY
+      // snapshot has a directory with no parquet files, and inference
+      // would crash every later equality query instead of answering
+      // empty (review r5b #1); legacy manifests carry no schema, but
+      // their layouts predate empty-write support
+      val dir = s"$root/index_$attr/snapshot=$id"
+      info.schema match {
+        case Some(s) =>
+          val order = info.readOrder :+ "attr_bucket"
+          spark.read.schema(StructType(s.fields :+ StructField("attr_bucket", IntegerType)))
+            .parquet(dir)
+            .select(order.map(col): _*)
+        case None => spark.read.parquet(dir)
+      }
+    } else {
       val order = info.readOrder :+ "attr_bucket"
       val phys = indexPhysical(spark, root, id, attr)
       if (phys.isEmpty)
@@ -747,9 +775,19 @@ object GeomTable {
   def readByAttribute(spark: SparkSession, root: String, snapshotId: String,
                       attrCol: String, value: Any): DataFrame = {
     val info = ginfo(spark, root, snapshotId)
-    val idx = indexRead(spark, root, snapshotId, attrCol, info)
+    readByAttribute(spark, root, info, attrCol, value,
+      indexBuckets(spark, root, snapshotId, attrCol))
+  }
+
+  /** Parsed-manifest overload (the relation caches GInfo and the
+    * bucket moduli at construction — review r5b #4: the equality route
+    * must not re-parse metadata per scan). */
+  private[graft] def readByAttribute(spark: SparkSession, root: String, info: GInfo,
+                                     attrCol: String, value: Any,
+                                     buckets: Option[Int]): DataFrame = {
+    val idx = indexRead(spark, root, info.snapshot, attrCol, info)
     val typed = lit(value).cast(idx.schema(attrCol).dataType)
-    val pruned = indexBuckets(spark, root, snapshotId, attrCol) match {
+    val pruned = buckets match {
       case Some(n) => idx.where(col("attr_bucket") ===
         pmod(xxhash64(typed), lit(n)).cast("int"))
       case None => idx

@@ -874,9 +874,18 @@ object SpatialTable {
   private def indexRead(spark: SparkSession, root: String, id: String,
                         attr: String): DataFrame = {
     val f = fs(spark, root)
-    if (!f.exists(new Path(indexJsonPath(root, id, attr))))
-      spark.read.parquet(s"$root/index_$attr/snapshot=$id")
-    else {
+    if (!f.exists(new Path(indexJsonPath(root, id, attr)))) {
+      // explicit schema, never inference: an index built on an EMPTY
+      // snapshot is a directory with no parquet files, and inference
+      // would crash every later lookup instead of answering empty
+      // (review r5b #1 — found on the GeomTable copy, same hazard here)
+      val info = manifestInfo(spark, root, id)
+      val order = info.readOrder :+ "attr_bucket"
+      spark.read
+        .schema(StructType(info.schema.fields :+ StructField("attr_bucket", IntegerType)))
+        .parquet(s"$root/index_$attr/snapshot=$id")
+        .select(order.map(col): _*)
+    } else {
       val info = manifestInfo(spark, root, id)
       val order = info.readOrder :+ "attr_bucket"
       val phys = indexPhysical(spark, root, id, attr)
@@ -1084,13 +1093,23 @@ object SpatialTable {
     f.mkdirs(new Path(s"$root/_manifests"))
     writeString(f, s"$root/_manifests/$to.json", mapper.writeValueAsString(node))
 
-    // delta-scoped index rebuilds + expand-only stats, then commit
+    // delta-scoped index rebuilds + expand-only stats, then commit. The
+    // removed/added plans are lazy match scans the loop and the stats
+    // delta would otherwise re-execute several times (review r5b #5) —
+    // cache them for the duration
     val addedIndexed = index(addedUser.getOrElse(emptyUser))
-    indexedColumns(spark, root, from).keys.toSeq.sorted.foreach { a =>
-      rebuildIndexScoped(spark, root, from, to, a, removed, addedIndexed, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val removedC = removed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      indexedColumns(spark, root, from).keys.toSeq.sorted.foreach { a =>
+        rebuildIndexScoped(spark, root, from, to, a, removedC, addedIndexed, idCol)
+      }
+      TableStats.applyMutationDelta(spark, root, from, to, removedC,
+        addedUser.getOrElse(emptyUser), lonCol, latCol)
+    } finally {
+      removedC.unpersist()
+      addedIndexed.unpersist()
     }
-    TableStats.applyMutationDelta(spark, root, from, to, removed,
-      addedUser.getOrElse(emptyUser), lonCol, latCol)
     writeString(f, s"$root/_manifests/$to.committed", "") // commit marker LAST
     snap
   }

@@ -229,6 +229,19 @@ class GeomMutationScopedSpec extends AnyFunSuite with SparkTest {
     assert(GeomTable.readByAttribute(spark, root, "s3", "name", eastName).count() == 21)
   }
 
+  test("an attribute index built on an EMPTY snapshot answers empty, never " +
+    "a schema-inference crash") {
+    val root = newRoot()
+    val empty = Seq.empty[(String, String, Long, Array[Byte])]
+      .toDF("id", "name", "age", "geom")
+    GeomTable.write(spark, empty, root, "s1", partitions = 2)
+    GeomTable.writeAttributeIndex(spark, root, "s1", "name", buckets = 4)
+    assert(GeomTable.readByAttribute(spark, root, "s1", "name", "x").count() == 0)
+    // the format's indexed route degrades the same way
+    val viaFormat = spark.read.format("graft").load(root)
+    assert(viaFormat.where($"name" === "x").count() == 0)
+  }
+
   test("expireSnapshots on an extent chain: unreferenced links collect, " +
     "referenced ancestors survive to a fixpoint, kept snapshots answer identically") {
     val root = newRoot()
