@@ -1850,6 +1850,36 @@ object SparkEntry {
           "round(maxx, 6) AS maxx", "round(maxy, 6) AS maxy")
     }),
 
+    "q_geom_stats" -> ((s, dir) => {
+      // GeoMesaStats parity on an EXTENT table (the reference's stats
+      // are datastore-wide, not point-only): count + envelope from the
+      // stored extent columns + per-attribute bounds collected ONCE at
+      // write time and served from the _stats sidecar — this entry
+      // reads the CACHED values, the oracle recomputes them from the
+      // raw boxes. Bounds round to 9 dp on both sides (the lon/lat
+      // derivation's /100.0 reciprocal-multiply ULP, as q_stats_cached)
+      import graft.table.{GeomTable, TableStats}
+      StFunctions.register(s)
+      val root = tableRoot("geomstats", dir)
+      pts(s, dir) // registers the `events` temp view
+      val boxes = s.sql(s"WITH pts AS ($PtsSql) $BoxesSql")
+        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+        .withColumn("geom", StFunctions.fn("st_makeBBOX")(
+          col("bminx"), col("bminy"), col("bmaxx"), col("bmaxy")))
+        .select("event_id", "event_type", "geom")
+      GeomTable.write(s, boxes, root, "s1", partitions = 8, chunkRes = 3)
+      if (!TableStats.exists(s, root, "s1"))
+        TableStats.collectGeom(s, root, "s1", Seq("event_type"))
+      val st = TableStats.cached(s, root, "s1").get
+      val (minx, miny, maxx, maxy) = st.bounds.get
+      val a = st.attributes("event_type")
+      def r9(x: Double): Double = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((st.count, r9(minx), r9(miny), r9(maxx), r9(maxy), a.min, a.max, a.count))
+        .toDF("cnt", "minx", "miny", "maxx", "maxy", "type_min", "type_max", "type_count")
+    }),
+
     "q_geom_attr" -> ((s, dir) => {
       // schema-generic AttributeIndex parity on an EXTENT table
       // (geomesa-index-api/.../attribute/AttributeIndex.scala is
@@ -3102,6 +3132,16 @@ object SparkEntry {
            |  round(bmaxx, 6) AS maxx, round(bmaxy, 6) AS maxy
            |FROM boxes
            |WHERE bminx <= 25.005 AND bmaxx >= -40.005 AND bminy <= 20.005 AND bmaxy >= -30.005""".stripMargin,
+
+      // cached extent-table stats vs a raw recompute over the boxes
+      "q_geom_stats" ->
+        s"""WITH $ptsCte, boxes AS ($BoxesSql)
+           |SELECT count(*) AS cnt,
+           |  round(min(bminx), 9) AS minx, round(min(bminy), 9) AS miny,
+           |  round(max(bmaxx), 9) AS maxx, round(max(bmaxy), 9) AS maxy,
+           |  min(e.event_type) AS type_min, max(e.event_type) AS type_max,
+           |  count(e.event_type) AS type_count
+           |FROM boxes b JOIN events e USING (event_id)""".stripMargin,
 
       // identical answer required through the extent table's
       // bucket-pruned attribute-index layout

@@ -467,6 +467,11 @@ object GeomTable {
     indexedColumns(spark, root, fromSnapshot).foreach { case (a, b) =>
       writeAttributeIndex(spark, root, toSnapshot, a, b.getOrElse(16))
     }
+    // stats follow the rewrite: re-collect over the attributes the
+    // source tracked (the exact-refresh path)
+    TableStats.cached(spark, root, fromSnapshot).foreach { st =>
+      TableStats.collectGeom(spark, root, toSnapshot, st.attributes.keys.toSeq.sorted)
+    }
   }
 
   /**
@@ -545,6 +550,10 @@ object GeomTable {
       indexedColumns(spark, root, from).keys.toSeq.sorted.foreach { a =>
         rebuildIndexScoped(spark, root, from, to, a, removedC, addedIndexed, idColumn, info)
       }
+      // writer-maintained stats follow the mutation (counts exact,
+      // envelope expand-only from the stored extent columns)
+      TableStats.applyMutationDelta(spark, root, from, to, removedC, addedIndexed,
+        boundsCols = Some(("minx", "miny", "maxx", "maxy")))
     } finally {
       removedC.unpersist()
       addedIndexed.unpersist()

@@ -84,21 +84,40 @@ object TableStats {
   def collect(spark: SparkSession, root: String, snapshotId: String,
               attributes: Seq[String] = Seq.empty,
               lonCol: String = "lon", latCol: String = "lat",
-              topK: Int = 10): Unit = {
+              topK: Int = 10): Unit =
+    collectDf(spark, SpatialTable.read(spark, root, snapshotId), root, snapshotId,
+      attributes, (lonCol, latCol, lonCol, latCol), topK)
+
+  /** Extent-table stats (the reference's stats are datastore-wide, not
+    * point-only): same sidecar format and query surface, with the
+    * envelope aggregated from the stored minx/miny/maxx/maxy extent
+    * columns the XZ layouts maintain. */
+  def collectGeom(spark: SparkSession, root: String, snapshotId: String,
+                  attributes: Seq[String] = Seq.empty, topK: Int = 10): Unit =
+    collectDf(spark, GeomTable.read(spark, root, snapshotId), root, snapshotId,
+      attributes, ("minx", "miny", "maxx", "maxy"), topK)
+
+  /** `bcols` = (minXCol, minYCol, maxXCol, maxYCol): point tables pass
+    * (lon, lat, lon, lat) — min/max of the same column pair — extent
+    * tables their four stored envelope columns. */
+  private def collectDf(spark: SparkSession, df0: DataFrame, root: String,
+                        snapshotId: String, attributes: Seq[String],
+                        bcols: (String, String, String, String), topK: Int): Unit = {
     // one disk read total: the main agg plus each tracked attribute's
     // TopK groupBy all scan the persisted copy, not the parquet N+1 times
     // (writeConfigured/rewrite call this on every write and mutation)
-    val df = SpatialTable.read(spark, root, snapshotId).persist()
+    val df = df0.persist()
     val tracked = attributes.filter(df.columns.contains)
-    val spatial = df.columns.contains(lonCol) && df.columns.contains(latCol)
+    val spatial = Seq(bcols._1, bcols._2, bcols._3, bcols._4)
+      .forall(df.columns.contains)
     val aggs =
       Seq(count(lit(1)).as("count")) ++
         // envelope as double regardless of the column's numeric type
         // (decimal lon/lat tables would ClassCastException on getDouble)
-        (if (spatial) Seq(min(col(lonCol).cast("double")).as("minx"),
-          min(col(latCol).cast("double")).as("miny"),
-          max(col(lonCol).cast("double")).as("maxx"),
-          max(col(latCol).cast("double")).as("maxy")) else Nil) ++
+        (if (spatial) Seq(min(col(bcols._1).cast("double")).as("minx"),
+          min(col(bcols._2).cast("double")).as("miny"),
+          max(col(bcols._3).cast("double")).as("maxx"),
+          max(col(bcols._4).cast("double")).as("maxy")) else Nil) ++
         tracked.flatMap { a =>
           val dt = df.schema(a).dataType
           Seq(render(dt, min(col(a))).as(s"min_$a"), render(dt, max(col(a))).as(s"max_$a"),
@@ -186,19 +205,24 @@ object TableStats {
   def applyMutationDelta(spark: SparkSession, root: String, fromSnapshot: String,
                          toSnapshot: String, removed: DataFrame, added: DataFrame,
                          lonCol: String = "lon", latCol: String = "lat",
-                         topK: Int = 10, staleFraction: Double = 0.5): Unit = {
+                         topK: Int = 10, staleFraction: Double = 0.5,
+                         boundsCols: Option[(String, String, String, String)] = None): Unit = {
     val st = cached(spark, root, fromSnapshot).getOrElse(return)
     val tracked = st.attributes.keys.toSeq.sorted
+    // envelope columns: point tables min/max the same lon/lat pair,
+    // extent tables pass their four stored envelope columns
+    val bcols = boundsCols.getOrElse((lonCol, latCol, lonCol, latCol))
 
     def deltaOf(df: DataFrame): (Long, Option[(Double, Double, Double, Double)],
         Map[String, (Option[String], Option[String], Long, Long, Option[Array[Byte]])]) = {
-      val spatial = df.columns.contains(lonCol) && df.columns.contains(latCol)
+      val spatial = Seq(bcols._1, bcols._2, bcols._3, bcols._4)
+        .forall(df.columns.contains)
       val present = tracked.filter(df.columns.contains)
       val aggs = Seq(count(lit(1)).as("n")) ++
-        (if (spatial) Seq(min(col(lonCol).cast("double")).as("minx"),
-          min(col(latCol).cast("double")).as("miny"),
-          max(col(lonCol).cast("double")).as("maxx"),
-          max(col(latCol).cast("double")).as("maxy")) else Nil) ++
+        (if (spatial) Seq(min(col(bcols._1).cast("double")).as("minx"),
+          min(col(bcols._2).cast("double")).as("miny"),
+          max(col(bcols._3).cast("double")).as("maxx"),
+          max(col(bcols._4).cast("double")).as("maxy")) else Nil) ++
         present.flatMap { a =>
           val dt = df.schema(a).dataType
           Seq(render(dt, min(col(a))).as(s"min_$a"), render(dt, max(col(a))).as(s"max_$a"),

@@ -229,6 +229,32 @@ class GeomMutationScopedSpec extends AnyFunSuite with SparkTest {
     assert(GeomTable.readByAttribute(spark, root, "s3", "name", eastName).count() == 21)
   }
 
+  test("extent-table stats: collected once, served cached, maintained by " +
+    "writer deltas under scoped mutations") {
+    val root = newRoot()
+    GeomTable.write(spark, twoClusters, root, "s1", partitions = 4)
+    TableStats.collectGeom(spark, root, "s1", Seq("name"))
+    val st1 = TableStats.cached(spark, root, "s1").get
+    assert(st1.count == 40)
+    val b1 = st1.bounds.get
+    assert(b1._1 == -120.0 && b1._3 > 140.0, s"envelope from extent cols: $b1")
+    assert(st1.attributes("name").count == 40)
+    // a scoped delete moves the counts EXACTLY without a rescan
+    GeomTable.deleteWhere(spark, root, "s1", "s2", "name = 'west' AND age < 10")
+    val st2 = TableStats.cached(spark, root, "s2").get
+    assert(st2.count == 30 && st2.deleted == 10)
+    assert(st2.attributes("name").count == 30)
+    // an upsert far outside expands the envelope
+    GeomTable.upsert(spark, root, "s2", "s3",
+      Seq(("n1", "new", 1L, box(-179.0, -80.0, 0.5, 0.5))).toDF("id", "name", "age", "geom"))
+    val st3 = TableStats.cached(spark, root, "s3").get
+    assert(st3.count == 31)
+    assert(st3.bounds.get._1 == -179.0 && st3.bounds.get._2 == -80.0)
+    // getCount/getBounds serve from the sidecar
+    assert(TableStats.getCount(spark, root, "s3").contains(31L))
+    assert(TableStats.getBounds(spark, root, "s3")._1 == -179.0)
+  }
+
   test("an attribute index built on an EMPTY snapshot answers empty, never " +
     "a schema-inference crash") {
     val root = newRoot()
