@@ -154,6 +154,23 @@ object SparkEntry {
   private def tableRoot(prefix: String, dir: String): String =
     s"/tmp/graft_${prefix}_tbl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** The polygon-boxes fixture the extent-table entries share (ONE
+    * definition — it must stay in lockstep with the oracle CTEs): box
+    * features derived from the event points, typed by event_type. */
+  private def geomBoxes(s: SparkSession, dir: String): DataFrame = {
+    pts(s, dir) // registers the `events` temp view the SQL reads
+    s.sql(s"WITH pts AS ($PtsSql) $BoxesSql")
+      .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
+      .withColumn("geom", StFunctions.fn("st_makeBBOX")(
+        col("bminx"), col("bminy"), col("bmaxx"), col("bmaxy")))
+      .select("event_id", "event_type", "geom")
+  }
+
+  /** 9-dp HALF_UP rounding shared by the cached-stats entries (DuckDB's
+    * reciprocal-multiply rewrite of /100.0 sits 1 ULP off Spark). */
+  private def r9(x: Double): Double = BigDecimal(x)
+    .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Run `body` with spark.graft.index.res set, materialize its result
     * via localCheckpoint WHILE the conf is set, then restore the prior
     * value. Session-global conf leaking res into later queries was the
@@ -573,11 +590,8 @@ object SparkEntry {
       val (minx, miny, maxx, maxy) = st.bounds.get
       val a = st.attributes("event_type")
       import s.implicits._
-      // bounds rounded on BOTH sides: DuckDB rewrites the /100.0 in the
-      // lon/lat derivation into a reciprocal multiply, 1 ULP off Spark's
-      // division — max() surfaces exactly that ULP
-      def r9(x: Double): Double = BigDecimal(x)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // bounds rounded on BOTH sides (shared r9 — the DuckDB
+      // reciprocal-multiply ULP)
       Seq((st.count, r9(minx), r9(miny), r9(maxx), r9(maxy), a.min, a.max, a.count))
         .toDF("cnt", "minx", "miny", "maxx", "maxy", "type_min", "type_max", "type_count")
     }),
@@ -1861,20 +1875,12 @@ object SparkEntry {
       import graft.table.{GeomTable, TableStats}
       StFunctions.register(s)
       val root = tableRoot("geomstats", dir)
-      pts(s, dir) // registers the `events` temp view
-      val boxes = s.sql(s"WITH pts AS ($PtsSql) $BoxesSql")
-        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
-        .withColumn("geom", StFunctions.fn("st_makeBBOX")(
-          col("bminx"), col("bminy"), col("bmaxx"), col("bmaxy")))
-        .select("event_id", "event_type", "geom")
-      GeomTable.write(s, boxes, root, "s1", partitions = 8, chunkRes = 3)
+      GeomTable.write(s, geomBoxes(s, dir), root, "s1", partitions = 8, chunkRes = 3)
       if (!TableStats.exists(s, root, "s1"))
         TableStats.collectGeom(s, root, "s1", Seq("event_type"))
       val st = TableStats.cached(s, root, "s1").get
       val (minx, miny, maxx, maxy) = st.bounds.get
       val a = st.attributes("event_type")
-      def r9(x: Double): Double = BigDecimal(x)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       import s.implicits._
       Seq((st.count, r9(minx), r9(miny), r9(maxx), r9(maxy), a.min, a.max, a.count))
         .toDF("cnt", "minx", "miny", "maxx", "maxy", "type_min", "type_max", "type_count")
@@ -1890,13 +1896,8 @@ object SparkEntry {
       // tables directly
       StFunctions.register(s)
       val root = tableRoot("geomattr", dir)
-      pts(s, dir) // registers the `events` temp view
-      val boxes = s.sql(s"WITH pts AS ($PtsSql) $BoxesSql")
-        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
-        .withColumn("geom", StFunctions.fn("st_makeBBOX")(
-          col("bminx"), col("bminy"), col("bmaxx"), col("bmaxy")))
-        .select("event_id", "event_type", "geom")
-      graft.table.GeomTable.write(s, boxes, root, "s1", partitions = 8, chunkRes = 3)
+      graft.table.GeomTable.write(s, geomBoxes(s, dir), root, "s1",
+        partitions = 8, chunkRes = 3)
       graft.table.GeomTable.writeAttributeIndex(s, root, "s1", "event_type", buckets = 8)
       graft.table.GeomTable.readByAttribute(s, root, "s1", "event_type", "click")
         .selectExpr("event_id", "event_type",
@@ -1918,15 +1919,9 @@ object SparkEntry {
       import graft.table.GeomTable
       StFunctions.register(s)
       val root = tableRoot("geommut", dir)
-      pts(s, dir) // registers the `events` temp view the SQL below reads
-      val boxes = s.sql(s"WITH pts AS ($PtsSql) $BoxesSql")
-        .join(t(s, dir, "events").select("event_id", "event_type"), "event_id")
-        .withColumn("geom", StFunctions.fn("st_makeBBOX")(
-          col("bminx"), col("bminy"), col("bmaxx"), col("bmaxy")))
-        .select("event_id", "event_type", "geom")
       // chunkRes 3 (~85 world chunks): partition-dir count proportional
       // to the bench SF, like the point fixtures' prefixRes 3
-      GeomTable.write(s, boxes, root, "s1", partitions = 8, chunkRes = 3)
+      GeomTable.write(s, geomBoxes(s, dir), root, "s1", partitions = 8, chunkRes = 3)
       GeomTable.updateWhere(s, root, "s1", "s2",
         "BBOX(geom, -60.005, -30.005, 0.005, 30.005) AND event_type = 'click'",
         Map("event_type" -> lit("flagged")), idColumn = "event_id")

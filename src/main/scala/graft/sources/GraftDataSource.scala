@@ -149,14 +149,27 @@ class GraftDataSource extends DataSourceRegister
           parameters.keys.exists(_.startsWith("geomesa."))
         if (parameters.contains("geom")) {
           // extent (line/polygon) save path: a WKB geometry column
-          // selects the GeomTable chunked XZ layout (temporal with dtg)
-          graft.table.GeomTable.write(spark, data, root, snapshot,
+          // selects the GeomTable chunked XZ layout (temporal with dtg);
+          // `indexed` and stats-on-write compose like the point path
+          // (review r5c #3: the geom branch previously skipped both)
+          import graft.table.{GeomTable, TableStats}
+          GeomTable.write(spark, data, root, snapshot,
             parameters("geom"), dtg,
             parameters.getOrElse("res", "12").toInt,
             parameters.getOrElse("period", "week"),
             parameters.getOrElse("partitions", "8").toInt,
             parameters.get("chunkRes").orElse(parameters.get("chunkres"))
               .getOrElse("4").toInt)
+          val indexed = parameters.get("indexed").toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+            .filter(data.columns.contains)
+          indexed.foreach(a => GeomTable.writeAttributeIndex(spark, root, snapshot, a))
+          val wantStats = parameters.get("geomesa.stats.enable") match {
+            case Some(v) => v.toBoolean
+            case None => indexed.nonEmpty // configured-style write defaults on
+          }
+          if (wantStats && !TableStats.exists(spark, root, snapshot))
+            TableStats.collectGeom(spark, root, snapshot, indexed)
         } else if (sftStyle) {
           import graft.table.Sft
           val sft0 = parameters.get("sft") match {

@@ -426,8 +426,10 @@ object GeomTable {
   // chunk-key set -> partial rewrite with by-reference inheritance; a
   // transformed geometry whose re-derived chunk lands outside the matched
   // set pulls that chunk into the rewrite (mover closure), so a moved
-  // geometry is never lost or duplicated. No secondary layouts or stats
-  // sidecars exist on GeomTable, so the commit is data + manifest only.
+  // geometry is never lost or duplicated. A commit produces data +
+  // manifest, then delta-rebuilt attribute-index layouts and the writer
+  // stats delta, then the marker LAST — GC and crash recovery must
+  // account for all four artifact classes.
 
   /** CQL predicate over the user columns, null-safe for mutation
     * routing (rows where the filter evaluates NULL are not matched). */
@@ -649,7 +651,7 @@ object GeomTable {
           else f.listStatus(new Path(s"$root/_manifests")).toSeq.map(_.getPath.getName)
             .filter(n => n == s"$id.json" || n.startsWith(s"$id.attr_"))
             .map(n => s"$root/_manifests/$n")
-        Seq(s"$root/data/snapshot=$id") ++
+        Seq(s"$root/data/snapshot=$id", s"$root/_stats/$id.json") ++
           indexNames.map(d => s"$root/$d/snapshot=$id") ++ rest
       })
   }

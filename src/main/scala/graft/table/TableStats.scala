@@ -397,18 +397,38 @@ object TableStats {
     }
   }
 
+  /** Whether the snapshot's manifest is an extent (GeomTable) one —
+    * point manifests always carry a top-level prefix_res (review r5c
+    * #2: the exact/estimate fallbacks must route by table kind now
+    * that extent roots are stats citizens). */
+  private def isExtent(spark: SparkSession, root: String, snapshotId: String): Boolean = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/_manifests/$snapshotId.json")
+    require(f.exists(p), s"no manifest for snapshot $snapshotId under $root")
+    val in = f.open(p)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    !new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt).has("prefix_res")
+  }
+
   /** Feature count: cached (None when stats were never collected) or
     * exact via a scan, optionally under a CQL filter — the reference's
-    * stats.getCount(sft, filter, exact). */
+    * stats.getCount(sft, filter, exact). Exact scans route by the
+    * manifest's table kind (point or extent). */
   def getCount(spark: SparkSession, root: String, snapshotId: String,
                exact: Boolean = false, cql: Option[String] = None,
                lonCol: String = "lon", latCol: String = "lat",
                idColumn: String = "id"): Option[Long] = {
     if (exact) {
-      val df = cql match {
-        case Some(q) => SpatialTable.queryCql(spark, root, snapshotId, q, lonCol, latCol, idColumn)
-        case None => SpatialTable.read(spark, root, snapshotId)
-      }
+      val df =
+        if (isExtent(spark, root, snapshotId)) cql match {
+          case Some(q) => GeomTable.queryCql(spark, root, snapshotId, q,
+            GeomTable.manifest(spark, root, snapshotId).geom, idColumn)
+          case None => GeomTable.read(spark, root, snapshotId)
+        } else cql match {
+          case Some(q) => SpatialTable.queryCql(spark, root, snapshotId, q, lonCol, latCol, idColumn)
+          case None => SpatialTable.read(spark, root, snapshotId)
+        }
       Some(df.count())
     } else cached(spark, root, snapshotId).map(_.count)
   }
@@ -442,6 +462,20 @@ object TableStats {
   def estimateCount(spark: SparkSession, root: String, snapshotId: String,
                     bbox: (Double, Double, Double, Double),
                     maxCells: Int = 4096): Long = {
+    if (isExtent(spark, root, snapshotId)) {
+      // extent roots carry per-chunk row counts in the MANIFEST (no
+      // _metrics table): the estimate is the total rows of the chunks
+      // the bbox's coarse XZ ranges cover — a guaranteed superset at
+      // chunk granularity, zero data I/O, exactly like the point path
+      val info = GeomTable.ginfo(spark, root, snapshotId)
+      require(info.chunked,
+        s"legacy extent snapshot $snapshotId has no partition stats — re-commit via rewrite")
+      val ranges = graft.cells.XZ2(info.m.chunkRes)
+        .ranges(bbox._1, bbox._2, bbox._3, bbox._4, 64)
+      return info.partitions.collect {
+        case (k, rows) if ranges.exists(r => k.chunk >= r.lower && k.chunk <= r.upper) => rows
+      }.sum
+    }
     val snap = SpatialTable.manifest(spark, root, snapshotId)
     val m = spark.read.parquet(s"$root/_metrics/snapshot=$snapshotId")
     val pruned =

@@ -103,6 +103,22 @@ class GeomFormatSpec extends AnyFunSuite with SparkTest {
     assert(err.getMessage.contains("reference"), err.getMessage)
   }
 
+  test("geom format write composes `indexed` + stats-on-write like the " +
+    "point path; explicit disable wins") {
+    val root = newRoot()
+    twoClusters.write.format("graft")
+      .option("snapshot", "s1").option("geom", "geom")
+      .option("indexed", "name").save(root)
+    assert(GeomTable.indexedColumns(spark, root, "s1").keySet == Set("name"))
+    assert(graft.table.TableStats.cached(spark, root, "s1").exists(_.count == 40))
+    val root2 = newRoot()
+    twoClusters.write.format("graft")
+      .option("snapshot", "s1").option("geom", "geom")
+      .option("indexed", "name").option("geomesa.stats.enable", "false").save(root2)
+    assert(GeomTable.indexedColumns(spark, root2, "s1").keySet == Set("name"))
+    assert(!graft.table.TableStats.exists(spark, root2, "s1"))
+  }
+
   test("temporal extent write through the format (dtg option)") {
     val root = newRoot()
     val withDtg = twoClusters.withColumn("dtg",

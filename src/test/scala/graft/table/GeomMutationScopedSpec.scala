@@ -253,6 +253,15 @@ class GeomMutationScopedSpec extends AnyFunSuite with SparkTest {
     // getCount/getBounds serve from the sidecar
     assert(TableStats.getCount(spark, root, "s3").contains(31L))
     assert(TableStats.getBounds(spark, root, "s3")._1 == -179.0)
+    // the exact fallback routes by table kind (extent manifest), and
+    // the estimate reads per-chunk rows from the manifest: a west-bbox
+    // estimate is a superset at chunk granularity, zero data I/O
+    assert(TableStats.getCount(spark, root, "s3", exact = true).contains(31L))
+    // east keeps its 10 age<10 rows (west's were deleted) + upserted n1
+    assert(TableStats.getCount(spark, root, "s3", exact = true,
+      cql = Some("age < 10")).contains(11L))
+    val est = TableStats.estimateCount(spark, root, "s3", (-121.0, 34.0, -119.0, 36.0))
+    assert(est >= 10 && est <= 31, s"superset bound at chunk granularity: $est")
   }
 
   test("an attribute index built on an EMPTY snapshot answers empty, never " +
